@@ -1,0 +1,138 @@
+"""Experiment configuration.
+
+The reference declares its experiment config as an in-script Python dict in
+each train script (reference: train.py / train_fetal.py ``config`` dict; see
+SURVEY.md section 5.6 for the canonical key list). We keep those exact key
+names as the compatibility surface, expose them as a dataclass, and support
+JSON round-tripping so configs are artifacts rather than code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+def _tup(x) -> Optional[Tuple[int, ...]]:
+    return None if x is None else tuple(int(v) for v in x)
+
+
+@dataclass
+class Config:
+    """Full experiment config, key names matching the reference train scripts.
+
+    Reference keys (train.py::config): image_shape, patch_shape, labels,
+    n_labels, all_modalities, training_modalities, nb_channels, input_shape,
+    truth_channel, deconvolution, batch_size, validation_batch_size, n_epochs,
+    patience, early_stop, initial_learning_rate, learning_rate_drop,
+    validation_split, flip, permute, distort, augment,
+    validation_patch_overlap, training_patch_start_offset, skip_blank,
+    data_file, model_file, training_file, validation_file, overwrite.
+    """
+
+    # --- geometry -----------------------------------------------------------
+    image_shape: Tuple[int, int, int] = (144, 144, 144)
+    patch_shape: Optional[Tuple[int, int, int]] = (64, 64, 64)
+    labels: Tuple[int, ...] = (1,)
+    n_labels: int = 1
+    all_modalities: Tuple[str, ...] = ("volume",)
+    training_modalities: Optional[Tuple[str, ...]] = None  # default: all
+    truth_channel: int = 1  # index of the truth "modality" slot (metadata only)
+
+    # --- model --------------------------------------------------------------
+    model_name: str = "unet"  # "unet" | "isensee"
+    depth: int = 4
+    n_base_filters: int = 32
+    deconvolution: bool = False
+    batch_normalization: bool = False
+    instance_normalization: bool = False
+    activation_name: str = "sigmoid"  # "sigmoid" | "softmax"
+    dropout_rate: float = 0.3  # isensee SpatialDropout3D rate
+    n_segmentation_levels: int = 3  # isensee deep-supervision heads
+    compute_dtype: str = "bfloat16"  # TPU-native: bf16 compute, fp32 params
+
+    # --- optimization -------------------------------------------------------
+    batch_size: int = 6
+    validation_batch_size: Optional[int] = 12
+    n_epochs: int = 500
+    patience: int = 10  # LR-plateau patience (epochs)
+    early_stop: int = 50  # early-stopping patience (epochs)
+    initial_learning_rate: float = 5e-4
+    learning_rate_drop: float = 0.5
+    learning_rate_epochs: Optional[int] = None  # if set: step decay, else plateau
+    validation_split: float = 0.8
+
+    # --- augmentation -------------------------------------------------------
+    augment: bool = True
+    flip: bool = True  # random axis flips
+    permute: bool = True  # one of the 48 cube symmetries (cubic patches only)
+    distort: Optional[float] = None  # scale-deviation factor, e.g. 0.25
+    contrast: Optional[float] = 0.1  # fetal-fork intensity augmentation factor
+
+    # --- patch sampling -----------------------------------------------------
+    validation_patch_overlap: int = 16
+    training_patch_start_offset: Optional[Tuple[int, int, int]] = (16, 16, 16)
+    skip_blank: bool = True
+    gaussian_recon_sigma_scale: float = 0.125  # Gaussian importance-map sigma
+                                               # as a fraction of patch size
+
+    # --- normalization ------------------------------------------------------
+    normalization: str = "per_volume"  # "per_volume" | "global" z-score
+
+    # --- files --------------------------------------------------------------
+    data_file: str = "fetal_data.h5"
+    model_file: str = "model.ckpt"
+    training_file: str = "training_ids.pkl"
+    validation_file: str = "validation_ids.pkl"
+    training_log: str = "training.log"
+    overwrite: bool = False
+
+    # --- parallelism (net-new; reference is single-device) -------------------
+    num_devices: Optional[int] = None  # None = all visible devices (DP mesh)
+
+    # -------------------------------------------------------------------------
+    def __post_init__(self):
+        self.image_shape = _tup(self.image_shape)
+        self.patch_shape = _tup(self.patch_shape)
+        self.labels = _tup(self.labels)
+        self.all_modalities = tuple(self.all_modalities)
+        if self.training_modalities is None:
+            self.training_modalities = self.all_modalities
+        else:
+            self.training_modalities = tuple(self.training_modalities)
+        if self.training_patch_start_offset is not None:
+            self.training_patch_start_offset = _tup(self.training_patch_start_offset)
+
+    @property
+    def nb_channels(self) -> int:
+        return len(self.training_modalities)
+
+    @property
+    def input_shape(self) -> Tuple[int, ...]:
+        """Channels-first single-example shape, reference-compatible."""
+        shape = self.patch_shape if self.patch_shape is not None else self.image_shape
+        return (self.nb_channels,) + tuple(shape)
+
+    # --- JSON round-trip ----------------------------------------------------
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["nb_channels"] = self.nb_channels
+        d["input_shape"] = list(self.input_shape)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=str)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

@@ -1,0 +1,92 @@
+"""Isensee 2017 (BRATS) residual U-Net with deep supervision.
+
+Graph parity with the reference (reference: unet3d/model/isensee2017.py::
+isensee2017_model, create_context_module, create_up_sampling_module,
+create_localization_module):
+
+- Encoder, per level L in [0, depth): ConvBlock(f_L) (stride 2 for L>0 —
+  strided-conv downsampling, no pooling) → context module (ConvBlock →
+  SpatialDropout3D(rate) → ConvBlock) → residual Add with the in-conv.
+  f_L = n_base_filters * 2^L. All conv blocks are InstanceNorm + LeakyReLU.
+- Decoder, per level L in [depth-2, 0]: up-sampling module (nearest
+  UpSampling3D(2) → ConvBlock(f_L)), concat with level-L encoder output,
+  localization module (ConvBlock 3^3 → ConvBlock 1^3).
+- Deep supervision: 1^3 Conv(n_labels) segmentation heads at the last
+  ``n_segmentation_levels`` decoder levels; summed coarsest-to-finest with
+  UpSampling3D(2) between, final sigmoid/softmax.
+- Trained with the weighted multi-class dice loss (ops/dice.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fetal_mri_segmentation_tpu.models.layers import (
+    ConvBlock, head_activation, spatial_dropout_3d, upsample_nearest)
+
+
+class Isensee2017(nn.Module):
+    """Reference: unet3d/model/isensee2017.py::isensee2017_model (defaults mirrored)."""
+    n_labels: int = 1
+    depth: int = 5
+    n_base_filters: int = 16
+    dropout_rate: float = 0.3
+    n_segmentation_levels: int = 3
+    activation_name: str = "sigmoid"
+    dtype: Any = jnp.bfloat16
+
+    def _block(self, f, name, **kw):
+        return ConvBlock(f, instance_normalization=True,
+                         activation="leaky_relu", dtype=self.dtype,
+                         name=name, **kw)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 logits: bool = False) -> jnp.ndarray:
+        """x: (B, D, H, W, C) → (B, D, H, W, n_labels)."""
+        x = x.astype(self.dtype)
+        level_outputs = []
+        level_filters = []
+        for level in range(self.depth):
+            f = self.n_base_filters * (2 ** level)
+            level_filters.append(f)
+            strides = (1, 1, 1) if level == 0 else (2, 2, 2)
+            in_conv = self._block(f, f"enc{level}_in", strides=strides)(x)
+            # context module (residual branch)
+            h = self._block(f, f"enc{level}_ctx1")(in_conv)
+            if train and self.dropout_rate > 0:
+                rng = self.make_rng("dropout")
+                h = spatial_dropout_3d(rng, h, self.dropout_rate)
+            h = self._block(f, f"enc{level}_ctx2")(h)
+            x = in_conv + h
+            level_outputs.append(x)
+
+        segmentation_layers = []
+        for level in range(self.depth - 2, -1, -1):
+            f = level_filters[level]
+            # up-sampling module
+            x = upsample_nearest(x, (2, 2, 2))
+            x = self._block(f, f"dec{level}_up")(x)
+            x = jnp.concatenate([level_outputs[level], x], axis=-1)
+            # localization module
+            x = self._block(f, f"dec{level}_loc1")(x)
+            x = self._block(f, f"dec{level}_loc2", kernel_size=(1, 1, 1))(x)
+            if level < self.n_segmentation_levels:
+                seg = nn.Conv(self.n_labels, (1, 1, 1), dtype=jnp.float32,
+                              param_dtype=jnp.float32,
+                              name=f"seg{level}")(x.astype(jnp.float32))
+                segmentation_layers.insert(0, seg)
+
+        out = None
+        for level in reversed(range(self.n_segmentation_levels)):
+            seg = segmentation_layers[level]
+            out = seg if out is None else out + seg
+            if level > 0:
+                out = upsample_nearest(out, (2, 2, 2))
+
+        if logits:
+            return out
+        return head_activation(out, self.activation_name)

@@ -1,0 +1,143 @@
+"""Shared building blocks for the 3D U-Net family.
+
+TPU-first design notes (not a Keras translation):
+
+- Internal layout is NDHWC (channels-last). XLA's TPU convolution emitter
+  tiles the channel dimension onto the 128-wide MXU lanes; channels-last keeps
+  C contiguous in lane dimension and avoids per-conv relayouts. The public
+  API stays channels-first like the reference (Keras channels_first; see
+  models/wrappers) — the transpose happens once at the jit boundary and is
+  fused by XLA.
+- Params are fp32; compute dtype is configurable (bf16 default) — norm
+  statistics and the loss accumulate in fp32.
+- InstanceNorm is stateless math (per-sample, per-channel moments over
+  D,H,W) — the reference needed keras-contrib for it
+  (reference: unet3d/model/unet.py::create_convolution_block,
+  keras_contrib InstanceNormalization).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over the spatial axes (D, H, W).
+
+    Matches keras-contrib InstanceNormalization(axis=channel) semantics:
+    learned scale/offset per channel, eps inside the sqrt.
+    """
+    epsilon: float = 1e-3  # keras-contrib default
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * gamma + beta
+        return y.astype(self.dtype)
+
+
+class ConvBlock(nn.Module):
+    """Conv3D(same) → optional BatchNorm/InstanceNorm → activation.
+
+    Reference: unet3d/model/unet.py::create_convolution_block
+    (kernel 3x3x3 default, ReLU default; Isensee variant uses
+    InstanceNorm + LeakyReLU, optional stride 2).
+    """
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    batch_normalization: bool = False
+    instance_normalization: bool = False
+    activation: str = "relu"  # "relu" | "leaky_relu" | "none"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                    padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv")(x)
+        if self.batch_normalization:
+            x = nn.BatchNorm(use_running_average=not train, axis=-1,
+                             momentum=0.99, epsilon=1e-3, dtype=jnp.float32,
+                             name="bn")(x).astype(self.dtype)
+        elif self.instance_normalization:
+            x = InstanceNorm(dtype=self.dtype, name="in")(x)
+        if self.activation == "relu":
+            x = nn.relu(x)
+        elif self.activation == "leaky_relu":
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        return x
+
+
+class UpConv(nn.Module):
+    """Upsampling: transposed conv (kernel=stride=2) or nearest-neighbor repeat.
+
+    Reference: unet3d/model/unet.py::get_up_convolution — Conv3DTranspose(2^3,
+    strides 2) when ``deconvolution`` else UpSampling3D(2). With kernel==stride
+    the transposed conv has no overlap, so Keras/XLA padding conventions agree
+    exactly (output = 2x input).
+    """
+    features: int
+    deconvolution: bool = False
+    size: Tuple[int, int, int] = (2, 2, 2)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.deconvolution:
+            return nn.ConvTranspose(self.features, kernel_size=self.size,
+                                    strides=self.size, padding="VALID",
+                                    dtype=self.dtype, param_dtype=jnp.float32,
+                                    name="deconv")(x)
+        return upsample_nearest(x, self.size)
+
+
+def upsample_nearest(x: jnp.ndarray, size: Tuple[int, int, int]) -> jnp.ndarray:
+    """UpSampling3D — nearest-neighbor repeat on the spatial axes (NDHWC)."""
+    for ax, s in zip((1, 2, 3), size):
+        if s != 1:
+            x = jnp.repeat(x, s, axis=ax)
+    return x
+
+
+def max_pool_3d(x: jnp.ndarray, window: Tuple[int, int, int] = (2, 2, 2)
+                ) -> jnp.ndarray:
+    """MaxPooling3D, stride == window (reference: MaxPooling3D(pool_size))."""
+    return nn.max_pool(x, window_shape=window, strides=window)
+
+
+def spatial_dropout_3d(rng: jax.Array, x: jnp.ndarray, rate: float
+                       ) -> jnp.ndarray:
+    """SpatialDropout3D: drops whole channels (broadcast over D,H,W).
+
+    Reference: isensee2017.py::create_context_module (SpatialDropout3D(0.3),
+    channels_first there; channel axis is -1 here).
+    """
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0], 1, 1, 1, x.shape[-1])
+    mask = jax.random.bernoulli(rng, keep, mask_shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def head_activation(x: jnp.ndarray, name: str) -> jnp.ndarray:
+    """Final activation over the channel axis (NDHWC)."""
+    if name == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if name == "softmax":
+        return jax.nn.softmax(x, axis=-1)
+    if name in ("none", "linear", None):
+        return x
+    raise ValueError(f"unknown activation {name!r}")

@@ -1,0 +1,127 @@
+"""Host-side ingest geometry: background crop + resample to uniform shape.
+
+Reference: unet3d/utils/nilearn_custom_utils::crop_img (zero-background crop
+returning slices, shared across modalities+truth), unet3d/utils/utils.py::
+resize / read_image_files, unet3d/utils/sitk_utils.py::
+sitk_resample_to_spacing + calculate_origin_offset. nilearn/SimpleITK are not
+in this image; the same geometry is implemented with numpy + scipy.ndimage:
+
+- crop: bounding box of voxels above a background threshold (with a small
+  margin), returned as slices so one crop applies to all files of a case;
+- resample: scipy.ndimage.zoom to the target shape (linear for images,
+  nearest for label maps), with the affine updated so world coordinates are
+  preserved (spacing scaled, origin offset by the half-voxel shift).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+from fetal_mri_segmentation_tpu.utils.nifti import NiftiImage
+
+
+def crop_img_to_slices(data: np.ndarray, rtol: float = 1e-8,
+                       pad: int = 1) -> Tuple[slice, ...]:
+    """Bounding-box slices of non-background voxels (nilearn crop_img contract)."""
+    infinity_norm = max(-data.min(), data.max())
+    mask = np.logical_or(data < -rtol * infinity_norm,
+                         data > rtol * infinity_norm)
+    if not mask.any():
+        return tuple(slice(0, s) for s in data.shape[:3])
+    coords = np.array(np.where(mask))
+    start = coords.min(axis=1)
+    end = coords.max(axis=1) + 1
+    start = np.maximum(start - pad, 0)
+    end = np.minimum(end + pad, data.shape[:3])
+    return tuple(slice(int(s), int(e)) for s, e in zip(start[:3], end[:3]))
+
+
+def crop_affine(affine: np.ndarray, slices: Sequence[slice]) -> np.ndarray:
+    """Shift the affine origin to the crop start (world coords preserved)."""
+    out = affine.copy()
+    start = np.array([s.start or 0 for s in slices], dtype=np.float64)
+    out[:3, 3] = affine[:3, :3] @ start + affine[:3, 3]
+    return out
+
+
+def resample_to_shape(image: NiftiImage, new_shape: Sequence[int],
+                      interpolation: str = "linear") -> NiftiImage:
+    """Zoom a volume to `new_shape`, updating the affine (spacing + origin).
+
+    Reference: utils.py::resize (SimpleITK resample to the spacing implied by
+    the new shape; "linear" for images, "nearest" for truth).
+    """
+    data = image.get_fdata(dtype=np.float32)
+    old_shape = np.asarray(data.shape[:3], dtype=np.float64)
+    new_shape = np.asarray(new_shape, dtype=np.int64)
+    zoom = new_shape / old_shape
+    order = {"linear": 1, "nearest": 0, "cubic": 3}[interpolation]
+    out = ndimage.zoom(data, zoom, order=order, mode="nearest",
+                       grid_mode=True, prefilter=(order > 1))
+    affine = image.affine.copy()
+    scale = old_shape / new_shape
+    affine[:3, :3] = image.affine[:3, :3] * scale[None, :]
+    # grid_mode=True matches "resampled pixel edges align with original edges";
+    # origin shifts by half the voxel-size change along each axis.
+    half_shift = (scale - 1.0) / 2.0
+    affine[:3, 3] = image.affine[:3, :3] @ half_shift + image.affine[:3, 3]
+    return NiftiImage(out.astype(np.float32), affine)
+
+
+def read_image(path: str, image_shape: Optional[Sequence[int]] = None,
+               crop: Optional[Sequence[slice]] = None,
+               interpolation: str = "linear") -> NiftiImage:
+    """Load one NIfTI, optionally crop (shared slices) and resample.
+
+    Reference: utils.py::read_image.
+    """
+    from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
+
+    image = load_nifti(path)
+    if crop is not None:
+        data = image.get_fdata(dtype=np.float32)[tuple(crop)]
+        image = NiftiImage(data, crop_affine(image.affine, crop))
+    if image_shape is not None and tuple(image.shape[:3]) != tuple(image_shape):
+        image = resample_to_shape(image, image_shape, interpolation)
+    return image
+
+
+def read_image_files(image_files: Sequence[str],
+                     image_shape: Optional[Sequence[int]] = None,
+                     crop: Optional[Sequence[slice]] = None,
+                     label_indices: Optional[Sequence[int]] = None):
+    """Load a case's file list ([mod1, ..., truth]); nearest-interp for labels.
+
+    Reference: utils.py::read_image_files (label_indices selects which files
+    get nearest-neighbor interpolation — by convention the last file is truth).
+    """
+    label_indices = set(label_indices or [len(image_files) - 1])
+    images = []
+    for i, f in enumerate(image_files):
+        interp = "nearest" if i in label_indices else "linear"
+        images.append(read_image(f, image_shape=image_shape, crop=crop,
+                                 interpolation=interp))
+    return images
+
+
+def compute_shared_crop(image_files: Sequence[str], pad: int = 1
+                        ) -> Tuple[slice, ...]:
+    """Union bounding box over all of a case's files (so one crop fits all).
+
+    Reference: data.py::write_image_data_to_file with crop=True →
+    nilearn_custom_utils crop computed across modalities+truth.
+    """
+    from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
+
+    starts, ends = None, None
+    for f in image_files:
+        data = load_nifti(f).get_fdata(dtype=np.float32)
+        sl = crop_img_to_slices(data, pad=pad)
+        s = np.array([x.start for x in sl])
+        e = np.array([x.stop for x in sl])
+        starts = s if starts is None else np.minimum(starts, s)
+        ends = e if ends is None else np.maximum(ends, e)
+    return tuple(slice(int(s), int(e)) for s, e in zip(starts, ends))

@@ -1,0 +1,166 @@
+"""Minimal pure-numpy NIfTI-1 reader/writer (.nii / .nii.gz).
+
+The reference uses nibabel for all NIfTI I/O (reference: unet3d/utils/
+utils.py::read_image, prediction.py::prediction_to_image → nib.save). nibabel
+is not available in this image, and NIfTI-1 is a simple fixed 348-byte-header
+format, so we implement exactly the subset the pipeline needs:
+
+- read: dims, datatype (u8/i16/i32/f32/f64/i8/u16/u32/i64), scl slope/inter,
+  affine from sform (preferred), qform (quaternion), or pixdim fallback;
+- write: data + 4x4 affine with sform_code=1, Fortran voxel order, optional
+  gzip (suffix-driven).
+
+Voxel data is returned in x-fastest (Fortran) axis order as a C-contiguous
+array indexed [i, j, k], matching nibabel's `get_fdata()` axis convention so
+saved outputs align voxel-for-voxel with reference outputs.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DTYPES = {
+    2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32, 64: np.float64,
+    256: np.int8, 512: np.uint16, 768: np.uint32, 1024: np.int64,
+}
+_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+_BITPIX = {2: 8, 4: 16, 8: 32, 16: 32, 64: 64, 256: 8, 512: 16, 768: 32, 1024: 64}
+
+
+@dataclass
+class NiftiImage:
+    """A volume + its voxel-to-world affine (nibabel-like duck type)."""
+    dataobj: np.ndarray
+    affine: np.ndarray
+
+    def get_fdata(self, dtype=np.float64) -> np.ndarray:
+        return np.asarray(self.dataobj, dtype=dtype)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.dataobj.shape
+
+    @property
+    def header(self):
+        return {"dim": self.dataobj.shape}
+
+
+def _open(path: str, mode: str):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def _quaternion_affine(hdr: bytes) -> np.ndarray:
+    b, c, d = struct.unpack_from("<3f", hdr, 256)
+    ox, oy, oz = struct.unpack_from("<3f", hdr, 268)
+    pixdim = struct.unpack_from("<8f", hdr, 76)
+    qfac = -1.0 if pixdim[0] < 0 else 1.0
+    a2 = 1.0 - (b * b + c * c + d * d)
+    a = np.sqrt(max(a2, 0.0))
+    R = np.array([
+        [a*a+b*b-c*c-d*d, 2*(b*c-a*d),     2*(b*d+a*c)],
+        [2*(b*c+a*d),     a*a+c*c-b*b-d*d, 2*(c*d-a*b)],
+        [2*(b*d-a*c),     2*(c*d+a*b),     a*a+d*d-b*b-c*c],
+    ])
+    S = np.diag([pixdim[1], pixdim[2], qfac * pixdim[3]])
+    aff = np.eye(4)
+    aff[:3, :3] = R @ S
+    aff[:3, 3] = (ox, oy, oz)
+    return aff
+
+
+def load_nifti(path: str) -> NiftiImage:
+    with _open(path, "rb") as f:
+        raw = f.read()
+    hdr = raw[:348]
+    (sizeof_hdr,) = struct.unpack_from("<i", hdr, 0)
+    if sizeof_hdr != 348:
+        raise ValueError(f"{path}: not a little-endian NIfTI-1 file "
+                         f"(sizeof_hdr={sizeof_hdr})")
+    dim = struct.unpack_from("<8h", hdr, 40)
+    ndim = dim[0]
+    shape = tuple(int(d) for d in dim[1:1 + ndim])
+    (datatype,) = struct.unpack_from("<h", hdr, 70)
+    (vox_offset,) = struct.unpack_from("<f", hdr, 108)
+    scl_slope, scl_inter = struct.unpack_from("<2f", hdr, 112)
+    sform_code = struct.unpack_from("<h", hdr, 254)[0]
+    qform_code = struct.unpack_from("<h", hdr, 252)[0]
+
+    if datatype not in _DTYPES:
+        raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
+    dt = np.dtype(_DTYPES[datatype])
+    n = int(np.prod(shape)) if shape else 0
+    off = int(vox_offset) if vox_offset else 352
+    data = np.frombuffer(raw, dtype=dt, count=n, offset=off)
+    data = data.reshape(shape, order="F")
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        slope = scl_slope if scl_slope != 0.0 else 1.0
+        data = data.astype(np.float32) * slope + scl_inter
+    else:
+        data = np.ascontiguousarray(data)
+
+    if sform_code > 0:
+        rows = [struct.unpack_from("<4f", hdr, 280 + 16 * i) for i in range(3)]
+        affine = np.vstack([np.array(rows), [0, 0, 0, 1]]).astype(np.float64)
+    elif qform_code > 0:
+        affine = _quaternion_affine(hdr)
+    else:
+        pixdim = struct.unpack_from("<8f", hdr, 76)
+        affine = np.diag([pixdim[1] or 1.0, pixdim[2] or 1.0,
+                          pixdim[3] or 1.0, 1.0])
+    return NiftiImage(np.ascontiguousarray(data), affine)
+
+
+def save_nifti(image_or_data, path: str, affine: Optional[np.ndarray] = None
+               ) -> None:
+    """Write a NIfTI-1 single file; gzip iff path ends with .gz."""
+    if isinstance(image_or_data, NiftiImage):
+        data, affine = image_or_data.dataobj, image_or_data.affine
+    else:
+        data = np.asarray(image_or_data)
+        affine = np.eye(4) if affine is None else np.asarray(affine)
+
+    data = np.asarray(data)
+    if data.dtype not in _CODES:
+        data = data.astype(np.float32)
+    code = _CODES[data.dtype]
+
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    dim = [data.ndim] + list(data.shape) + [1] * (7 - data.ndim)
+    struct.pack_into("<8h", hdr, 40, *dim)
+    struct.pack_into("<h", hdr, 70, code)
+    struct.pack_into("<h", hdr, 72, _BITPIX[code])
+    # pixdim from affine column norms
+    zooms = np.sqrt((affine[:3, :3] ** 2).sum(axis=0))
+    struct.pack_into("<8f", hdr, 76, 1.0, float(zooms[0] or 1), float(zooms[1] or 1),
+                     float(zooms[2] or 1), 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into("<f", hdr, 108, 352.0)   # vox_offset
+    struct.pack_into("<2f", hdr, 112, 1.0, 0.0)  # scl_slope/inter
+    struct.pack_into("<2h", hdr, 252, 0, 1)   # qform_code=0, sform_code=1
+    for i in range(3):
+        struct.pack_into("<4f", hdr, 280 + 16 * i, *[float(v) for v in affine[i]])
+    hdr[344:348] = b"n+1\x00"
+
+    payload = bytes(hdr) + b"\x00" * 4 + np.asfortranarray(data).tobytes(order="F")
+    with _open(path, "wb") as f:
+        f.write(payload)
+
+
+# nibabel-compatible aliases used around the codebase
+def load(path: str) -> NiftiImage:
+    return load_nifti(path)
+
+
+def save(img: NiftiImage, path: str) -> None:
+    save_nifti(img, path)
+
+
+def Nifti1Image(data, affine) -> NiftiImage:  # noqa: N802 (nibabel-compat name)
+    return NiftiImage(np.asarray(data), np.asarray(affine))

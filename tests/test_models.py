@@ -1,0 +1,100 @@
+"""Model forward-shape tables + gradient finiteness (SURVEY.md section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fetal_mri_segmentation_tpu.config import Config
+from fetal_mri_segmentation_tpu.models import (
+    Isensee2017, UNet3D, apply_channels_first, build_model)
+
+
+@pytest.mark.parametrize("depth,shape", [(3, (16, 16, 16)), (4, (32, 32, 32))])
+def test_unet_forward_shapes(depth, shape):
+    model = UNet3D(n_labels=1, depth=depth, n_base_filters=4, dtype=jnp.float32)
+    x = jnp.zeros((2, *shape, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (2, *shape, 1)
+    assert np.all(np.asarray(y) >= 0) and np.all(np.asarray(y) <= 1)  # sigmoid
+
+
+def test_unet_multilabel_softmax():
+    model = UNet3D(n_labels=3, depth=3, n_base_filters=4,
+                   activation_name="softmax", dtype=jnp.float32)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 16, 16, 3)
+    assert np.allclose(np.asarray(y).sum(-1), 1.0, atol=1e-5)
+
+
+def test_unet_deconvolution_and_norm_options():
+    for kw in [dict(deconvolution=True), dict(batch_normalization=True),
+               dict(instance_normalization=True)]:
+        model = UNet3D(n_labels=1, depth=3, n_base_filters=2,
+                       dtype=jnp.float32, **kw)
+        x = jnp.zeros((1, 8, 8, 8, 1))
+        vars_ = model.init(jax.random.PRNGKey(0), x)
+        if kw.get("batch_normalization"):
+            y, _ = model.apply(vars_, x, train=True, mutable=["batch_stats"])
+        else:
+            y = model.apply(vars_, x)
+        assert y.shape == (1, 8, 8, 8, 1)
+
+
+def test_isensee_forward_shape_and_dropout():
+    model = Isensee2017(n_labels=2, depth=4, n_base_filters=2,
+                        n_segmentation_levels=2, dtype=jnp.float32)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 16, 16, 2)
+    yt = model.apply(params, jnp.ones_like(x), train=True,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    assert yt.shape == (1, 16, 16, 16, 2)
+
+
+def test_channels_first_wrapper():
+    model = UNet3D(n_labels=1, depth=3, n_base_filters=2, dtype=jnp.float32)
+    x_cf = jnp.zeros((2, 1, 8, 8, 8))
+    params = model.init(jax.random.PRNGKey(0), jnp.transpose(x_cf, (0, 2, 3, 4, 1)))
+    y = apply_channels_first(model, params, x_cf)
+    assert y.shape == (2, 1, 8, 8, 8)
+
+
+def test_gradients_finite():
+    from fetal_mri_segmentation_tpu.ops.dice import dice_coefficient_loss
+    model = UNet3D(n_labels=1, depth=3, n_base_filters=2, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 8, 8, 8, 1)), jnp.float32)
+    t = (x > 0.5).astype(jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(p):
+        return dice_coefficient_loss(t, model.apply(p, x))
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_build_model_factory():
+    cfg = Config(model_name="unet", depth=3, n_base_filters=2)
+    assert isinstance(build_model(cfg), UNet3D)
+    cfg2 = Config(model_name="isensee", n_base_filters=2)
+    m2 = build_model(cfg2)
+    assert isinstance(m2, Isensee2017)
+    assert m2.depth == 5  # isensee default depth
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = Config(image_shape=(96, 96, 96), patch_shape=(32, 32, 32),
+                 labels=(1, 2), n_labels=2)
+    p = tmp_path / "cfg.json"
+    cfg.save(str(p))
+    cfg2 = Config.load(str(p))
+    assert cfg2.image_shape == (96, 96, 96)
+    assert cfg2.input_shape == (1, 32, 32, 32)
+    assert cfg2.labels == (1, 2)
