@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Per-case hard-Dice reporting: CSV + boxplot.
+
+Reference surface: evaluate.py::main — glob prediction dirs, load truth vs
+prediction NIfTIs, hard Dice per case per label → scores CSV (pandas), Dice
+boxplot PNG (matplotlib), optional training-curve plot from training.log.
+This defines the parity metric (SURVEY.md section 3.4). Device-free.
+
+Usage:
+    python evaluate.py [--prediction-dir prediction] [--labels 1]
+                       [--output scores.csv] [--training-log training.log]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+
+from fetal_mri_segmentation_tpu.ops.dice import hard_dice
+from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
+
+
+def evaluate_case(case_dir: str, labels):
+    truth = load_nifti(os.path.join(case_dir, "truth.nii.gz")).get_fdata()
+    pred = load_nifti(os.path.join(case_dir, "prediction.nii.gz")).get_fdata()
+    return {f"label_{lab}_dice": hard_dice(truth == lab, pred == lab)
+            for lab in labels}
+
+
+def main(prediction_dir: str, labels, output_csv: str,
+         training_log: str = None, plot: bool = True):
+    rows = {}
+    for case_dir in sorted(glob.glob(os.path.join(prediction_dir, "*"))):
+        if not os.path.isdir(case_dir):
+            continue
+        if not os.path.exists(os.path.join(case_dir, "prediction.nii.gz")):
+            continue
+        rows[os.path.basename(case_dir)] = evaluate_case(case_dir, labels)
+
+    if not rows:
+        raise SystemExit(f"no prediction cases under {prediction_dir}")
+
+    df = pd.DataFrame.from_dict(rows, orient="index")
+    df.to_csv(output_csv)
+    print(df.describe().loc[["mean", "std", "min", "max"]])
+    print(f"wrote {output_csv} ({len(df)} cases)")
+
+    if plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        # Dice boxplot (reference: evaluate.py boxplot of per-label scores)
+        fig, ax = plt.subplots(figsize=(6, 4))
+        df.boxplot(ax=ax)
+        ax.set_ylabel("Dice coefficient")
+        ax.set_title("Per-case hard Dice")
+        fig.tight_layout()
+        fig.savefig(os.path.splitext(output_csv)[0] + "_boxplot.png", dpi=120)
+
+        # training curves from training.log (reference: loss graph PNG)
+        if training_log and os.path.exists(training_log):
+            log = pd.read_csv(training_log)
+            fig, ax = plt.subplots(figsize=(6, 4))
+            for col in ("loss", "val_loss"):
+                if col in log:
+                    ax.plot(log["epoch"], log[col], label=col)
+            ax.set_xlabel("epoch")
+            ax.set_ylabel("loss (negative dice)")
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(os.path.splitext(training_log)[0] + "_curves.png",
+                        dpi=120)
+    return df
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--prediction-dir", default="prediction")
+    ap.add_argument("--labels", type=int, nargs="+", default=[1])
+    ap.add_argument("--output", default="scores.csv")
+    ap.add_argument("--training-log", default="training.log")
+    ap.add_argument("--no-plot", action="store_true")
+    args = ap.parse_args()
+    main(args.prediction_dir, args.labels, args.output,
+         training_log=args.training_log, plot=not args.no_plot)

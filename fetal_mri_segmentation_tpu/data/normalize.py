@@ -1,0 +1,52 @@
+"""Z-score normalization of stored volumes.
+
+Reference: unet3d/normalize.py::normalize_data, normalize_data_storage.
+Upstream semantics ("global"): compute per-volume per-channel mean/std,
+average them over the dataset, then apply ONE global (mean, std) to every
+volume. The fetal adaptation z-scores each volume independently
+("per_volume") — both are implemented; `Config.normalization` selects
+(default per_volume, per SURVEY.md section 2 normalization row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def normalize_data(data: np.ndarray, mean: np.ndarray, std: np.ndarray
+                   ) -> np.ndarray:
+    """(data - mean) / std with per-channel broadcast over (C, D, H, W).
+
+    Reference: normalize.py::normalize_data.
+    """
+    mean = np.asarray(mean, dtype=np.float32).reshape(-1, 1, 1, 1)
+    std = np.asarray(std, dtype=np.float32).reshape(-1, 1, 1, 1)
+    std = np.where(std == 0, 1.0, std)
+    return (data - mean) / std
+
+
+def normalize_data_storage(data_storage) -> None:
+    """Global z-score: average the per-volume moments, apply one (mean, std).
+
+    Reference: normalize.py::normalize_data_storage (upstream lineage).
+    """
+    means, stds = [], []
+    n = data_storage.shape[0]
+    for i in range(n):
+        v = np.asarray(data_storage[i], dtype=np.float32)
+        means.append(v.mean(axis=(1, 2, 3)))
+        stds.append(v.std(axis=(1, 2, 3)))
+    mean = np.mean(means, axis=0)
+    std = np.mean(stds, axis=0)
+    for i in range(n):
+        data_storage[i] = normalize_data(
+            np.asarray(data_storage[i], dtype=np.float32), mean, std)
+
+
+def normalize_data_storage_per_volume(data_storage) -> None:
+    """Per-volume z-score (fetal-fork semantics)."""
+    n = data_storage.shape[0]
+    for i in range(n):
+        v = np.asarray(data_storage[i], dtype=np.float32)
+        data_storage[i] = normalize_data(
+            v, v.mean(axis=(1, 2, 3)), v.std(axis=(1, 2, 3)))

@@ -1,0 +1,118 @@
+"""Per-case validation inference: NIfTI outputs + label-map conversion.
+
+Reference: unet3d/prediction.py::run_validation_cases, run_validation_case,
+prediction_to_image, get_prediction_labels, multi_class_prediction.
+
+Output tree parity: one directory per case (``validation_case_<idx>`` or the
+subject id) containing ``data_<modality>.nii.gz``, ``truth.nii.gz`` and
+``prediction.nii.gz``, with the case affine from the HDF5 ``affine`` array.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from fetal_mri_segmentation_tpu.inference.sliding_window import (
+    SlidingWindowPredictor)
+from fetal_mri_segmentation_tpu.utils.io_utils import pickle_load
+from fetal_mri_segmentation_tpu.utils.nifti import NiftiImage, save_nifti
+
+
+def get_prediction_labels(prediction: np.ndarray, threshold: float = 0.5,
+                          labels: Optional[Sequence[int]] = None) -> np.ndarray:
+    """(L, D, H, W) probabilities → integer label map.
+
+    Reference: prediction.py::get_prediction_labels — argmax over label
+    channels, voxels below threshold → 0, channel i → labels[i].
+    """
+    n_labels = prediction.shape[0]
+    label_arr = np.asarray(labels if labels is not None
+                           else range(1, n_labels + 1))
+    argmax = prediction.argmax(axis=0)
+    label_map = label_arr[argmax]
+    label_map[prediction.max(axis=0) <= threshold] = 0
+    return label_map.astype(np.uint8)
+
+
+def prediction_to_image(prediction: np.ndarray, affine: np.ndarray,
+                        label_map: bool = False, threshold: float = 0.5,
+                        labels: Optional[Sequence[int]] = None) -> NiftiImage:
+    """Probability map → NIfTI (binary threshold or multi-class argmax).
+
+    Reference: prediction.py::prediction_to_image.
+    """
+    if prediction.shape[0] == 1:
+        data = prediction[0]
+        if label_map:
+            lab = labels[0] if labels else 1
+            data = np.where(data > threshold, lab, 0).astype(np.uint8)
+    elif label_map:
+        data = get_prediction_labels(prediction, threshold=threshold,
+                                     labels=labels)
+    else:
+        # multi-channel probability image (4D)
+        data = np.moveaxis(prediction, 0, -1)
+    return NiftiImage(np.asarray(data), np.asarray(affine))
+
+
+def run_validation_case(case_index: int, out_dir: str, model, variables,
+                        data_file, config, predictor: SlidingWindowPredictor,
+                        output_label_map: bool = True, threshold: float = 0.5,
+                        save_inputs: bool = True) -> np.ndarray:
+    """Predict one stored case; writes the reference's per-case output tree.
+
+    Reference: prediction.py::run_validation_case.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    affine = np.asarray(data_file.root.affine[case_index])
+    data = np.asarray(data_file.root.data[case_index], np.float32)
+
+    if save_inputs:
+        for i, modality in enumerate(config.training_modalities):
+            save_nifti(data[i], os.path.join(out_dir, f"data_{modality}.nii.gz"),
+                       affine=affine)
+        truth = np.asarray(data_file.root.truth[case_index][0])
+        save_nifti(truth.astype(np.uint8),
+                   os.path.join(out_dir, "truth.nii.gz"), affine=affine)
+
+    probability = predictor(variables, data)
+    image = prediction_to_image(probability, affine,
+                                label_map=output_label_map,
+                                threshold=threshold, labels=config.labels)
+    save_nifti(image, os.path.join(out_dir, "prediction.nii.gz"))
+    return probability
+
+
+def run_validation_cases(validation_keys_file: str, model, variables,
+                         data_file, config, output_dir: str = "prediction",
+                         overlap: int = 16, threshold: float = 0.5,
+                         output_label_map: bool = True,
+                         permute: bool = False,
+                         patch_batch_size: int = 8) -> None:
+    """Predict every validation case into ``output_dir/validation_case_<i>``.
+
+    Reference: prediction.py::run_validation_cases (same output layout; the
+    predictor executable is built once and reused across cases — all volumes
+    share the dataset's uniform image_shape).
+    """
+    validation_indices = pickle_load(validation_keys_file)
+    image_shape = tuple(data_file.root.data.shape[-3:])
+    predictor = SlidingWindowPredictor(
+        model, config, image_shape=image_shape, overlap=overlap,
+        patch_batch_size=patch_batch_size, tta_permute=permute)
+
+    subject_ids = None
+    if "subject_ids" in data_file._h5:
+        subject_ids = [s.decode() if isinstance(s, bytes) else str(s)
+                       for s in data_file.root.subject_ids[:]]
+
+    for index in validation_indices:
+        name = (subject_ids[index] if subject_ids
+                else f"validation_case_{index}")
+        case_dir = os.path.join(output_dir, name)
+        run_validation_case(index, case_dir, model, variables, data_file,
+                            config, predictor, threshold=threshold,
+                            output_label_map=output_label_map)

@@ -22,44 +22,107 @@ channel axis position where it matters (label-wise metrics).
 
 from __future__ import annotations
 
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 
 
+def _collective_ratio(locals_: dict, f, axis_name: Optional[str]
+                      ) -> jnp.ndarray:
+    """Evaluate ``f(global partial sums)`` under an optional mesh axis with
+    gradients that are exact SHARD-PARTIALS of the global value.
+
+    Construction: globals are psum'd with stop_gradient (collectives stay out
+    of the differentiated graph — JAX's psum-transpose multiplies replicated
+    cotangents by the axis size, which would inflate grads by N); the
+    gradient path is the first-order surrogate ``sum_i sg(df/dg_i)*local_i``,
+    whose value-shift cancels. Each shard's grad is then d(global f)/d(theta)
+    restricted to its local data, so the train step's ``psum(grads)``
+    reconstructs the exact global gradient (tests/test_parallel.py).
+    """
+    if axis_name is None:
+        return f(locals_)
+    glob = {k: jax.lax.psum(jax.lax.stop_gradient(v), axis_name)
+            for k, v in locals_.items()}
+    value = f(glob)
+    dfdg = jax.grad(f)(glob)
+    surrogate = sum(jax.lax.stop_gradient(dfdg[k]) * locals_[k]
+                    for k in locals_)
+    return value + surrogate - jax.lax.stop_gradient(surrogate)
+
+
 def dice_coefficient(y_true: jnp.ndarray, y_pred: jnp.ndarray,
-                     smooth: float = 1.0) -> jnp.ndarray:
-    """Global soft Dice over flattened tensors. Reference: metrics.py::dice_coefficient."""
+                     smooth: float = 1.0,
+                     axis_name: Optional[str] = None) -> jnp.ndarray:
+    """Global soft Dice over flattened tensors. Reference: metrics.py::dice_coefficient.
+
+    ``axis_name``: when running sharded over a mesh axis (data-parallel), the
+    partial sums are reduced across shards so the result equals the
+    single-device dice of the GLOBAL batch exactly — dice is nonlinear across
+    the batch, so mean-of-per-shard-dice would be a different objective.
+    """
     y_true_f = y_true.reshape(-1).astype(jnp.float32)
     y_pred_f = y_pred.reshape(-1).astype(jnp.float32)
-    intersection = jnp.sum(y_true_f * y_pred_f)
-    return (2.0 * intersection + smooth) / (
-        jnp.sum(y_true_f) + jnp.sum(y_pred_f) + smooth)
+    locals_ = {"intersection": jnp.sum(y_true_f * y_pred_f),
+               "sums": jnp.sum(y_true_f) + jnp.sum(y_pred_f)}
+
+    def f(g):
+        return (2.0 * g["intersection"] + smooth) / (g["sums"] + smooth)
+
+    return _collective_ratio(locals_, f, axis_name)
 
 
 def dice_coefficient_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray,
-                          smooth: float = 1.0) -> jnp.ndarray:
+                          smooth: float = 1.0,
+                          axis_name: Optional[str] = None) -> jnp.ndarray:
     """Negative dice (NOT 1-dice). Reference: metrics.py::dice_coefficient_loss."""
-    return -dice_coefficient(y_true, y_pred, smooth=smooth)
+    return -dice_coefficient(y_true, y_pred, smooth=smooth,
+                             axis_name=axis_name)
 
 
 def weighted_dice_coefficient(y_true: jnp.ndarray, y_pred: jnp.ndarray,
-                              axis=(-3, -2, -1),
-                              smooth: float = 1e-5) -> jnp.ndarray:
+                              axis=(-3, -2, -1), smooth: float = 1e-5,
+                              axis_name: Optional[str] = None,
+                              sample_mask: Optional[jnp.ndarray] = None
+                              ) -> jnp.ndarray:
     """Per-channel dice over spatial axes, mean over channels.
 
     Reference: metrics.py::weighted_dice_coefficient —
     ``mean( 2*(sum(t*p, axis) + smooth/2) / (sum(t, axis) + sum(p, axis) + smooth) )``.
+
+    ``sample_mask`` (B,): 1 for real samples, 0 for jit-padding — masked
+    samples are excluded from the mean (a padded all-zero sample would
+    otherwise contribute a spurious term of 1.0). Sharded (``axis_name``):
+    the masked sum and count are psum-reduced, so the value equals the
+    single-device mean over the global ragged batch exactly.
     """
     y_true = y_true.astype(jnp.float32)
     y_pred = y_pred.astype(jnp.float32)
     num = 2.0 * (jnp.sum(y_true * y_pred, axis=axis) + smooth / 2.0)
     den = jnp.sum(y_true, axis=axis) + jnp.sum(y_pred, axis=axis) + smooth
-    return jnp.mean(num / den)
+    terms = num / den  # (B, C) for 5-D inputs
+    if sample_mask is not None:
+        m = sample_mask.reshape(terms.shape[:1] + (1,) * (terms.ndim - 1))
+        total = jnp.sum(terms * m)
+        count = jnp.sum(m) * (terms.size / terms.shape[0])
+    else:
+        total = jnp.sum(terms)
+        count = jnp.asarray(terms.size, jnp.float32)
+
+    def f(g):
+        return g["total"] / jnp.maximum(g["count"], 1.0)
+
+    return _collective_ratio({"total": total, "count": count}, f, axis_name)
 
 
-def weighted_dice_coefficient_loss(y_true: jnp.ndarray,
-                                   y_pred: jnp.ndarray) -> jnp.ndarray:
+def weighted_dice_coefficient_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray,
+                                   axis_name: Optional[str] = None,
+                                   sample_mask: Optional[jnp.ndarray] = None
+                                   ) -> jnp.ndarray:
     """Reference: metrics.py::weighted_dice_coefficient_loss (negative weighted dice)."""
-    return -weighted_dice_coefficient(y_true, y_pred)
+    return -weighted_dice_coefficient(y_true, y_pred, axis_name=axis_name,
+                                      sample_mask=sample_mask)
 
 
 def label_wise_dice_coefficient(y_true: jnp.ndarray, y_pred: jnp.ndarray,

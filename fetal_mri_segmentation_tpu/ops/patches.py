@@ -21,7 +21,13 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple, Union
 
+import os
+
 import numpy as np
+
+
+def _native_enabled() -> bool:
+    return os.environ.get("FETAL_TPU_NO_NATIVE", "0") != "1"
 
 
 def compute_patch_indices(image_shape: Sequence[int],
@@ -39,6 +45,10 @@ def compute_patch_indices(image_shape: Sequence[int],
         overlap = np.full(len(image_shape), overlap, dtype=np.int64)
     else:
         overlap = np.asarray(overlap, dtype=np.int64)
+    if np.any(overlap >= patch_size):
+        raise ValueError(
+            f"patch overlap {tuple(overlap)} must be smaller than the patch "
+            f"size {tuple(patch_size)} (grid step = patch_size - overlap)")
     if start is None:
         step = patch_size - overlap
         n_patches = np.ceil(image_shape / step.astype(np.float64))
@@ -79,7 +89,20 @@ def get_patch_from_3d_data(data: np.ndarray, patch_shape: Sequence[int],
     Reference: patches.py::get_patch_from_3d_data + fix_out_of_bound_patch_attempt
     (which pads the SOURCE; we pad the extracted patch — same result, no copy
     of the full volume).
+
+    Hot path: contiguous float32 (C, D, H, W) volumes go through the native
+    memcpy kernel (native/fastloader.cpp::extract_patch_f32) when the library
+    is built; anything else uses the numpy path below (same semantics, tested
+    equal). Set FETAL_TPU_NO_NATIVE=1 to force numpy.
     """
+    if (_native_enabled() and isinstance(data, np.ndarray)
+            and data.dtype == np.float32 and data.ndim in (3, 4)
+            and data.flags.c_contiguous):
+        from fetal_mri_segmentation_tpu.utils import native as _native
+
+        out = _native.extract_patch(data, patch_shape, patch_index)
+        if out is not None:
+            return out[0] if data.ndim == 3 else out
     patch_shape = np.asarray(patch_shape, dtype=np.int64)
     patch_index = np.asarray(patch_index, dtype=np.int64)
     image_shape = np.asarray(data.shape[-3:], dtype=np.int64)

@@ -1,0 +1,3 @@
+from fetal_mri_segmentation_tpu.parallel.data_parallel import (  # noqa: F401
+    make_mesh, make_dp_train_step, make_dp_eval_step, shard_batch,
+    replicate_state, unreplicate)

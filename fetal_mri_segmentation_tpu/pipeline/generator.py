@@ -1,0 +1,304 @@
+"""Patch-sampling data pipeline (host side).
+
+Reference surface: unet3d/generator.py::get_training_and_validation_generators,
+data_generator, add_data, get_data_from_file, convert_data,
+get_multi_class_labels, get_number_of_steps, get_validation_split,
+create_patch_index_list.
+
+TPU-first redesign (SURVEY.md section 2, training-generator row):
+
+- The host does only cheap work: HDF5 case reads (LRU-cached in RAM — the
+  reference re-read the whole case from disk for EVERY patch), numpy patch
+  slicing, blank-skip, one-hot expansion. Batches come out as channels-first
+  float32 numpy arrays with STATIC shapes.
+- All voxel-level augmentation (flip/permute/contrast/scale) happens on
+  device inside the jitted train step (ops/augment.py) — the reference's
+  dominant host cost (nilearn affine resampling) is eliminated by design.
+- Epoch semantics are preserved: a per-epoch shuffled patch-index list
+  [(case_idx, patch_corner), ...] with per-case random negative start offsets
+  for training and fixed-overlap grids for validation; `skip_blank` drops
+  patches whose truth is all zero; final partial batches are yielded
+  (padded/dropped at the jit boundary by the training loop — see
+  training/loop.py, fit_generator drop-last parity note).
+"""
+
+from __future__ import annotations
+
+import collections
+import copy
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fetal_mri_segmentation_tpu.ops.patches import (
+    compute_patch_indices, get_patch_from_3d_data, get_random_nd_index)
+from fetal_mri_segmentation_tpu.utils.io_utils import pickle_dump, pickle_load
+
+
+# ---------------------------------------------------------------------------
+# Split
+# ---------------------------------------------------------------------------
+
+def get_validation_split(data_file, training_file: str, validation_file: str,
+                         data_split: float = 0.8, overwrite: bool = False,
+                         seed: Optional[int] = None
+                         ) -> Tuple[List[int], List[int]]:
+    """Shuffle case indices, split, pickle the index lists (reused on rerun).
+
+    Reference: generator.py::get_validation_split + split_list (pickled to
+    training_ids.pkl / validation_ids.pkl; recomputed only on overwrite).
+    """
+    if overwrite or not os.path.exists(training_file):
+        n = data_file.root.data.shape[0]
+        sample_list = list(range(n))
+        rng = np.random.default_rng(seed)
+        rng.shuffle(sample_list)
+        n_training = int(len(sample_list) * data_split)
+        training_list = sample_list[:n_training]
+        validation_list = sample_list[n_training:]
+        pickle_dump(training_list, training_file)
+        pickle_dump(validation_list, validation_file)
+        return training_list, validation_list
+    return pickle_load(training_file), pickle_load(validation_file)
+
+
+# ---------------------------------------------------------------------------
+# Label conversion
+# ---------------------------------------------------------------------------
+
+def get_multi_class_labels(truth: np.ndarray, n_labels: int,
+                           labels: Optional[Sequence[int]] = None
+                           ) -> np.ndarray:
+    """(B, 1, D, H, W) label map → (B, n_labels, D, H, W) one-hot float32.
+
+    Reference: generator.py::get_multi_class_labels.
+    """
+    new_shape = (truth.shape[0], n_labels) + truth.shape[2:]
+    y = np.zeros(new_shape, np.float32)
+    for label_index in range(n_labels):
+        lab = labels[label_index] if labels is not None else (label_index + 1)
+        y[:, label_index][truth[:, 0] == lab] = 1.0
+    return y
+
+
+def convert_data(x_list: List[np.ndarray], y_list: List[np.ndarray],
+                 n_labels: int = 1, labels: Optional[Sequence[int]] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack a batch; binarize truth if n_labels==1 else one-hot expand.
+
+    Reference: generator.py::convert_data.
+    """
+    x = np.asarray(x_list, dtype=np.float32)
+    y = np.asarray(y_list, dtype=np.float32)
+    if y.ndim == x.ndim - 1:
+        y = y[:, None]
+    if n_labels == 1:
+        y = (y > 0).astype(np.float32)
+    elif n_labels > 1:
+        y = get_multi_class_labels(y, n_labels=n_labels, labels=labels)
+    return x, y
+
+
+def get_number_of_steps(n_samples: int, batch_size: int) -> int:
+    """Reference: generator.py::get_number_of_steps (ceil division)."""
+    if n_samples <= batch_size:
+        return 1
+    return -(-n_samples // batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Case reading with an LRU RAM cache
+# ---------------------------------------------------------------------------
+
+class CaseCache:
+    """LRU cache of decompressed cases — kills the reference's per-patch
+    whole-case HDF5 reread (SURVEY.md section 3.1 hot-loop note)."""
+
+    def __init__(self, data_file, max_cases: int = 64):
+        self._file = data_file
+        self._max = max_cases
+        self._cache: "collections.OrderedDict[int, tuple]" = collections.OrderedDict()
+
+    def get(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        if index in self._cache:
+            self._cache.move_to_end(index)
+            return self._cache[index]
+        data = np.asarray(self._file.root.data[index], dtype=np.float32)
+        truth = np.asarray(self._file.root.truth[index], dtype=np.float32)
+        self._cache[index] = (data, truth)
+        if len(self._cache) > self._max:
+            self._cache.popitem(last=False)
+        return data, truth
+
+
+def get_data_from_file(data_file, index, patch_shape=None,
+                       cache: Optional[CaseCache] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read one case (or slice one patch of it when index = (case, corner)).
+
+    Reference: generator.py::get_data_from_file.
+    """
+    if patch_shape is not None:
+        case_index, patch_corner = index
+        data, truth = get_data_from_file(data_file, case_index, cache=cache)
+        x = get_patch_from_3d_data(data, patch_shape, patch_corner)
+        y = get_patch_from_3d_data(truth, patch_shape, patch_corner)
+        return x, y
+    if cache is not None:
+        return cache.get(index)
+    return (np.asarray(data_file.root.data[index], dtype=np.float32),
+            np.asarray(data_file.root.truth[index], dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Patch index list
+# ---------------------------------------------------------------------------
+
+def create_patch_index_list(index_list: Sequence[int],
+                            image_shape: Sequence[int],
+                            patch_shape: Sequence[int],
+                            patch_overlap: int = 0,
+                            patch_start_offset: Optional[Sequence[int]] = None,
+                            rng: Optional[np.random.Generator] = None
+                            ) -> List[Tuple[int, np.ndarray]]:
+    """[(case_idx, corner), ...] over all cases.
+
+    Training uses a per-case random NEGATIVE start offset in
+    [-patch_start_offset, 0] so epochs see different grids; validation uses
+    the fixed centered overlap grid. Reference: generator.py::
+    create_patch_index_list.
+    """
+    patch_index = []
+    rng = rng or np.random.default_rng()
+    for index in index_list:
+        if patch_start_offset is not None:
+            random_start_offset = np.negative(
+                get_random_nd_index(patch_start_offset, rng))
+            patches = compute_patch_indices(image_shape, patch_shape,
+                                            overlap=patch_overlap,
+                                            start=random_start_offset)
+        else:
+            patches = compute_patch_indices(image_shape, patch_shape,
+                                            overlap=patch_overlap)
+        patch_index.extend((index, patch) for patch in patches)
+    return patch_index
+
+
+# ---------------------------------------------------------------------------
+# Generators
+# ---------------------------------------------------------------------------
+
+def data_generator(data_file, index_list, batch_size: int = 1,
+                   n_labels: int = 1, labels=None, patch_shape=None,
+                   patch_overlap: int = 0, patch_start_offset=None,
+                   shuffle_index_list: bool = True, skip_blank: bool = True,
+                   seed: Optional[int] = None,
+                   cache_cases: int = 64) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Infinite epoch-reshuffling batch generator of channels-first arrays.
+
+    Reference: generator.py::data_generator (augmentation removed — it runs
+    on device; see ops/augment.py).
+    """
+    rng = np.random.default_rng(seed)
+    cache = CaseCache(data_file, max_cases=cache_cases)
+    base_list = list(index_list)
+    image_shape = tuple(data_file.root.data.shape[-3:])
+
+    while True:
+        x_list: List[np.ndarray] = []
+        y_list: List[np.ndarray] = []
+        if patch_shape is not None:
+            epoch_list = create_patch_index_list(
+                base_list, image_shape, patch_shape, patch_overlap,
+                patch_start_offset, rng)
+        else:
+            epoch_list = copy.copy(base_list)
+        if shuffle_index_list:
+            rng.shuffle(epoch_list)
+        while epoch_list:
+            index = epoch_list.pop()
+            x, y = get_data_from_file(data_file, index,
+                                      patch_shape=patch_shape, cache=cache)
+            if skip_blank and not np.any(y):
+                continue
+            x_list.append(x)
+            y_list.append(y)
+            if len(x_list) == batch_size or (not epoch_list and x_list):
+                yield convert_data(x_list, y_list, n_labels=n_labels,
+                                   labels=labels)
+                x_list, y_list = [], []
+
+
+def get_number_of_patches(data_file, index_list, patch_shape=None,
+                          patch_overlap: int = 0, patch_start_offset=None,
+                          skip_blank: bool = True,
+                          cache_cases: int = 64) -> int:
+    """Count non-blank patches for steps_per_epoch.
+
+    Reference: generator.py::get_number_of_patches (walks one epoch once).
+    """
+    if patch_shape is None:
+        return len(index_list)
+    cache = CaseCache(data_file, max_cases=cache_cases)
+    image_shape = tuple(data_file.root.data.shape[-3:])
+    index = create_patch_index_list(index_list, image_shape, patch_shape,
+                                    patch_overlap, patch_start_offset,
+                                    np.random.default_rng(0))
+    if not skip_blank:
+        return len(index)
+    count = 0
+    for idx in index:
+        _, y = get_data_from_file(data_file, idx, patch_shape=patch_shape,
+                                  cache=cache)
+        if np.any(y):
+            count += 1
+    return count
+
+
+def get_training_and_validation_generators(
+        data_file, batch_size: int, n_labels: int, training_keys_file: str,
+        validation_keys_file: str, data_split: float = 0.8,
+        overwrite: bool = False, labels=None, patch_shape=None,
+        validation_batch_size=None, validation_patch_overlap: int = 0,
+        training_patch_start_offset=None, skip_blank: bool = True,
+        seed: Optional[int] = None, cache_cases: int = 64,
+        # accepted for reference-signature parity; augmentation itself is
+        # applied on device in the train step (ops/augment.py):
+        augment: bool = False, augment_flip: bool = True,
+        augment_distortion_factor=0.25, permute: bool = False):
+    """Returns (train_gen, n_train_steps, val_gen, n_val_steps).
+
+    Reference: generator.py::get_training_and_validation_generators — same
+    call signature and semantics; the `augment*`/`permute` flags are carried
+    in the config to the jitted train step instead of mutating batches here.
+    """
+    validation_batch_size = validation_batch_size or batch_size
+    training_list, validation_list = get_validation_split(
+        data_file, training_keys_file, validation_keys_file,
+        data_split=data_split, overwrite=overwrite, seed=seed)
+
+    training_generator = data_generator(
+        data_file, training_list, batch_size=batch_size, n_labels=n_labels,
+        labels=labels, patch_shape=patch_shape,
+        patch_start_offset=training_patch_start_offset,
+        patch_overlap=0, skip_blank=skip_blank, seed=seed,
+        cache_cases=cache_cases)
+    validation_generator = data_generator(
+        data_file, validation_list, batch_size=validation_batch_size,
+        n_labels=n_labels, labels=labels, patch_shape=patch_shape,
+        patch_overlap=validation_patch_overlap, skip_blank=skip_blank,
+        shuffle_index_list=False, seed=seed, cache_cases=cache_cases)
+
+    num_training_steps = get_number_of_steps(
+        get_number_of_patches(data_file, training_list, patch_shape,
+                              patch_start_offset=training_patch_start_offset,
+                              skip_blank=skip_blank, cache_cases=cache_cases),
+        batch_size)
+    num_validation_steps = get_number_of_steps(
+        get_number_of_patches(data_file, validation_list, patch_shape,
+                              patch_overlap=validation_patch_overlap,
+                              skip_blank=skip_blank, cache_cases=cache_cases),
+        validation_batch_size)
+    return (training_generator, num_training_steps,
+            validation_generator, num_validation_steps)

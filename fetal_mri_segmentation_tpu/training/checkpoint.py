@@ -1,0 +1,82 @@
+"""Checkpoint / resume via orbax.
+
+Reference semantics to reproduce (reference: unet3d/training.py::get_callbacks
+ModelCheckpoint(model_file, save_best_only=True) + load_old_model; train.py
+auto-resumes when the model file exists and not overwrite):
+
+- one logical "model file" (here: a directory) holding the BEST-val-loss
+  state only;
+- restoring returns everything needed to continue training exactly: params,
+  optimizer state (Adam moments + current learning rate), BatchNorm stats,
+  step/epoch counters, best-val bookkeeping.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from fetal_mri_segmentation_tpu.training.state import TrainState
+
+
+class CheckpointIO:
+    """Best-only checkpointing into `model_file` (a directory)."""
+
+    def __init__(self, model_file: str):
+        self.path = os.path.abspath(model_file)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and os.path.exists(
+            os.path.join(self.path, "_CHECKPOINT_METADATA"))
+
+    def save(self, state: TrainState, *, epoch: int, best_val: float) -> None:
+        payload = {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(epoch),
+            "best_val": np.asarray(best_val, np.float64),
+        }
+        self._ckptr.save(self.path, payload, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, state: TrainState) -> Tuple[TrainState, int, float]:
+        """Restore into the (abstractly matching) fresh `state` skeleton."""
+        template = {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(0),
+            "best_val": np.asarray(0.0, np.float64),
+        }
+        restored = self._ckptr.restore(self.path, template)
+        new_state = state.replace(params=restored["params"],
+                                  opt_state=restored["opt_state"],
+                                  batch_stats=restored["batch_stats"],
+                                  step=restored["step"])
+        return new_state, int(restored["epoch"]), float(restored["best_val"])
+
+
+def load_old_model(model_file: str, model, config,
+                   rng: Optional[jax.Array] = None):
+    """Rebuild state and restore the best checkpoint — full training resume.
+
+    Reference: training.py::load_old_model (keras load_model with
+    custom_objects → arch + weights + optimizer state from one .h5).
+    """
+    from fetal_mri_segmentation_tpu.training.state import create_train_state
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    state = create_train_state(model, config, rng)
+    io = CheckpointIO(model_file)
+    if not io.exists():
+        raise FileNotFoundError(f"no checkpoint at {model_file}")
+    state, epoch, best_val = io.restore(state)
+    return state, epoch, best_val

@@ -1,0 +1,159 @@
+"""Epoch-driver: the functional replacement for Keras ``fit_generator``.
+
+Reference: unet3d/training.py::train_model — fit_generator(steps_per_epoch,
+epochs≈500) with callbacks {ModelCheckpoint(best-only), CSVLogger,
+LearningRateScheduler(step_decay) | ReduceLROnPlateau, EarlyStopping}.
+
+Design: one jitted train step (augmentation fused, see training/train_step.py)
+fed by a background-prefetching generator; epoch-level control (LR schedule,
+early stop, best-checkpoint) stays in Python — it runs once per epoch, so
+host control flow costs nothing. Multi-device: pass a Mesh and the loop
+shards each batch and uses the shard_map step (parallel/data_parallel.py).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from fetal_mri_segmentation_tpu.pipeline.prefetch import prefetch
+from fetal_mri_segmentation_tpu.training.callbacks import (
+    CSVLogger, EarlyStopping, ReduceLROnPlateau, ThroughputMeter, step_decay)
+from fetal_mri_segmentation_tpu.training.checkpoint import CheckpointIO
+from fetal_mri_segmentation_tpu.training.state import TrainState
+from fetal_mri_segmentation_tpu.training.train_step import (
+    make_eval_step, make_train_step, pad_batch)
+
+
+def _weighted_mean(values, weights) -> float:
+    w = np.asarray(weights, np.float64)
+    v = np.asarray(values, np.float64)
+    return float((v * w).sum() / max(w.sum(), 1e-12))
+
+
+def train_model(model, state: TrainState, config,
+                training_generator: Iterator, validation_generator: Iterator,
+                steps_per_epoch: int, validation_steps: int,
+                *, mesh=None, seed: int = 0,
+                n_epochs: Optional[int] = None,
+                verbose: bool = True) -> TrainState:
+    """Train until n_epochs or early stopping; returns the final state.
+
+    Mirrors the reference signature semantics (reference: training.py::
+    train_model(model, model_file, training_generator, validation_generator,
+    steps_per_epoch, validation_steps, initial_learning_rate,
+    learning_rate_drop, learning_rate_epochs, n_epochs, learning_rate_patience,
+    early_stopping_patience)) with config carrying the scalar knobs.
+    """
+    n_epochs = n_epochs if n_epochs is not None else config.n_epochs
+    batch_size = config.batch_size
+    val_batch_size = config.validation_batch_size or batch_size
+
+    if mesh is not None and len(mesh.devices.flat) > 1:
+        from fetal_mri_segmentation_tpu.parallel.data_parallel import (
+            make_dp_eval_step, make_dp_train_step, replicate_state, shard_batch)
+        train_step = make_dp_train_step(model, config, mesh)
+        eval_step = make_dp_eval_step(model, config, mesh)
+        state = replicate_state(mesh, state)
+        put = lambda arrs: shard_batch(mesh, *arrs)
+    else:
+        train_step = make_train_step(model, config)
+        eval_step = make_eval_step(model, config)
+        put = lambda arrs: tuple(jax.device_put(a) for a in arrs)
+
+    ckpt = CheckpointIO(config.model_file)
+    csv = CSVLogger(config.training_log, append=True)
+    meter = ThroughputMeter(config.patch_shape, config.image_shape)
+    plateau = ReduceLROnPlateau(state.learning_rate,
+                                factor=config.learning_rate_drop,
+                                patience=config.patience)
+    early = EarlyStopping(patience=config.early_stop)
+
+    start_epoch = 0
+    best_val = float("inf")
+    if ckpt.exists() and not config.overwrite:
+        state, start_epoch, best_val = ckpt.restore(state)
+        plateau.best = best_val
+        early.best = best_val
+        if verbose:
+            print(f"[resume] epoch {start_epoch}, best val {best_val:.4f}")
+
+    rng = jax.random.PRNGKey(seed)
+
+    def _batches(gen, n_steps, bs):
+        """Pad + device_put in the prefetch thread so H2D overlaps compute."""
+        def producer():
+            for _ in range(n_steps):
+                x, y = next(gen)
+                x, y, n_valid = pad_batch(x, y, bs)
+                yield x, y, n_valid
+        return prefetch(producer(), size=2,
+                        device_put=lambda b: (*put(b[:2]), b[2]))
+
+    stop = False
+    for epoch in range(start_epoch, n_epochs):
+        # ---- train ----
+        meter.reset()
+        t0 = time.perf_counter()
+        losses, dices, weights = [], [], []
+        for x, y, n_valid in _batches(training_generator, steps_per_epoch,
+                                      batch_size):
+            rng, k = jax.random.split(rng)
+            state, metrics = train_step(state, x, y, k, n_valid)
+            losses.append(metrics["loss"])
+            dices.append(metrics["dice"])
+            weights.append(n_valid)
+            meter.add(n_valid)
+        jax.block_until_ready(losses[-1] if losses else state.params)
+        train_time = time.perf_counter() - t0
+
+        # ---- validate ----
+        vlosses, vdices, vweights = [], [], []
+        for x, y, n_valid in _batches(validation_generator, validation_steps,
+                                      val_batch_size):
+            m = eval_step(state, x, y, n_valid)
+            vlosses.append(m["loss"])
+            vdices.append(m["dice"])
+            vweights.append(n_valid)
+
+        row = {
+            "loss": _weighted_mean([float(l) for l in losses], weights),
+            "dice_coefficient": _weighted_mean([float(d) for d in dices], weights),
+            "val_loss": _weighted_mean([float(l) for l in vlosses], vweights),
+            "val_dice_coefficient": _weighted_mean([float(d) for d in vdices], vweights),
+            "lr": state.learning_rate,
+            **meter.rates(),
+            "epoch_time_sec": train_time,
+        }
+        csv.log(epoch, row)
+        if verbose:
+            print(f"epoch {epoch}: loss={row['loss']:.4f} "
+                  f"val_loss={row['val_loss']:.4f} lr={row['lr']:.2e} "
+                  f"{row['patches_per_sec']:.1f} patches/s")
+
+        # ---- callbacks (reference: get_callbacks) ----
+        val_loss = row["val_loss"]
+        if val_loss < best_val:
+            best_val = val_loss
+            ckpt.save(state, epoch=epoch + 1, best_val=best_val)
+
+        if config.learning_rate_epochs:
+            new_lr = step_decay(epoch, config.initial_learning_rate,
+                                config.learning_rate_drop,
+                                config.learning_rate_epochs)
+        else:
+            new_lr = plateau.update(val_loss)
+        if abs(new_lr - state.learning_rate) > 1e-12:
+            state = state.set_learning_rate(new_lr)
+
+        if config.early_stop and early.update(val_loss):
+            if verbose:
+                print(f"[early stop] epoch {epoch}")
+            stop = True
+        if stop:
+            break
+
+    return state

@@ -1,0 +1,73 @@
+"""Training state: params + optimizer + (optional) BatchNorm stats + RNG.
+
+The reference's equivalent is the compiled Keras model object holding weights
+and Adam slots (reference: unet3d/model/unet.py model.compile(Adam, ...),
+training.py::load_old_model restoring arch+weights+optimizer from .h5).
+Here state is an explicit pytree — jit/pjit-friendly and orbax-serializable.
+
+The learning rate lives INSIDE the optimizer state via
+``optax.inject_hyperparams`` so the epoch-level schedules of the reference
+(step decay / ReduceLROnPlateau — callbacks that mutate the Keras optimizer's
+lr variable) become a plain functional update of ``opt_state.hyperparams``
+with no recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any  # {} when the model has no BatchNorm
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt_state)
+
+    @property
+    def learning_rate(self) -> float:
+        return float(self.opt_state.hyperparams["learning_rate"])
+
+    def set_learning_rate(self, lr: float) -> "TrainState":
+        hp = dict(self.opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return self.replace(opt_state=self.opt_state._replace(hyperparams=hp))
+
+
+def make_optimizer(initial_learning_rate: float,
+                   clip_norm: Optional[float] = None
+                   ) -> optax.GradientTransformation:
+    """Adam with a runtime-adjustable learning rate (reference: Adam(lr))."""
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            *([optax.clip_by_global_norm(clip_norm)] if clip_norm else []),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(learning_rate)),
+    )(learning_rate=initial_learning_rate)
+
+
+def create_train_state(model, config, rng: jax.Array,
+                       tx: Optional[optax.GradientTransformation] = None
+                       ) -> TrainState:
+    """Initialize params (NDHWC example input derived from the config)."""
+    shape = config.patch_shape if config.patch_shape else config.image_shape
+    x = jnp.zeros((1,) + tuple(shape) + (config.nb_channels,), jnp.float32)
+    variables = model.init(rng, x)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict({}))
+    tx = tx or make_optimizer(config.initial_learning_rate)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), batch_stats=batch_stats,
+                      tx=tx)

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Inference entry point: predict every validation case to NIfTI.
+
+Reference surface: predict.py::main — load validation index pickle + trained
+model, run run_validation_cases → per-case directory with prediction.nii.gz
+(reference: unet3d/prediction.py::run_validation_cases).
+
+Usage:
+    python predict.py --config my_experiment.json [--output-dir prediction]
+                      [--overlap 16] [--tta]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+
+def main(config, output_dir: str = "prediction", overlap: int = 16,
+         tta: bool = False, patch_batch_size: int = 8):
+    from fetal_mri_segmentation_tpu.data import open_data_file
+    from fetal_mri_segmentation_tpu.inference import run_validation_cases
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.training import load_old_model
+
+    model = build_model(config)
+    state, _, _ = load_old_model(config.model_file, model, config)
+    variables = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+
+    data_file = open_data_file(config.data_file)
+    try:
+        run_validation_cases(config.validation_file, model, variables,
+                             data_file, config, output_dir=output_dir,
+                             overlap=overlap, permute=tta,
+                             patch_batch_size=patch_batch_size)
+    finally:
+        data_file.close()
+    print(f"predictions written under {output_dir}/")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--output-dir", default="prediction")
+    ap.add_argument("--overlap", type=int, default=16)
+    ap.add_argument("--patch-batch-size", type=int, default=8)
+    ap.add_argument("--tta", action="store_true",
+                    help="48-symmetry test-time augmentation averaging")
+    args = ap.parse_args()
+
+    from fetal_mri_segmentation_tpu.config import Config
+
+    main(Config.load(args.config), output_dir=args.output_dir,
+         overlap=args.overlap, tta=args.tta,
+         patch_batch_size=args.patch_batch_size)

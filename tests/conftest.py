@@ -2,17 +2,25 @@
 
 Multi-chip behavior (data-parallel psum over a Mesh) is tested without real
 hardware via XLA's host-platform device-count flag — the standard JAX trick
-(SURVEY.md section 4). Must run before the first `import jax` anywhere.
+(SURVEY.md section 4).
+
+Environment quirk: this image's sitecustomize pre-imports jax and registers
+the axon TPU plugin at interpreter startup, so env vars set here are too late
+for the usual path — instead we set XLA_FLAGS (the CPU client is created
+lazily, so the flag still applies) and switch the platform through
+jax.config. Standalone runs can equivalently use:
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 """
 
 import os
 
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# Keep CPU convolutions deterministic-ish and fast in tests.
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -62,3 +62,28 @@ def test_hard_dice():
     p[1:3] = True
     assert abs(D.hard_dice(t, p) - 0.5) < 1e-12
     assert D.hard_dice(np.zeros(8), np.zeros(8)) == 1.0
+
+
+def test_weighted_dice_sample_mask_equals_ragged(rng):
+    """Masked padded batch == ragged batch for the weighted loss."""
+    import jax.numpy as jnp
+    t = (rng.random((3, 2, 4, 4, 4)) > 0.5).astype(np.float32)
+    p = rng.random((3, 2, 4, 4, 4)).astype(np.float32)
+    ragged = float(D.weighted_dice_coefficient(t, p))
+    tp = np.concatenate([t, np.zeros((2, 2, 4, 4, 4), np.float32)])
+    pp = np.concatenate([p, np.zeros((2, 2, 4, 4, 4), np.float32)])
+    mask = jnp.asarray([1, 1, 1, 0, 0], jnp.float32)
+    padded = float(D.weighted_dice_coefficient(tp, pp, sample_mask=mask))
+    assert abs(ragged - padded) < 1e-6
+
+
+def test_weighted_dice_unmasked_padding_differs(rng):
+    """Sanity: WITHOUT the mask, zero-padding skews the weighted mean
+    (each padded sample contributes a spurious 1.0 term)."""
+    t = (rng.random((2, 1, 4, 4, 4)) > 0.5).astype(np.float32)
+    p = rng.random((2, 1, 4, 4, 4)).astype(np.float32)
+    ragged = float(D.weighted_dice_coefficient(t, p))
+    tp = np.concatenate([t, np.zeros((2, 1, 4, 4, 4), np.float32)])
+    pp = np.concatenate([p, np.zeros((2, 1, 4, 4, 4), np.float32)])
+    padded = float(D.weighted_dice_coefficient(tp, pp))
+    assert abs(ragged - padded) > 1e-3

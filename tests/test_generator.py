@@ -1,0 +1,113 @@
+"""Data pipeline semantics tests (SURVEY.md section 2 training-generator row)."""
+
+import numpy as np
+import pytest
+
+from fetal_mri_segmentation_tpu.data import open_data_file, write_data_to_file
+from fetal_mri_segmentation_tpu.pipeline import (
+    create_patch_index_list, data_generator, get_multi_class_labels,
+    get_number_of_steps, get_training_and_validation_generators,
+    get_validation_split, prefetch)
+from tests.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def data_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gen")
+    files = write_synthetic_dataset(str(d / "nii"), n_cases=5, shape=(20, 20, 20))
+    out = str(d / "data.h5")
+    write_data_to_file(files, out, image_shape=(16, 16, 16),
+                       normalize="per_volume", crop=False)
+    f = open_data_file(out)
+    yield f
+    f.close()
+
+
+def test_validation_split_pickled_and_reused(data_file, tmp_path):
+    tf, vf = str(tmp_path / "t.pkl"), str(tmp_path / "v.pkl")
+    t1, v1 = get_validation_split(data_file, tf, vf, data_split=0.8,
+                                  overwrite=True, seed=0)
+    assert sorted(t1 + v1) == [0, 1, 2, 3, 4]
+    assert len(t1) == 4 and len(v1) == 1
+    t2, v2 = get_validation_split(data_file, tf, vf, data_split=0.8,
+                                  overwrite=False, seed=999)
+    assert t2 == t1 and v2 == v1  # reused from pickle, not recomputed
+
+
+def test_multi_class_labels():
+    truth = np.zeros((2, 1, 4, 4, 4), np.float32)
+    truth[0, 0, 0, 0, 0] = 3
+    truth[1, 0, 1, 1, 1] = 5
+    y = get_multi_class_labels(truth, n_labels=2, labels=(3, 5))
+    assert y.shape == (2, 2, 4, 4, 4)
+    assert y[0, 0, 0, 0, 0] == 1 and y[0, 1].sum() == 0
+    assert y[1, 1, 1, 1, 1] == 1 and y[1, 0].sum() == 0
+
+
+def test_number_of_steps():
+    assert get_number_of_steps(10, 4) == 3
+    assert get_number_of_steps(8, 4) == 2
+    assert get_number_of_steps(2, 4) == 1
+
+
+def test_patch_index_list_offsets():
+    rng = np.random.default_rng(0)
+    idx = create_patch_index_list([0, 1], (16, 16, 16), (8, 8, 8),
+                                  patch_overlap=0,
+                                  patch_start_offset=(4, 4, 4), rng=rng)
+    cases = {i for i, _ in idx}
+    assert cases == {0, 1}
+    corners = np.array([c for _, c in idx])
+    assert (corners >= -8).all()  # negative random offsets allowed
+    assert (corners.min(axis=0) <= 0).all()
+
+
+def test_data_generator_batches(data_file):
+    gen = data_generator(data_file, [0, 1, 2], batch_size=4, n_labels=1,
+                         patch_shape=(8, 8, 8), patch_overlap=0,
+                         skip_blank=True, seed=0)
+    x, y = next(gen)
+    assert x.shape[1:] == (1, 8, 8, 8)
+    assert y.shape[1:] == (1, 8, 8, 8)
+    assert x.shape[0] <= 4
+    assert set(np.unique(y)).issubset({0.0, 1.0})
+    for _ in range(3):
+        x2, y2 = next(gen)
+        assert np.any(y2)  # skip_blank guarantees non-empty truth per patch?
+    # NOTE: skip_blank drops all-zero patches — every yielded batch must
+    # contain at least one foreground voxel somewhere.
+
+
+def test_whole_volume_generator_no_patches(data_file):
+    gen = data_generator(data_file, [0, 1], batch_size=2, n_labels=1,
+                         patch_shape=None, skip_blank=False, seed=0)
+    x, y = next(gen)
+    assert x.shape == (2, 1, 16, 16, 16)
+
+
+def test_get_training_and_validation_generators(data_file, tmp_path):
+    tg, n_t, vg, n_v = get_training_and_validation_generators(
+        data_file, batch_size=4, n_labels=1,
+        training_keys_file=str(tmp_path / "t.pkl"),
+        validation_keys_file=str(tmp_path / "v.pkl"),
+        data_split=0.8, overwrite=True, patch_shape=(8, 8, 8),
+        validation_patch_overlap=2,
+        training_patch_start_offset=(4, 4, 4), skip_blank=True, seed=0)
+    assert n_t >= 1 and n_v >= 1
+    x, y = next(tg)
+    assert x.shape[1:] == (1, 8, 8, 8)
+    xv, yv = next(vg)
+    assert xv.shape[1:] == (1, 8, 8, 8)
+
+
+def test_prefetch_passthrough_and_errors():
+    assert list(prefetch(iter(range(5)), size=2)) == [0, 1, 2, 3, 4]
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch(boom(), size=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)

@@ -1,0 +1,93 @@
+"""Sliding-window on-device reconstruction vs the numpy oracle
+(SURVEY.md section 4; BASELINE config #3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fetal_mri_segmentation_tpu.config import Config
+from fetal_mri_segmentation_tpu.inference import (
+    SlidingWindowPredictor, get_prediction_labels, prediction_to_image)
+from fetal_mri_segmentation_tpu.models import UNet3D
+from fetal_mri_segmentation_tpu.ops.patches import (
+    compute_patch_indices, gaussian_importance_map, get_patch_from_3d_data,
+    reconstruct_from_patches)
+
+
+class IdentityModel:
+    """Fake 'model' whose output equals its input — isolates reconstruction."""
+
+    def apply(self, variables, x):
+        return x
+
+
+def test_scan_reconstruction_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1)
+    vol = rng.random((1, 20, 20, 20)).astype(np.float32)
+
+    pred = SlidingWindowPredictor(IdentityModel(), cfg, image_shape=(20, 20, 20),
+                                  patch_shape=(8, 8, 8), overlap=4,
+                                  patch_batch_size=3, use_gaussian=True)
+    got = pred({}, vol)
+
+    corners = compute_patch_indices((20, 20, 20), (8, 8, 8), 4)
+    patches = [get_patch_from_3d_data(vol, (8, 8, 8), c) for c in corners]
+    wmap = gaussian_importance_map((8, 8, 8),
+                                   sigma_scale=cfg.gaussian_recon_sigma_scale)
+    want = reconstruct_from_patches(patches, corners, (1, 20, 20, 20),
+                                    weight_map=wmap)
+    assert got.shape == (1, 20, 20, 20)
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_scan_reconstruction_mean_no_gaussian():
+    rng = np.random.default_rng(1)
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1)
+    vol = rng.random((1, 16, 16, 16)).astype(np.float32)
+    pred = SlidingWindowPredictor(IdentityModel(), cfg, image_shape=(16, 16, 16),
+                                  patch_shape=(8, 8, 8), overlap=0,
+                                  patch_batch_size=4, use_gaussian=False)
+    got = pred({}, vol)
+    assert np.allclose(got, vol, atol=1e-5)  # exact tiling, identity model
+
+
+def test_real_model_end_to_end_probabilities():
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1, compute_dtype="float32")
+    model = UNet3D(n_labels=1, depth=2, n_base_filters=2, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 1)))
+    vol = np.random.default_rng(2).random((1, 12, 12, 12)).astype(np.float32)
+    pred = SlidingWindowPredictor(model, cfg, image_shape=(12, 12, 12),
+                                  patch_shape=(8, 8, 8), overlap=4,
+                                  patch_batch_size=2)
+    out = pred(params, vol)
+    assert out.shape == (1, 12, 12, 12)
+    assert (out >= 0).all() and (out <= 1).all()
+
+
+def test_tta_permute_identity_model():
+    """TTA over 48 symmetries of an identity model == plain prediction."""
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1)
+    vol = np.random.default_rng(3).random((1, 16, 16, 16)).astype(np.float32)
+    plain = SlidingWindowPredictor(IdentityModel(), cfg, (16, 16, 16),
+                                   (8, 8, 8), overlap=0, use_gaussian=False)
+    tta = SlidingWindowPredictor(IdentityModel(), cfg, (16, 16, 16),
+                                 (8, 8, 8), overlap=0, use_gaussian=False,
+                                 tta_permute=True)
+    a = plain({}, vol)
+    b = tta({}, vol)
+    assert np.allclose(a, b, atol=1e-5)
+
+
+def test_prediction_to_image_binary_and_multiclass():
+    prob = np.zeros((1, 4, 4, 4), np.float32)
+    prob[0, :2] = 0.9
+    img = prediction_to_image(prob, np.eye(4), label_map=True, labels=(7,))
+    assert set(np.unique(img.dataobj)).issubset({0, 7})
+
+    prob3 = np.random.default_rng(0).random((3, 4, 4, 4)).astype(np.float32)
+    prob3[:, 0, 0, 0] = 0.0  # below threshold voxel -> 0
+    labels = get_prediction_labels(prob3, threshold=0.5, labels=(2, 4, 6))
+    assert labels[0, 0, 0] == 0
+    assert set(np.unique(labels)).issubset({0, 2, 4, 6})

@@ -1,0 +1,171 @@
+"""Data-parallel correctness on the virtual 8-device CPU mesh
+(SURVEY.md section 4 multi-chip tests; BASELINE config #5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fetal_mri_segmentation_tpu.config import Config
+from fetal_mri_segmentation_tpu.models import build_model
+from fetal_mri_segmentation_tpu.parallel import (
+    make_dp_eval_step, make_dp_train_step, make_mesh, replicate_state,
+    shard_batch)
+from fetal_mri_segmentation_tpu.training import (
+    create_train_state, make_train_step)
+
+
+def tiny_config(**kw):
+    defaults = dict(model_name="unet", depth=2, n_base_filters=2,
+                    patch_shape=(8, 8, 8), batch_size=8,
+                    compute_dtype="float32", augment=False,
+                    initial_learning_rate=1e-2)
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def make_batch(b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (b, 1, 8, 8, 8)
+    y = np.zeros(shape, np.float32)
+    y[:, :, 2:6, 2:6, 2:6] = 1.0
+    x = (y * 2 + rng.normal(0, 0.3, shape)).astype(np.float32)
+    return x, y
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8  # conftest virtual CPU mesh
+
+
+def test_dp_step_matches_single_device():
+    """psum-grad equivalence: 8-shard DP step == single-device step on the
+    same global batch (augment off).
+
+    Uses plain SGD so the parameter delta is LINEAR in the gradient —
+    comparing post-Adam params is ill-conditioned (first-step Adam is
+    ~lr*sign(g); fp32 psum reduction-order noise flips signs of eps-grads).
+    """
+    import optax
+
+    cfg = tiny_config()
+    model = build_model(cfg)
+    tx = optax.sgd(1.0)  # param delta == -grad exactly
+    x, y = make_batch(8)
+    rng = jax.random.PRNGKey(7)
+
+    # single device
+    state1 = create_train_state(model, cfg, jax.random.PRNGKey(0), tx=tx)
+    step1 = make_train_step(model, cfg)
+    new1, m1 = step1(state1, jnp.asarray(x), jnp.asarray(y), rng, 8)
+
+    # 8-device DP
+    mesh = make_mesh(8)
+    state8 = create_train_state(model, cfg, jax.random.PRNGKey(0), tx=tx)
+    state8 = replicate_state(mesh, state8)
+    step8 = make_dp_train_step(model, cfg, mesh)
+    xs, ys = shard_batch(mesh, x, y)
+    new8, m8 = step8(state8, xs, ys, rng, jnp.asarray(8))
+
+    assert np.allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-6)
+    assert np.allclose(float(m1["dice"]), float(m8["dice"]), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                    jax.tree_util.tree_leaves(new8.params)):
+        # grads equal up to fp32 psum reduction order
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_partial_global_batch():
+    """n_valid masking splits correctly across shards."""
+    cfg = tiny_config()
+    model = build_model(cfg)
+    mesh = make_mesh(8)
+    state = replicate_state(mesh, create_train_state(model, cfg,
+                                                     jax.random.PRNGKey(0)))
+    x, y = make_batch(8)
+    # zero out the last 3 samples as padding
+    x[5:] = 0
+    y[5:] = 0
+    step = make_dp_train_step(model, cfg, mesh)
+    xs, ys = shard_batch(mesh, x, y)
+    _, m = step(state, xs, ys, jax.random.PRNGKey(0), jnp.asarray(5))
+    assert np.isfinite(float(m["loss"]))
+
+    # equivalence vs single-device ragged batch
+    step1 = make_train_step(model, cfg)
+    s1 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _, m1 = step1(s1, jnp.asarray(x[:5]), jnp.asarray(y[:5]),
+                  jax.random.PRNGKey(0), None)
+    assert np.allclose(float(m1["loss"]), float(m["loss"]), atol=1e-5)
+
+
+def test_dp_eval_step_runs():
+    cfg = tiny_config()
+    model = build_model(cfg)
+    mesh = make_mesh(8)
+    state = replicate_state(mesh, create_train_state(model, cfg,
+                                                     jax.random.PRNGKey(0)))
+    x, y = make_batch(8)
+    es = make_dp_eval_step(model, cfg, mesh)
+    m = es(state, *shard_batch(mesh, x, y), jnp.asarray(8))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_dp_augmented_shards_differ():
+    """With augmentation on, shards fold the axis index into the RNG — the
+    DP step must still run and produce finite metrics."""
+    cfg = tiny_config(augment=True, flip=True, permute=True, contrast=0.1)
+    model = build_model(cfg)
+    mesh = make_mesh(8)
+    state = replicate_state(mesh, create_train_state(model, cfg,
+                                                     jax.random.PRNGKey(0)))
+    x, y = make_batch(8)
+    step = make_dp_train_step(model, cfg, mesh)
+    new_state, m = step(state, *shard_batch(mesh, x, y),
+                        jax.random.PRNGKey(1), jnp.asarray(8))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_dp_weighted_loss_matches_single_device():
+    """Isensee/weighted-dice DP objective == single-device global objective."""
+    import optax
+
+    cfg = tiny_config(model_name="isensee", depth=2, n_segmentation_levels=1,
+                      n_base_filters=2, dropout_rate=0.0)
+    model = build_model(cfg)
+    tx = optax.sgd(1.0)  # see test_dp_step_matches_single_device
+    x, y = make_batch(8, seed=3)
+    rng = jax.random.PRNGKey(11)
+
+    s1 = create_train_state(model, cfg, jax.random.PRNGKey(0), tx=tx)
+    new1, m1 = make_train_step(model, cfg)(s1, jnp.asarray(x), jnp.asarray(y),
+                                           rng, 8)
+
+    mesh = make_mesh(8)
+    s8 = replicate_state(mesh, create_train_state(model, cfg,
+                                                  jax.random.PRNGKey(0), tx=tx))
+    step8 = make_dp_train_step(model, cfg, mesh)
+    new8, m8 = step8(s8, *shard_batch(mesh, x, y), rng, jnp.asarray(8))
+
+    assert np.allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                    jax.tree_util.tree_leaves(new8.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_predictor_matches_single_device():
+    """Patch-grid-sharded inference == single-device scan (psum merge)."""
+    from fetal_mri_segmentation_tpu.inference import SlidingWindowPredictor
+    from fetal_mri_segmentation_tpu.parallel.distributed import (
+        make_sharded_predictor)
+
+    class IdentityModel:
+        def apply(self, variables, x):
+            return x
+
+    cfg = tiny_config(patch_shape=(8, 8, 8))
+    vol = np.random.default_rng(5).random((1, 20, 20, 20)).astype(np.float32)
+    pred = SlidingWindowPredictor(IdentityModel(), cfg, (20, 20, 20),
+                                  (8, 8, 8), overlap=4, patch_batch_size=2)
+    single = pred({}, vol)
+    sharded = make_sharded_predictor(pred, make_mesh(8))({}, vol)
+    assert np.allclose(single, sharded, atol=1e-5)

@@ -1,0 +1,156 @@
+"""Train step, checkpoint/resume, callbacks (SURVEY.md section 4/5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fetal_mri_segmentation_tpu.config import Config
+from fetal_mri_segmentation_tpu.models import build_model
+from fetal_mri_segmentation_tpu.training import (
+    CheckpointIO, create_train_state, load_old_model, make_eval_step,
+    make_train_step)
+from fetal_mri_segmentation_tpu.training.callbacks import (
+    EarlyStopping, ReduceLROnPlateau, step_decay)
+from fetal_mri_segmentation_tpu.training.train_step import pad_batch
+
+
+def tiny_config(**kw):
+    defaults = dict(model_name="unet", depth=2, n_base_filters=2,
+                    patch_shape=(8, 8, 8), batch_size=2,
+                    compute_dtype="float32", augment=True, flip=True,
+                    permute=True, contrast=0.1, distort=None,
+                    initial_learning_rate=1e-2)
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def make_batch(cfg, b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (b, 1) + cfg.patch_shape
+    y = np.zeros(shape, np.float32)
+    y[:, :, 2:6, 2:6, 2:6] = 1.0
+    x = (y * 2 + rng.normal(0, 0.3, shape)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_overfit_one_patch_reaches_high_dice():
+    """North-star config #1 smoke: loss (negative dice) -> below -0.9."""
+    cfg = tiny_config(augment=False)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg)
+    x, y = make_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+    loss = None
+    for i in range(150):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, x, y, k, None)
+        loss = float(metrics["loss"])
+    assert loss < -0.9, f"did not overfit: loss={loss}"
+
+
+def test_train_step_with_augmentation_improves():
+    cfg = tiny_config()
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg)
+    x, y = make_batch(cfg)
+    rng = jax.random.PRNGKey(2)
+    first = None
+    for i in range(60):
+        rng, k = jax.random.split(rng)
+        state, m = step(state, x, y, k, None)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first
+
+
+def test_partial_batch_masking_exact():
+    """Padded-batch loss must equal the ragged-batch loss exactly."""
+    cfg = tiny_config(augment=False, batch_size=4)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    eval_step = make_eval_step(model, cfg)
+    x3, y3 = make_batch(cfg, b=3)
+    m_ragged = eval_step(state, x3, y3, None)
+    xp, yp, n_valid = pad_batch(np.asarray(x3), np.asarray(y3), 4)
+    assert n_valid == 3 and xp.shape[0] == 4
+    m_padded = eval_step(state, jnp.asarray(xp), jnp.asarray(yp), n_valid)
+    assert np.allclose(float(m_ragged["loss"]), float(m_padded["loss"]),
+                       atol=1e-6)
+    assert np.allclose(float(m_ragged["dice"]), float(m_padded["dice"]),
+                       atol=1e-6)
+
+
+def test_isensee_train_step_runs():
+    cfg = tiny_config(model_name="isensee", depth=3, n_segmentation_levels=2,
+                      dropout_rate=0.3)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg)
+    x, y = make_batch(cfg)
+    state, m = step(state, x, y, jax.random.PRNGKey(3), None)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_batchnorm_stats_update():
+    cfg = tiny_config(batch_normalization=True, augment=False)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    # materialize now: the train step donates its input state's buffers
+    before = [np.asarray(l) for l in jax.tree_util.tree_leaves(state.batch_stats)]
+    assert before  # BN present
+    step = make_train_step(model, cfg)
+    x, y = make_batch(cfg)
+    state2, _ = step(state, x, y, jax.random.PRNGKey(0), None)
+    after = jax.tree_util.tree_leaves(state2.batch_stats)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    cfg = tiny_config(model_file=str(tmp_path / "model.ckpt"), augment=False)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg)
+    x, y = make_batch(cfg)
+    for i in range(3):
+        state, _ = step(state, x, y, jax.random.PRNGKey(i), None)
+    state = state.set_learning_rate(5e-3)
+
+    io = CheckpointIO(cfg.model_file)
+    io.save(state, epoch=7, best_val=-0.5)
+    assert io.exists()
+
+    restored, epoch, best = load_old_model(cfg.model_file, model, cfg)
+    assert epoch == 7 and best == -0.5
+    assert int(restored.step) == 3
+    assert abs(restored.learning_rate - 5e-3) < 1e-9
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    # optimizer moments restored too (full resume)
+    restored2, m2 = make_train_step(model, cfg)(restored, x, y,
+                                                jax.random.PRNGKey(9), None)
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_step_decay_formula():
+    # lr = init * drop^floor((1+epoch)/epochs_drop)
+    assert step_decay(0, 1.0, 0.5, 10) == 1.0
+    assert step_decay(9, 1.0, 0.5, 10) == 0.5
+    assert step_decay(19, 1.0, 0.5, 10) == 0.25
+
+
+def test_plateau_and_early_stopping():
+    pl = ReduceLROnPlateau(1.0, factor=0.5, patience=2)
+    assert pl.update(1.0) == 1.0     # improves (first)
+    assert pl.update(1.1) == 1.0     # wait 1
+    assert pl.update(1.2) == 0.5     # wait 2 -> drop
+    es = EarlyStopping(patience=2)
+    assert not es.update(1.0)
+    assert not es.update(1.5)
+    assert es.update(1.4)            # 2 epochs without improvement

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Reference surface: train.py / train_fetal.py — an in-script ``config`` dict +
+``main(overwrite=False)`` that builds the HDF5 dataset if missing, builds or
+resumes the model, creates the generators, and trains (reference: train.py::
+main, fetch_training_data_files). Here the config is a JSON file (same key
+names, SURVEY.md section 5.6) with CLI overrides; everything else matches.
+
+Usage:
+    python train.py --config my_experiment.json [--overwrite]
+    python train.py --data-dir /path/to/cases --model isensee  # quick start
+    python train.py --smoke        # synthetic end-to-end smoke run
+
+Data layout: <data_dir>/<case>/{<modality>.nii.gz..., truth.nii.gz}
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def fetch_training_data_files(data_dir: str, modalities, truth_name="truth"):
+    """Glob per-case [mod1.nii.gz, ..., truth.nii.gz] lists.
+
+    Reference: train.py::fetch_training_data_files.
+    """
+    training_data_files = []
+    subject_ids = []
+    for case_dir in sorted(glob.glob(os.path.join(data_dir, "*"))):
+        if not os.path.isdir(case_dir):
+            continue
+        files = []
+        ok = True
+        for name in tuple(modalities) + (truth_name,):
+            matches = (glob.glob(os.path.join(case_dir, name + ".nii.gz"))
+                       or glob.glob(os.path.join(case_dir, name + ".nii")))
+            if not matches:
+                ok = False
+                break
+            files.append(matches[0])
+        if ok:
+            training_data_files.append(files)
+            subject_ids.append(os.path.basename(case_dir))
+    return training_data_files, subject_ids
+
+
+def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True):
+    from fetal_mri_segmentation_tpu.data import (open_data_file,
+                                                 write_data_to_file)
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.parallel import make_mesh
+    from fetal_mri_segmentation_tpu.pipeline import (
+        get_training_and_validation_generators)
+    from fetal_mri_segmentation_tpu.training import (create_train_state,
+                                                     train_model)
+
+    # 1. dataset build (cached unless overwrite — reference: write_data_to_file)
+    if overwrite or not os.path.exists(config.data_file):
+        files, subject_ids = fetch_training_data_files(
+            data_dir, config.training_modalities)
+        if not files:
+            sys.exit(f"no cases found under {data_dir}")
+        print(f"building {config.data_file} from {len(files)} cases...")
+        write_data_to_file(files, config.data_file,
+                           image_shape=config.image_shape,
+                           subject_ids=subject_ids,
+                           normalize=config.normalization)
+    data_file = open_data_file(config.data_file)
+
+    try:
+        # 2. model + state (resume handled inside train_model via checkpoint)
+        model = build_model(config)
+        state = create_train_state(model, config, jax.random.PRNGKey(0))
+
+        # 3. generators (reference: get_training_and_validation_generators)
+        tg, n_train, vg, n_val = get_training_and_validation_generators(
+            data_file, batch_size=config.batch_size, n_labels=config.n_labels,
+            training_keys_file=config.training_file,
+            validation_keys_file=config.validation_file,
+            data_split=config.validation_split, overwrite=overwrite,
+            labels=config.labels, patch_shape=config.patch_shape,
+            validation_batch_size=config.validation_batch_size,
+            validation_patch_overlap=config.validation_patch_overlap,
+            training_patch_start_offset=config.training_patch_start_offset,
+            skip_blank=config.skip_blank, seed=0)
+
+        # 4. train (multi-device DP when >1 chip visible)
+        n_dev = config.num_devices or len(jax.devices())
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
+        if verbose:
+            print(f"training on {n_dev} device(s); "
+                  f"{n_train} steps/epoch, {n_val} val steps")
+        train_model(model, state, config, tg, vg, n_train, n_val, mesh=mesh,
+                    verbose=verbose)
+    finally:
+        data_file.close()
+
+
+def run_smoke(tmpdir: str = "/tmp/fetal_smoke"):
+    """Synthetic end-to-end: generate data, train 2 epochs, tiny model."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synthetic import write_synthetic_dataset
+    from fetal_mri_segmentation_tpu.config import Config
+
+    os.makedirs(tmpdir, exist_ok=True)
+    write_synthetic_dataset(os.path.join(tmpdir, "cases"), n_cases=4,
+                            shape=(24, 24, 24))
+    cfg = Config(image_shape=(16, 16, 16), patch_shape=(8, 8, 8),
+                 validation_patch_overlap=2,
+                 training_patch_start_offset=(2, 2, 2),
+                 depth=2, n_base_filters=4, batch_size=4, n_epochs=2,
+                 data_file=os.path.join(tmpdir, "data.h5"),
+                 model_file=os.path.join(tmpdir, "model.ckpt"),
+                 training_file=os.path.join(tmpdir, "training_ids.pkl"),
+                 validation_file=os.path.join(tmpdir, "validation_ids.pkl"),
+                 training_log=os.path.join(tmpdir, "training.log"),
+                 compute_dtype="float32", overwrite=True)
+    cfg.save(os.path.join(tmpdir, "config.json"))
+    main(cfg, os.path.join(tmpdir, "cases"), overwrite=True)
+    print("smoke run complete; artifacts in", tmpdir)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="JSON config (reference key names)")
+    ap.add_argument("--data-dir", default="data",
+                    help="directory of per-case NIfTI folders")
+    ap.add_argument("--model", dest="model_name",
+                    choices=["unet", "isensee"], default=None)
+    ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="synthetic end-to-end smoke run")
+    args = ap.parse_args()
+
+    if args.smoke:
+        run_smoke()
+        sys.exit(0)
+
+    from fetal_mri_segmentation_tpu.config import Config
+
+    cfg = Config.load(args.config) if args.config else Config()
+    if args.model_name:
+        cfg.model_name = args.model_name
+    if args.overwrite:
+        cfg.overwrite = True
+    main(cfg, args.data_dir, overwrite=cfg.overwrite)
