@@ -1,0 +1,97 @@
+"""Keras->flax weight import + forward numerical parity.
+
+This is the Dice-parity cornerstone: if the same weights produce the same
+probabilities on the same input, per-case Dice matches the reference by
+construction (SURVEY.md section 7 hard parts: Conv3DTranspose semantics).
+Keras runs with the TF CPU backend here.
+"""
+
+import numpy as np
+import pytest
+
+keras = pytest.importorskip("keras")
+
+from fetal_mri_segmentation_tpu.utils.keras_import import (
+    import_keras_unet_weights, keras_weight_list_from_model)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    """A tiny Keras U-Net and our UNet3D with imported weights."""
+    import jax
+    import jax.numpy as jnp
+    from keras import layers
+
+    from fetal_mri_segmentation_tpu.models import UNet3D
+
+    depth, nbf, shape = 2, 2, (8, 8, 8)
+    inp = keras.Input(shape=shape + (1,))
+    x = inp
+    skips = []
+    for level in range(depth):
+        f = nbf * 2 ** level
+        x = layers.Conv3D(f, 3, padding="same", activation="relu")(x)
+        x = layers.Conv3D(f * 2, 3, padding="same", activation="relu")(x)
+        if level < depth - 1:
+            skips.append(x)
+            x = layers.MaxPooling3D(2)(x)
+    for level in range(depth - 2, -1, -1):
+        x = layers.Conv3DTranspose(x.shape[-1], 2, strides=2)(x)
+        x = layers.Concatenate()([x, skips[level]])
+        f = skips[level].shape[-1]
+        x = layers.Conv3D(f, 3, padding="same", activation="relu")(x)
+        x = layers.Conv3D(f, 3, padding="same", activation="relu")(x)
+    out = layers.Conv3D(1, 1, activation="sigmoid")(x)
+    kmodel = keras.Model(inp, out)
+
+    fmodel = UNet3D(n_labels=1, depth=depth, n_base_filters=nbf,
+                    deconvolution=True, dtype=jnp.float32)
+    variables = fmodel.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1,) + shape + (1,)))
+    params = import_keras_unet_weights(
+        variables["params"], keras_weight_list_from_model(kmodel))
+    return kmodel, fmodel, {"params": params}, shape
+
+
+def test_forward_parity_with_keras(pair):
+    kmodel, fmodel, variables, shape = pair
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2,) + shape + (1,)).astype(np.float32)
+    want = np.asarray(kmodel(x))
+    got = np.asarray(fmodel.apply(variables, x))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=2e-5), float(np.abs(got - want).max())
+
+
+def test_import_rejects_wrong_architecture(pair):
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.models import UNet3D
+
+    kmodel = pair[0]
+    other = UNet3D(n_labels=1, depth=3, n_base_filters=2, deconvolution=True,
+                   dtype=jnp.float32)
+    variables = other.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 1)))
+    with pytest.raises(ValueError, match="weight count mismatch"):
+        import_keras_unet_weights(variables["params"],
+                                  keras_weight_list_from_model(kmodel))
+
+
+def test_h5_roundtrip(pair, tmp_path):
+    """Importing from a Keras-saved .h5 == importing from the live model."""
+    import jax
+
+    from fetal_mri_segmentation_tpu.utils.keras_import import (
+        keras_weight_list_from_h5)
+
+    kmodel, fmodel, variables, shape = pair
+    p = str(tmp_path / "model.weights.h5")
+    kmodel.save_weights(p)
+    from_file = import_keras_unet_weights(variables["params"],
+                                          keras_weight_list_from_h5(p))
+    from_model = import_keras_unet_weights(
+        variables["params"], keras_weight_list_from_model(kmodel))
+    for a, b in zip(jax.tree_util.tree_leaves(from_file),
+                    jax.tree_util.tree_leaves(from_model)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
