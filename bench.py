@@ -54,13 +54,14 @@ def main():
     predictor = SlidingWindowPredictor(model, config, image_shape=VOLUME,
                                        patch_shape=PATCH, overlap=OVERLAP,
                                        patch_batch_size=9, use_gaussian=True)
-    variables = {"params": state.params}
     vol = rng.normal(0, 1, (1,) + VOLUME).astype(np.float32)
 
     # ---- warmup / compile ----
+    # (the train step donates its input state, so always read params from the
+    # CURRENT state object)
     state, m = train_step(state, x, y, key, None)
     jax.block_until_ready(m["loss"])
-    predictor(variables, vol)
+    predictor({"params": state.params}, vol)
 
     # ---- timed composite ----
     n_reps = 5
