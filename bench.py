@@ -58,10 +58,11 @@ def main():
 
     # ---- warmup / compile ----
     # (the train step donates its input state, so always read params from the
-    # CURRENT state object)
+    # CURRENT state object; inference produces the reference's artifact — the
+    # uint8 label map — computed on device)
     state, m = train_step(state, x, y, key, None)
     jax.block_until_ready(m["loss"])
-    predictor({"params": state.params}, vol)
+    predictor.predict_labels({"params": state.params}, vol)
 
     # ---- timed composite ----
     n_reps = 5
@@ -70,7 +71,7 @@ def main():
         for _ in range(TRAIN_PATCHES_PER_VOLUME):
             state, m = train_step(state, x, y, key, None)
         jax.block_until_ready(m["loss"])
-        predictor({"params": state.params}, vol)
+        predictor.predict_labels({"params": state.params}, vol)
     dt = (time.perf_counter() - t0) / n_reps
     volumes_per_sec = 1.0 / dt
 
@@ -81,7 +82,7 @@ def main():
     jax.block_until_ready(m["loss"])
     train_step_sec = (time.perf_counter() - t0) / 20
     t0 = time.perf_counter()
-    predictor({"params": state.params}, vol)
+    predictor.predict_labels({"params": state.params}, vol)
     infer_sec = time.perf_counter() - t0
 
     vs_baseline = None

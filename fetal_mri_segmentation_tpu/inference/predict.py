@@ -78,9 +78,19 @@ def run_validation_case(case_index: int, out_dir: str, model, variables,
         save_nifti(truth.astype(np.uint8),
                    os.path.join(out_dir, "truth.nii.gz"), affine=affine)
 
+    if output_label_map:
+        # label map computed on device (reference: prediction_to_image
+        # threshold/argmax) — only uint8/packed bits cross the device link.
+        label_map = predictor.predict_labels(variables, data,
+                                             threshold=threshold)
+        if config.n_labels == 1 and config.labels:
+            label_map = (label_map * np.uint8(config.labels[0]))
+        save_nifti(label_map.astype(np.uint8),
+                   os.path.join(out_dir, "prediction.nii.gz"), affine=affine)
+        return label_map
     probability = predictor(variables, data)
     image = prediction_to_image(probability, affine,
-                                label_map=output_label_map,
+                                label_map=False,
                                 threshold=threshold, labels=config.labels)
     save_nifti(image, os.path.join(out_dir, "prediction.nii.gz"))
     return probability

@@ -90,7 +90,85 @@ class SlidingWindowPredictor:
             wmap = np.ones(self.patch_shape, np.float32)
         self.weight_map = jnp.asarray(wmap)
 
-        self._jitted = jax.jit(self._predict_padded)
+        # The weight-sum field is DATA-INDEPENDENT (only geometry + the
+        # Gaussian map): precompute it on host once instead of accumulating
+        # it on device every volume — halves the scatter work.
+        self._corners_np = np.asarray(shifted.reshape(-1, P, 3))
+        self._valid_np = np.asarray(valid.reshape(-1, P))
+        wsum = np.zeros(self.padded_shape, np.float64)
+        for corner, v in zip(self._corners_np.reshape(-1, 3),
+                             self._valid_np.reshape(-1)):
+            if v:
+                sl = tuple(slice(int(c), int(c + s))
+                           for c, s in zip(corner, self.patch_shape))
+                wsum[sl] += wmap
+        self._wsum_np = np.maximum(wsum, 1e-8).astype(np.float32)
+
+        # Static unrolling: the patch grid is a compile-time constant, so the
+        # overlap-add can be emitted as static-index in-place adds (XLA
+        # aliases them) instead of a scan of dynamic_update_slice on a carried
+        # accumulator, which copy-on-writes the whole buffer per patch (~25x
+        # slower, measured on v5e). Very large grids fall back to the scan to
+        # bound compile time.
+        self.static_unroll = self._corners_np.reshape(-1, 3).shape[0] <= 512
+        self._jitted_labels = None
+        # ONE jitted program for the whole volume — transpose, pad, predict,
+        # un-pad, transpose back all inside. Anything eager here costs a
+        # full dispatch round-trip per op (brutal over a remote/tunneled
+        # device link).
+        self._jitted = jax.jit(self._predict_volume)
+
+    def _predict_volume(self, variables, data_cdhw):
+        """(C, D, H, W) → (L, D, H, W), fully fused single program."""
+        vol = jnp.transpose(data_cdhw, (1, 2, 3, 0))
+        pb = self.pad_before
+        total = [p - i for p, i in zip(self.padded_shape, self.image_shape)]
+        pad = [(int(pb[d]), int(total[d] - pb[d])) for d in range(3)] + [(0, 0)]
+        vol = jnp.pad(vol, pad)
+        out = self._predict_padded(variables, vol)
+        sl = tuple(slice(int(pb[d]), int(pb[d] + self.image_shape[d]))
+                   for d in range(3))
+        return jnp.transpose(out[sl], (3, 0, 1, 2))
+
+    def _predict_labels_packed(self, variables, data_cdhw, threshold):
+        """Label map computed on device; binary masks are BIT-PACKED.
+
+        Device→host links can be the bottleneck (12 MB/s through this
+        box's tunnel); the reference's output artifact is the uint8 label
+        map anyway (reference: prediction.py::prediction_to_image), so
+        thresholding/argmax on device cuts the transfer 4-32x.
+        Returns uint8: packed bits (binary) or label values (multi-class).
+        """
+        prob = self._predict_volume(variables, data_cdhw)  # (L, D, H, W)
+        if self.n_labels == 1:
+            mask = (prob[0] > threshold).astype(jnp.uint8).reshape(-1)
+            padn = (-mask.shape[0]) % 8
+            if padn:
+                mask = jnp.pad(mask, (0, padn))
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            return (mask.reshape(-1, 8) * weights[None, :]).sum(
+                axis=1).astype(jnp.uint8)
+        labels = jnp.asarray(list(self.config.labels
+                                  or range(1, self.n_labels + 1)),
+                             jnp.int32)
+        amax = jnp.argmax(prob, axis=0)
+        label_map = jnp.take(labels, amax)
+        label_map = jnp.where(jnp.max(prob, axis=0) > threshold, label_map, 0)
+        return label_map.astype(jnp.uint8)
+
+    def predict_labels(self, variables, data_cdhw,
+                       threshold: float = 0.5) -> np.ndarray:
+        """(C, D, H, W) → uint8 label map (D, H, W), minimal D2H transfer."""
+        if self._jitted_labels is None:
+            self._jitted_labels = jax.jit(self._predict_labels_packed,
+                                          static_argnames=("threshold",))
+        out = np.asarray(self._jitted_labels(
+            variables, np.asarray(data_cdhw, np.float32), threshold))
+        if self.n_labels == 1:
+            bits = np.unpackbits(out.reshape(-1, 1), axis=1)
+            return bits.reshape(-1)[: int(np.prod(self.image_shape))].reshape(
+                self.image_shape).astype(np.uint8)
+        return out
 
     # ------------------------------------------------------------------
     def _apply_model(self, variables, patches_dhwc):
@@ -170,26 +248,47 @@ class SlidingWindowPredictor:
         (acc, wsum), _ = jax.lax.scan(body, init, (corners, valid))
         return acc, wsum
 
+    def _predict_padded_static(self, variables, vol_dhwc):
+        """Static-unrolled gather → batched forward → in-place overlap-add."""
+        pd, ph, pw = self.patch_shape
+        L = self.n_labels
+        apply_fn = self._tta_apply if self.tta_permute else self._apply_model
+
+        acc = jnp.zeros(self.padded_shape + (L,), jnp.float32)
+        for corners_b, valid_b in zip(self._corners_np, self._valid_np):
+            patches = jnp.stack([
+                jax.lax.slice(
+                    vol_dhwc,
+                    (int(c[0]), int(c[1]), int(c[2]), 0),
+                    (int(c[0]) + pd, int(c[1]) + ph, int(c[2]) + pw,
+                     vol_dhwc.shape[-1]))
+                for c in corners_b])
+            preds = apply_fn(variables, patches).astype(jnp.float32)
+            weighted = preds * self.weight_map[None, ..., None]
+            for i, (c, v) in enumerate(zip(corners_b, valid_b)):
+                if not v:
+                    continue
+                acc = acc.at[int(c[0]):int(c[0]) + pd,
+                             int(c[1]):int(c[1]) + ph,
+                             int(c[2]):int(c[2]) + pw, :].add(weighted[i])
+        return acc / jnp.asarray(self._wsum_np)[..., None]
+
     def _predict_padded(self, variables, vol_dhwc):
         """vol_dhwc: padded (D', H', W', C) → (D', H', W', L) probabilities."""
+        if self.static_unroll:
+            return self._predict_padded_static(variables, vol_dhwc)
         acc, wsum = self.scan_accumulate(variables, vol_dhwc,
                                          self.corners, self.valid)
         return acc / jnp.maximum(wsum, 1e-8)[..., None]
 
     # ------------------------------------------------------------------
     def __call__(self, variables, data_cdhw) -> np.ndarray:
-        """data: (C, D, H, W) → probability map (L, D, H, W), one transfer each way."""
-        data = jnp.asarray(np.asarray(data_cdhw, np.float32))
-        vol = jnp.transpose(data, (1, 2, 3, 0))
-        pb = self.pad_before
-        total = [p - i for p, i in zip(self.padded_shape, self.image_shape)]
-        pad = [(int(pb[d]), int(total[d] - pb[d])) for d in range(3)] + [(0, 0)]
-        vol = jnp.pad(vol, pad)
-        out = self._jitted(variables, vol)
-        sl = tuple(slice(int(pb[d]), int(pb[d] + self.image_shape[d]))
-                   for d in range(3))
-        out = out[sl]
-        return np.transpose(np.asarray(out), (3, 0, 1, 2))
+        """data: (C, D, H, W) → probability map (L, D, H, W).
+
+        Exactly one program dispatch and one transfer each way.
+        """
+        data = np.asarray(data_cdhw, np.float32)
+        return np.asarray(self._jitted(variables, data))
 
 
 def patch_wise_prediction(model, variables, config, data_cdhw,

@@ -91,3 +91,41 @@ def test_prediction_to_image_binary_and_multiclass():
     labels = get_prediction_labels(prob3, threshold=0.5, labels=(2, 4, 6))
     assert labels[0, 0, 0] == 0
     assert set(np.unique(labels)).issubset({0, 2, 4, 6})
+
+
+def test_predict_labels_matches_thresholded_probabilities():
+    """Device-side label map (bit-packed D2H) == host threshold of probs."""
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1, compute_dtype="float32")
+    model = UNet3D(n_labels=1, depth=2, n_base_filters=2, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 1)))
+    vol = np.random.default_rng(7).random((1, 12, 12, 12)).astype(np.float32)
+    pred = SlidingWindowPredictor(model, cfg, image_shape=(12, 12, 12),
+                                  patch_shape=(8, 8, 8), overlap=4,
+                                  patch_batch_size=2)
+    prob = pred(params, vol)
+    labels = pred.predict_labels(params, vol, threshold=0.5)
+    assert labels.shape == (12, 12, 12)
+    assert labels.dtype == np.uint8
+    assert np.array_equal(labels, (prob[0] > 0.5).astype(np.uint8))
+
+
+def test_predict_labels_multiclass_argmax():
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=3, labels=(2, 5, 9),
+                 compute_dtype="float32")
+
+    class Fixed:
+        """Model emitting a fixed per-channel ramp so argmax is known."""
+
+        def apply(self, variables, x):
+            b = x.shape[0]
+            out = jnp.zeros(x.shape[:-1] + (3,), jnp.float32)
+            out = out.at[..., 0].set(0.2)
+            out = out.at[..., 1].set(0.9)
+            out = out.at[..., 2].set(0.1)
+            return out
+
+    pred = SlidingWindowPredictor(Fixed(), cfg, image_shape=(8, 8, 8),
+                                  patch_shape=(8, 8, 8), overlap=0,
+                                  patch_batch_size=1)
+    labels = pred.predict_labels({}, np.zeros((1, 8, 8, 8), np.float32))
+    assert set(np.unique(labels)) == {5}  # channel 1 -> labels[1] == 5
