@@ -52,7 +52,9 @@ class Config:
     activation_name: str = "sigmoid"  # "sigmoid" | "softmax"
     dropout_rate: float = 0.3  # isensee SpatialDropout3D rate
     n_segmentation_levels: int = 3  # isensee deep-supervision heads
+    include_label_wise_dice_coefficients: bool = False  # per-label metrics
     compute_dtype: str = "bfloat16"  # TPU-native: bf16 compute, fp32 params
+    use_pallas_conv: bool = False  # fused implicit-GEMM conv kernels (TPU)
 
     # --- optimization -------------------------------------------------------
     batch_size: int = 6

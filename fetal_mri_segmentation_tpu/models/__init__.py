@@ -31,6 +31,7 @@ def build_model(config) -> Any:
             instance_normalization=config.instance_normalization,
             activation_name=config.activation_name,
             dtype=dtype,
+            use_pallas=getattr(config, "use_pallas_conv", False),
         )
     if config.model_name == "isensee":
         return Isensee2017(
@@ -41,6 +42,7 @@ def build_model(config) -> Any:
             n_segmentation_levels=config.n_segmentation_levels,
             activation_name=config.activation_name,
             dtype=dtype,
+            use_pallas=getattr(config, "use_pallas_conv", False),
         )
     raise ValueError(f"unknown model_name {config.model_name!r}")
 

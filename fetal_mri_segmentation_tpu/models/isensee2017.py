@@ -37,11 +37,12 @@ class Isensee2017(nn.Module):
     n_segmentation_levels: int = 3
     activation_name: str = "sigmoid"
     dtype: Any = jnp.bfloat16
+    use_pallas: bool = False
 
     def _block(self, f, name, **kw):
         return ConvBlock(f, instance_normalization=True,
                          activation="leaky_relu", dtype=self.dtype,
-                         name=name, **kw)
+                         use_pallas=self.use_pallas, name=name, **kw)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,

@@ -49,6 +49,19 @@ class InstanceNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only holder mirroring nn.Conv's {"kernel","bias"} layout."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ConvBlock(nn.Module):
     """Conv3D(same) → optional BatchNorm/InstanceNorm → activation.
 
@@ -63,9 +76,12 @@ class ConvBlock(nn.Module):
     instance_normalization: bool = False
     activation: str = "relu"  # "relu" | "leaky_relu" | "none"
     dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = False  # fused implicit-GEMM conv (ops/pallas_conv.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        if self._pallas_eligible(x):
+            return self._pallas_path(x, train=train)
         x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
                     padding="SAME", dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
@@ -80,6 +96,40 @@ class ConvBlock(nn.Module):
         elif self.activation == "leaky_relu":
             x = nn.leaky_relu(x, negative_slope=0.01)
         return x
+
+    def _pallas_eligible(self, x) -> bool:
+        if not self.use_pallas:
+            return False
+        if self.kernel_size != (3, 3, 3) or self.strides != (1, 1, 1):
+            return False
+        from fetal_mri_segmentation_tpu.ops.pallas_conv import (
+            pallas_conv3x3_available)
+
+        return pallas_conv3x3_available(x.shape, x.shape[-1], self.features)
+
+    def _pallas_path(self, x, *, train):
+        """Fused conv+bias(+activation) through the Pallas implicit-GEMM
+        kernel; param tree identical to the nn.Conv path
+        ({"conv": {"kernel", "bias"}}) so checkpoints are interchangeable."""
+        from fetal_mri_segmentation_tpu.ops.pallas_conv import conv3x3
+
+        kernel, bias = _ConvParams(self.features, name="conv")(x.shape[-1])
+        fused_act = "none" if (self.batch_normalization
+                               or self.instance_normalization) else self.activation
+        y = conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
+                    bias.astype(jnp.float32), fused_act, 0.01)
+        if self.batch_normalization:
+            y = nn.BatchNorm(use_running_average=not train, axis=-1,
+                             momentum=0.99, epsilon=1e-3, dtype=jnp.float32,
+                             name="bn")(y).astype(self.dtype)
+        elif self.instance_normalization:
+            y = InstanceNorm(dtype=self.dtype, name="in")(y)
+        if fused_act == "none":
+            if self.activation == "relu":
+                y = nn.relu(y)
+            elif self.activation == "leaky_relu":
+                y = nn.leaky_relu(y, negative_slope=0.01)
+        return y
 
 
 class UpConv(nn.Module):

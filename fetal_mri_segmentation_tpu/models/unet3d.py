@@ -36,6 +36,7 @@ class UNet3D(nn.Module):
     instance_normalization: bool = False
     activation_name: str = "sigmoid"
     dtype: Any = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -47,10 +48,12 @@ class UNet3D(nn.Module):
             f = self.n_base_filters * (2 ** level)
             x = ConvBlock(f, batch_normalization=self.batch_normalization,
                           instance_normalization=self.instance_normalization,
-                          dtype=self.dtype, name=f"enc{level}_conv1")(x, train=train)
+                          dtype=self.dtype, use_pallas=self.use_pallas,
+                          name=f"enc{level}_conv1")(x, train=train)
             x = ConvBlock(f * 2, batch_normalization=self.batch_normalization,
                           instance_normalization=self.instance_normalization,
-                          dtype=self.dtype, name=f"enc{level}_conv2")(x, train=train)
+                          dtype=self.dtype, use_pallas=self.use_pallas,
+                          name=f"enc{level}_conv2")(x, train=train)
             if level < self.depth - 1:
                 skips.append(x)
                 x = max_pool_3d(x, self.pool_size)
@@ -64,10 +67,12 @@ class UNet3D(nn.Module):
             f = skip.shape[-1]
             x = ConvBlock(f, batch_normalization=self.batch_normalization,
                           instance_normalization=self.instance_normalization,
-                          dtype=self.dtype, name=f"dec{level}_conv1")(x, train=train)
+                          dtype=self.dtype, use_pallas=self.use_pallas,
+                          name=f"dec{level}_conv1")(x, train=train)
             x = ConvBlock(f, batch_normalization=self.batch_normalization,
                           instance_normalization=self.instance_normalization,
-                          dtype=self.dtype, name=f"dec{level}_conv2")(x, train=train)
+                          dtype=self.dtype, use_pallas=self.use_pallas,
+                          name=f"dec{level}_conv2")(x, train=train)
 
         x = nn.Conv(self.n_labels, (1, 1, 1), dtype=jnp.float32,
                     param_dtype=jnp.float32, name="head")(x.astype(jnp.float32))

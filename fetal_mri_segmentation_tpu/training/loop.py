@@ -98,36 +98,39 @@ def train_model(model, state: TrainState, config,
         # ---- train ----
         meter.reset()
         t0 = time.perf_counter()
-        losses, dices, weights = [], [], []
+        train_metrics, weights = [], []
         for x, y, n_valid in _batches(training_generator, steps_per_epoch,
                                       batch_size):
             rng, k = jax.random.split(rng)
             state, metrics = train_step(state, x, y, k, n_valid)
-            losses.append(metrics["loss"])
-            dices.append(metrics["dice"])
+            train_metrics.append(metrics)
             weights.append(n_valid)
             meter.add(n_valid)
-        jax.block_until_ready(losses[-1] if losses else state.params)
+        jax.block_until_ready(train_metrics[-1]["loss"] if train_metrics
+                              else state.params)
         train_time = time.perf_counter() - t0
 
         # ---- validate ----
-        vlosses, vdices, vweights = [], [], []
+        val_metrics, vweights = [], []
         for x, y, n_valid in _batches(validation_generator, validation_steps,
                                       val_batch_size):
-            m = eval_step(state, x, y, n_valid)
-            vlosses.append(m["loss"])
-            vdices.append(m["dice"])
+            val_metrics.append(eval_step(state, x, y, n_valid))
             vweights.append(n_valid)
 
-        row = {
-            "loss": _weighted_mean([float(l) for l in losses], weights),
-            "dice_coefficient": _weighted_mean([float(d) for d in dices], weights),
-            "val_loss": _weighted_mean([float(l) for l in vlosses], vweights),
-            "val_dice_coefficient": _weighted_mean([float(d) for d in vdices], vweights),
+        def agg(metric_dicts, ws, key):
+            return _weighted_mean([float(m[key]) for m in metric_dicts], ws)
+
+        keys = list(train_metrics[0].keys()) if train_metrics else []
+        row = {}
+        for key in keys:
+            name = "dice_coefficient" if key == "dice" else key
+            row[name] = agg(train_metrics, weights, key)
+            row[f"val_{name}"] = agg(val_metrics, vweights, key)
+        row.update({
             "lr": state.learning_rate,
             **meter.rates(),
             "epoch_time_sec": train_time,
-        }
+        })
         csv.log(epoch, row)
         if verbose:
             print(f"epoch {epoch}: loss={row['loss']:.4f} "

@@ -115,6 +115,8 @@ def make_train_step(model, config, *, axis_name: Optional[str] = None,
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         metrics = {"loss": loss,
                    "dice": _masked_dice(y, pred, sample_mask, axis_name)}
+        metrics.update(_label_wise_metrics(config, y, pred, sample_mask,
+                                           axis_name))
         if axis_name is not None:
             # numerically a no-op (values are already identical across
             # shards via the psum'd partials) but marks them replicated for
@@ -139,6 +141,8 @@ def make_eval_step(model, config, *, jit: bool = True) -> Callable:
         sample_mask = _sample_mask(x, n_valid)
         metrics = {"loss": loss_fn_inner(y, pred, axis_name, sample_mask),
                    "dice": _masked_dice(y, pred, sample_mask, axis_name)}
+        metrics.update(_label_wise_metrics(config, y, pred, sample_mask,
+                                           axis_name))
         if axis_name is not None:
             metrics = jax.tree_util.tree_map(
                 lambda v: jax.lax.pmean(v, axis_name), metrics)
@@ -152,6 +156,24 @@ def _sample_mask(x, n_valid):
     if n_valid is None:
         return None
     return (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
+
+
+def _label_wise_metrics(config, y, pred, sample_mask, axis_name):
+    """Per-label dice metrics, Keras-header naming ``label_{i}_dice_coef``.
+
+    Reference: unet3d/model/unet.py::unet_model_3d
+    (include_label_wise_dice_coefficients → metrics.py::
+    get_label_dice_coefficient_function closures logged by CSVLogger).
+    """
+    if not getattr(config, "include_label_wise_dice_coefficients", False):
+        return {}
+    if config.n_labels <= 1:
+        return {}
+    out = {}
+    for i in range(config.n_labels):
+        out[f"label_{i}_dice_coef"] = _masked_dice(
+            y[:, i:i + 1], pred[:, i:i + 1], sample_mask, axis_name)
+    return out
 
 
 def _masked_dice(y, pred, sample_mask, axis_name):

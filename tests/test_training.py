@@ -154,3 +154,22 @@ def test_plateau_and_early_stopping():
     assert not es.update(1.0)
     assert not es.update(1.5)
     assert es.update(1.4)            # 2 epochs without improvement
+
+
+def test_label_wise_metrics_in_train_step():
+    """Reference: include_label_wise_dice_coefficients -> label_{i}_dice_coef
+    metrics (unet.py::unet_model_3d metrics list)."""
+    cfg = tiny_config(n_labels=2, labels=(1, 2),
+                      include_label_wise_dice_coefficients=True,
+                      activation_name="softmax", augment=False)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 1, 8, 8, 8)), jnp.float32)
+    y = np.zeros((2, 2, 8, 8, 8), np.float32)
+    y[:, 0, :4] = 1.0
+    y[:, 1, 4:] = 1.0
+    _, m = step(state, x, jnp.asarray(y), jax.random.PRNGKey(1), None)
+    assert "label_0_dice_coef" in m and "label_1_dice_coef" in m
+    assert np.isfinite(float(m["label_0_dice_coef"]))
