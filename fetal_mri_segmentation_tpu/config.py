@@ -55,6 +55,8 @@ class Config:
     include_label_wise_dice_coefficients: bool = False  # per-label metrics
     compute_dtype: str = "bfloat16"  # TPU-native: bf16 compute, fp32 params
     use_pallas_conv: bool = False  # fused implicit-GEMM conv kernels (TPU)
+    remat: bool = False  # rematerialize the forward in the backward pass
+                         # (trade FLOPs for HBM -- enables bigger patches)
 
     # --- optimization -------------------------------------------------------
     batch_size: int = 6

@@ -53,13 +53,15 @@ def _kernel(x_hbm, w_ref, b_ref, out_ref, slab, sem, *, TH, W, CI, CO,
     dma.start()
     dma.wait()
 
+    # K-packing: concatenate the 9 (kh, kw) shifted views into one
+    # (TH*W, 9*CI) A-tile so each MXU pass runs with K = 9*CI instead of a
+    # thin K = CI (32-wide K uses a quarter of the 128-deep systolic array).
     acc = jnp.zeros((TH * W, CO), jnp.float32)
     for kd in range(3):
-        for kh in range(3):
-            for kw in range(3):
-                a = slab[kd, kh:kh + TH, kw:kw + W, :].reshape(TH * W, CI)
-                wt = w_ref[kd * 9 + kh * 3 + kw, :, :]
-                acc += jnp.dot(a, wt, preferred_element_type=jnp.float32)
+        a = jnp.concatenate(
+            [slab[kd, kh:kh + TH, kw:kw + W, :].reshape(TH * W, CI)
+             for kh in range(3) for kw in range(3)], axis=1)
+        acc += jnp.dot(a, w_ref[kd], preferred_element_type=jnp.float32)
 
     acc = acc + b_ref[0, :].astype(jnp.float32)[None, :]
     if activation == "relu":
@@ -108,7 +110,9 @@ def _conv3x3_fwd(x, w, bias, *, activation="relu", negative_slope=0.01,
         raise ValueError(f"no valid tile for shape {x.shape}")
 
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    w27 = w.reshape(27, CI, CO)
+    # (3, 3, 3, CI, CO) -> (kd, (kh, kw, ci), CO): matches the kernel's
+    # concat order of the 9 shifted views.
+    w27 = w.reshape(3, 9 * CI, CO)
     bias2 = bias.reshape(1, CO)
 
     kernel = functools.partial(_kernel, TH=TH, W=W, CI=CI, CO=CO,
@@ -119,7 +123,7 @@ def _conv3x3_fwd(x, w, bias, *, activation="relu", negative_slope=0.01,
         grid=(B, D, H // TH),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # x_pad stays in HBM
-            pl.BlockSpec((27, CI, CO), lambda b, d, t: (0, 0, 0),
+            pl.BlockSpec((3, 9 * CI, CO), lambda b, d, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CO), lambda b, d, t: (0, 0),
                          memory_space=pltpu.VMEM),

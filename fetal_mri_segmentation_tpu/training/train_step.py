@@ -85,14 +85,29 @@ def make_train_step(model, config, *, axis_name: Optional[str] = None,
     do_augment = config.augment and any(
         [config.flip, config.permute, config.contrast, config.distort])
 
+    use_remat = bool(getattr(config, "remat", False))
+
     def step(state, x, y, rng, n_valid=None):
         aug_rng, drop_rng = jax.random.split(rng)
         if do_augment:
             x, y = augment_batch(aug_rng, x, y, **aug_kw)
         sample_mask = _sample_mask(x, n_valid)
 
+        fwd = _forward
+        if use_remat and not jax.tree_util.tree_leaves(state.batch_stats):
+            # jax.checkpoint: recompute activations in the backward pass
+            # instead of stashing them — HBM ~ one level instead of the
+            # whole forward, at ~1/3 extra FLOPs (remat lever for large 3D
+            # patches). BatchNorm's mutable stats are incompatible with
+            # checkpointing the whole forward, hence the empty-stats guard.
+            def fwd(model_, params, stats, x, *, train, dropout_rng=None):
+                def inner(p, xx, key):
+                    return _forward(model_, p, stats, xx, train=train,
+                                    dropout_rng=key)
+                return jax.checkpoint(inner)(params, x, dropout_rng)
+
         def loss_of(params):
-            pred, new_stats = _forward(
+            pred, new_stats = fwd(
                 model, params, state.batch_stats, x, train=True,
                 dropout_rng=drop_rng if needs_dropout else None)
             return (loss_fn_inner(y, pred, axis_name, sample_mask),

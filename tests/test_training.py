@@ -173,3 +173,19 @@ def test_label_wise_metrics_in_train_step():
     _, m = step(state, x, jnp.asarray(y), jax.random.PRNGKey(1), None)
     assert "label_0_dice_coef" in m and "label_1_dice_coef" in m
     assert np.isfinite(float(m["label_0_dice_coef"]))
+
+
+def test_remat_train_step_matches_plain():
+    """config.remat trades FLOPs for memory without changing results."""
+    base = tiny_config(augment=False)
+    rcfg = tiny_config(augment=False, remat=True)
+    model = build_model(base)
+    x, y = make_batch(base)
+    s1 = create_train_state(model, base, jax.random.PRNGKey(0))
+    s2 = create_train_state(model, rcfg, jax.random.PRNGKey(0))
+    n1, m1 = make_train_step(model, base)(s1, x, y, jax.random.PRNGKey(5), None)
+    n2, m2 = make_train_step(model, rcfg)(s2, x, y, jax.random.PRNGKey(5), None)
+    assert np.allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(n1.params),
+                    jax.tree_util.tree_leaves(n2.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
