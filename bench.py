@@ -40,6 +40,8 @@ def main():
     config = Config(model_name="unet", depth=3, n_base_filters=32,
                     patch_shape=PATCH, image_shape=VOLUME, batch_size=1,
                     augment=False, compute_dtype="bfloat16",
+                    use_pallas_conv=os.environ.get("FETAL_TPU_BENCH_PALLAS",
+                                                   "0") == "1",
                     initial_learning_rate=1e-5)
     model = build_model(config)
     state = create_train_state(model, config, jax.random.PRNGKey(0))

@@ -162,8 +162,10 @@ class SlidingWindowPredictor:
         if self._jitted_labels is None:
             self._jitted_labels = jax.jit(self._predict_labels_packed,
                                           static_argnames=("threshold",))
-        out = np.asarray(self._jitted_labels(
-            variables, np.asarray(data_cdhw, np.float32), threshold))
+        # explicit async H2D: jax.device_put overlaps the transfer with
+        # dispatch instead of staging it synchronously inside the call
+        data = jax.device_put(np.asarray(data_cdhw, np.float32))
+        out = np.asarray(self._jitted_labels(variables, data, threshold))
         if self.n_labels == 1:
             bits = np.unpackbits(out.reshape(-1, 1), axis=1)
             return bits.reshape(-1)[: int(np.prod(self.image_shape))].reshape(
@@ -287,7 +289,7 @@ class SlidingWindowPredictor:
 
         Exactly one program dispatch and one transfer each way.
         """
-        data = np.asarray(data_cdhw, np.float32)
+        data = jax.device_put(np.asarray(data_cdhw, np.float32))
         return np.asarray(self._jitted(variables, data))
 
 

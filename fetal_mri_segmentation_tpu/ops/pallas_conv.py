@@ -46,7 +46,9 @@ def _kernel(x_hbm, w_ref, b_ref, out_ref, slab, sem, *, TH, W, CI, CO,
     d = pl.program_id(1)
     ht = pl.program_id(2)
 
-    # halo slab for this (b, d, h-tile): (3, TH+2, W+2, CI)
+    # halo slab for this (b, d, h-tile): (3, TH+2, Wp, CI) where Wp is the
+    # 8-aligned padded W extent (full W and C are DMA'd; only the untiled
+    # d/h dims are sliced -> alignment-safe)
     dma = pltpu.make_async_copy(
         x_hbm.at[b, pl.ds(d, 3), pl.ds(ht * TH, TH + 2), :, :],
         slab, sem)
@@ -92,6 +94,13 @@ def pallas_conv3x3_available(x_shape, ci: int, co: int) -> bool:
         return False  # Mosaic TPU kernels need a TPU (or interpret mode)
     if ci < 8:
         return False
+    if (ci % 128 != 0
+            and os.environ.get("FETAL_TPU_PALLAS_INTERPRET", "0") != "1"):
+        # Mosaic HBM->VMEM DMA requires the lane (channel) dim of the halo
+        # slab to be 128-aligned; narrower channels would need 4x zero
+        # padding, which erases the traffic win. The wide deep levels
+        # (128/256 ch) still qualify.
+        return False
     b, d, h, w = x_shape[0], x_shape[1], x_shape[2], x_shape[3]
     return _pick_th(d, h, w, ci, co) is not None
 
@@ -109,7 +118,11 @@ def _conv3x3_fwd(x, w, bias, *, activation="relu", negative_slope=0.01,
     if TH is None:
         raise ValueError(f"no valid tile for shape {x.shape}")
 
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    # conv halo pad; the W axis is additionally padded up to a multiple of 8
+    # because Mosaic requires HBM DMA slice shapes to be sublane-aligned
+    # (the slab copy reads the full padded W extent).
+    w_extra = (-(W + 2)) % 8
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1 + w_extra), (0, 0)))
     # (3, 3, 3, CI, CO) -> (kd, (kh, kw, ci), CO): matches the kernel's
     # concat order of the 9 shifted views.
     w27 = w.reshape(3, 9 * CI, CO)
@@ -133,7 +146,7 @@ def _conv3x3_fwd(x, w, bias, *, activation="relu", negative_slope=0.01,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D, H, W, CO), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, TH + 2, W + 2, CI), x.dtype),
+            pltpu.VMEM((3, TH + 2, W + 2 + w_extra, CI), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -168,7 +181,12 @@ def _bwd(activation, negative_slope, res, g):
     x, w, bias = res
     # recompute pre-activation with XLA autodiff machinery — keeps the
     # pallas kernel forward-only while training stays exactly correct.
-    pre, vjp = jax.vjp(_xla_conv, x, w)
+    # run the VJP in f32: lax.conv transposition requires uniform dtypes,
+    # and astype's own VJP routes the casts for us.
+    def conv_f32(x_, w_):
+        return _xla_conv(x_.astype(jnp.float32), w_.astype(jnp.float32))
+
+    pre, vjp = jax.vjp(conv_f32, x, w)
     pre = pre + bias.astype(jnp.float32)
     if activation == "relu":
         dact = (pre > 0)

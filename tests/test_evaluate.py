@@ -1,0 +1,57 @@
+"""evaluate.py CLI semantics: per-case hard-Dice CSV (SURVEY.md section 3.4)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import evaluate
+from fetal_mri_segmentation_tpu.utils.nifti import save_nifti
+
+
+@pytest.fixture
+def prediction_tree(tmp_path):
+    """Two fake cases with known overlap."""
+    for name, (t_sl, p_sl) in {
+        "case_a": (slice(0, 4), slice(0, 4)),     # perfect -> dice 1
+        "case_b": (slice(0, 4), slice(2, 6)),     # half overlap -> dice 0.5
+    }.items():
+        d = tmp_path / name
+        d.mkdir()
+        truth = np.zeros((8, 8, 8), np.uint8)
+        pred = np.zeros((8, 8, 8), np.uint8)
+        truth[t_sl] = 1
+        pred[p_sl] = 1
+        save_nifti(truth, str(d / "truth.nii.gz"))
+        save_nifti(pred, str(d / "prediction.nii.gz"))
+    return tmp_path
+
+
+def test_evaluate_scores_csv(prediction_tree, tmp_path):
+    out = str(tmp_path / "scores.csv")
+    df = evaluate.main(str(prediction_tree), labels=[1], output_csv=out,
+                       plot=False)
+    assert sorted(df.index) == ["case_a", "case_b"]
+    assert abs(df.loc["case_a", "label_1_dice"] - 1.0) < 1e-12
+    assert abs(df.loc["case_b", "label_1_dice"] - 0.5) < 1e-12
+    assert os.path.exists(out)
+
+
+def test_evaluate_plots(prediction_tree, tmp_path):
+    out = str(tmp_path / "scores.csv")
+    # training log for the curves plot
+    log = tmp_path / "training.log"
+    log.write_text("epoch,loss,val_loss\n0,-0.1,-0.08\n1,-0.3,-0.2\n")
+    evaluate.main(str(prediction_tree), labels=[1], output_csv=out,
+                  training_log=str(log), plot=True)
+    assert os.path.exists(str(tmp_path / "scores_boxplot.png"))
+    assert os.path.exists(str(tmp_path / "training_curves.png"))
+
+
+def test_evaluate_empty_dir_errors(tmp_path):
+    with pytest.raises(SystemExit, match="no prediction cases"):
+        evaluate.main(str(tmp_path / "nothing"), labels=[1],
+                      output_csv=str(tmp_path / "s.csv"), plot=False)

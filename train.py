@@ -51,7 +51,8 @@ def fetch_training_data_files(data_dir: str, modalities, truth_name="truth"):
     return training_data_files, subject_ids
 
 
-def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True):
+def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
+         profile_dir: str = None):
     from fetal_mri_segmentation_tpu.data import (open_data_file,
                                                  write_data_to_file)
     from fetal_mri_segmentation_tpu.models import build_model
@@ -97,8 +98,16 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True):
         if verbose:
             print(f"training on {n_dev} device(s); "
                   f"{n_train} steps/epoch, {n_val} val steps")
-        train_model(model, state, config, tg, vg, n_train, n_val, mesh=mesh,
-                    verbose=verbose)
+        if profile_dir:
+            # device-timeline trace (tensorboard-loadable) around training —
+            # observability the reference lacked (SURVEY.md section 5.1)
+            from fetal_mri_segmentation_tpu.utils.profiling import trace
+            with trace(profile_dir):
+                train_model(model, state, config, tg, vg, n_train, n_val,
+                            mesh=mesh, verbose=verbose)
+        else:
+            train_model(model, state, config, tg, vg, n_train, n_val,
+                        mesh=mesh, verbose=verbose)
     finally:
         data_file.close()
 
@@ -137,6 +146,8 @@ if __name__ == "__main__":
     ap.add_argument("--overwrite", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="synthetic end-to-end smoke run")
+    ap.add_argument("--profile", metavar="LOGDIR", default=None,
+                    help="capture a jax.profiler trace of training")
     args = ap.parse_args()
 
     if args.smoke:
@@ -150,4 +161,5 @@ if __name__ == "__main__":
         cfg.model_name = args.model_name
     if args.overwrite:
         cfg.overwrite = True
-    main(cfg, args.data_dir, overwrite=cfg.overwrite)
+    main(cfg, args.data_dir, overwrite=cfg.overwrite,
+         profile_dir=args.profile)
