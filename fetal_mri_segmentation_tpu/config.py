@@ -75,6 +75,7 @@ class Config:
     permute: bool = True  # one of the 48 cube symmetries (cubic patches only)
     distort: Optional[float] = None  # scale-deviation factor, e.g. 0.25
     contrast: Optional[float] = 0.1  # fetal-fork intensity augmentation factor
+    rotate: Optional[float] = None  # max rotation angle in degrees, e.g. 15
 
     # --- patch sampling -----------------------------------------------------
     validation_patch_overlap: int = 16
@@ -84,7 +85,7 @@ class Config:
                                                # as a fraction of patch size
 
     # --- normalization ------------------------------------------------------
-    normalization: str = "per_volume"  # "per_volume" | "global" z-score
+    normalization: str = "per_volume"  # "per_volume" | "global" | "windowed"
 
     # --- files --------------------------------------------------------------
     data_file: str = "fetal_data.h5"

@@ -128,9 +128,12 @@ def write_data_to_file(training_data_files: Sequence[Sequence[str]],
                 dtype=h5py.string_dtype())
         if normalize:
             from fetal_mri_segmentation_tpu.data.normalize import (
-                normalize_data_storage, normalize_data_storage_per_volume)
+                normalize_data_storage, normalize_data_storage_per_volume,
+                normalize_data_storage_windowed)
             if normalize == "global":
                 normalize_data_storage(h5["data"])
+            elif normalize == "windowed":
+                normalize_data_storage_windowed(h5["data"])
             else:
                 normalize_data_storage_per_volume(h5["data"])
             h5.attrs["normalization"] = normalize

@@ -50,3 +50,31 @@ def normalize_data_storage_per_volume(data_storage) -> None:
         v = np.asarray(data_storage[i], dtype=np.float32)
         data_storage[i] = normalize_data(
             v, v.mean(axis=(1, 2, 3)), v.std(axis=(1, 2, 3)))
+
+
+def window_intensities(data: np.ndarray, lower_percentile: float = 1.0,
+                       upper_percentile: float = 99.0) -> np.ndarray:
+    """Percentile windowing: clip each channel to its [p_lo, p_hi] range.
+
+    Reference: fetal-fork percentile/window normalization variant
+    (SURVEY.md section 2 normalization row, tagged [V] — MRI intensity tails
+    are clipped before z-scoring so bias-field outliers don't dominate the
+    moments).
+    """
+    out = np.empty_like(data, dtype=np.float32)
+    for c in range(data.shape[0]):
+        lo, hi = np.percentile(data[c], [lower_percentile, upper_percentile])
+        out[c] = np.clip(data[c], lo, hi)
+    return out
+
+
+def normalize_data_storage_windowed(data_storage,
+                                    lower_percentile: float = 1.0,
+                                    upper_percentile: float = 99.0) -> None:
+    """Percentile-window then per-volume z-score ("windowed" mode)."""
+    n = data_storage.shape[0]
+    for i in range(n):
+        v = window_intensities(np.asarray(data_storage[i], dtype=np.float32),
+                               lower_percentile, upper_percentile)
+        data_storage[i] = normalize_data(
+            v, v.mean(axis=(1, 2, 3)), v.std(axis=(1, 2, 3)))

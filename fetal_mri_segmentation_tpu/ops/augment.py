@@ -207,6 +207,46 @@ def random_scale(key: jax.Array, x: jnp.ndarray, y: jnp.ndarray,
     return x, y
 
 
+def random_rotation(key: jax.Array, x: jnp.ndarray, y: jnp.ndarray,
+                    max_angle_deg: float):
+    """Random small 3D rotation about the patch center (trilinear / nearest).
+
+    Reference: fetal-fork rotation augmentation (SURVEY.md section 2
+    augmentation row, tagged [M] "possibly translation/rotation"). Euler
+    angles drawn U(-a, a) per axis; implemented as one fused
+    `map_coordinates` gather on device like `random_scale`.
+    """
+    angles = jax.random.uniform(key, (3,), minval=-max_angle_deg,
+                                maxval=max_angle_deg) * (jnp.pi / 180.0)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)
+    rx = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32)
+    rx = rx.at[1, 1].set(ca[0]).at[1, 2].set(-sa[0]) \
+           .at[2, 1].set(sa[0]).at[2, 2].set(ca[0])
+    ry = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32)
+    ry = ry.at[0, 0].set(ca[1]).at[0, 2].set(sa[1]) \
+           .at[2, 0].set(-sa[1]).at[2, 2].set(ca[1])
+    rz = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32)
+    rz = rz.at[0, 0].set(ca[2]).at[0, 1].set(-sa[2]) \
+           .at[1, 0].set(sa[2]).at[1, 1].set(ca[2])
+    rot = rz @ ry @ rx  # output->input mapping uses the inverse = transpose
+
+    spatial = x.shape[1:]
+    centers = jnp.asarray([(s - 1) / 2.0 for s in spatial], jnp.float32)
+    grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in spatial],
+                         indexing="ij")
+    offset = jnp.stack([g - c for g, c in zip(grids, centers)])  # (3, D, H, W)
+    src = jnp.tensordot(rot.T, offset, axes=1) + centers[:, None, None, None]
+    coords = [src[i] for i in range(3)]
+
+    def _resample(vol, order):
+        return jax.scipy.ndimage.map_coordinates(vol, coords, order=order,
+                                                 mode="constant", cval=0.0)
+
+    x = jax.vmap(lambda v: _resample(v, 1))(x.astype(jnp.float32))
+    y = jax.vmap(lambda v: _resample(v, 0))(y)
+    return x, y
+
+
 # ---------------------------------------------------------------------------
 # Composed per-example pipeline, vmapped over the batch
 # ---------------------------------------------------------------------------
@@ -214,18 +254,21 @@ def random_scale(key: jax.Array, x: jnp.ndarray, y: jnp.ndarray,
 def augment_example(key: jax.Array, x: jnp.ndarray, y: jnp.ndarray,
                     *, flip: bool = True, permute: bool = True,
                     contrast: Optional[float] = None,
-                    scale_deviation: Optional[float] = None):
+                    scale_deviation: Optional[float] = None,
+                    rotate: Optional[float] = None):
     """Full augmentation of one (C,D,H,W) example + its truth, all on device.
 
-    Mirrors the reference order: spatial (scale, flip) via augment_data, then
-    the 48-symmetry permutation, then intensity (fetal contrast)
-    (reference: generator.py::augment_data call site in add_data).
+    Mirrors the reference order: spatial (scale/rotate, flip) via
+    augment_data, then the 48-symmetry permutation, then intensity (fetal
+    contrast) (reference: generator.py::augment_data call site in add_data).
     Static flags decide which transforms are traced in — disabled transforms
     cost nothing.
     """
-    k_scale, k_flip, k_perm, k_con = jax.random.split(key, 4)
+    k_scale, k_rot, k_flip, k_perm, k_con = jax.random.split(key, 5)
     if scale_deviation:
         x, y = random_scale(k_scale, x, y, scale_deviation)
+    if rotate:
+        x, y = random_rotation(k_rot, x, y, rotate)
     if flip:
         x, y = random_flip(k_flip, x, y)
     if permute:
@@ -238,9 +281,11 @@ def augment_example(key: jax.Array, x: jnp.ndarray, y: jnp.ndarray,
 def augment_batch(key: jax.Array, x: jnp.ndarray, y: jnp.ndarray,
                   *, flip: bool = True, permute: bool = True,
                   contrast: Optional[float] = None,
-                  scale_deviation: Optional[float] = None):
+                  scale_deviation: Optional[float] = None,
+                  rotate: Optional[float] = None):
     """vmap of `augment_example` over the leading batch axis."""
     keys = jax.random.split(key, x.shape[0])
     fn = partial(augment_example, flip=flip, permute=permute,
-                 contrast=contrast, scale_deviation=scale_deviation)
+                 contrast=contrast, scale_deviation=scale_deviation,
+                 rotate=rotate)
     return jax.vmap(fn)(keys, x, y)

@@ -81,9 +81,11 @@ def make_train_step(model, config, *, axis_name: Optional[str] = None,
     needs_dropout = config.model_name == "isensee" and config.dropout_rate > 0
     aug_kw = dict(flip=config.flip, permute=config.permute,
                   contrast=config.contrast,
-                  scale_deviation=config.distort)
+                  scale_deviation=config.distort,
+                  rotate=getattr(config, "rotate", None))
     do_augment = config.augment and any(
-        [config.flip, config.permute, config.contrast, config.distort])
+        [config.flip, config.permute, config.contrast, config.distort,
+         getattr(config, "rotate", None)])
 
     use_remat = bool(getattr(config, "remat", False))
 

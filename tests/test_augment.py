@@ -94,3 +94,34 @@ def test_augment_disabled_is_identity():
     x1, y1 = A.augment_batch(key, x, y, flip=False, permute=False, contrast=None)
     assert np.array_equal(np.asarray(x1), np.asarray(x))
     assert np.array_equal(np.asarray(y1), np.asarray(y))
+
+
+def test_random_rotation_properties():
+    """Rotation: shape-preserving, labels stay binary, 0-degrees == identity
+    (up to interpolation), and a rotated ball keeps its volume roughly."""
+    key = jax.random.PRNGKey(0)
+    zz, yy, xx = np.mgrid[:16, :16, :16]
+    ball = ((((zz - 8) ** 2 + (yy - 8) ** 2 + (xx - 8) ** 2) < 25)
+            .astype(np.float32))
+    x = jnp.asarray(ball[None] + 0.1)
+    y = jnp.asarray(ball[None])
+
+    x0, y0 = A.random_rotation(key, x, y, 0.0)
+    assert np.allclose(np.asarray(x0), np.asarray(x), atol=1e-5)
+    assert np.array_equal(np.asarray(y0), np.asarray(y))
+
+    xr, yr = A.random_rotation(key, x, y, 30.0)
+    assert xr.shape == x.shape and yr.shape == y.shape
+    assert set(np.unique(np.asarray(yr))).issubset({0.0, 1.0})
+    vol_ratio = np.asarray(yr).sum() / ball.sum()
+    assert 0.8 < vol_ratio < 1.2  # ball roughly preserved under rotation
+
+
+def test_augment_batch_with_rotation_runs():
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 1, 8, 8, 8)), jnp.float32)
+    y = (x > 0.5).astype(jnp.float32)
+    xa, ya = A.augment_batch(key, x, y, flip=True, permute=True,
+                             contrast=0.1, rotate=10.0)
+    assert xa.shape == x.shape and np.isfinite(np.asarray(xa)).all()
