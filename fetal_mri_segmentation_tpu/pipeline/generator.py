@@ -216,6 +216,7 @@ def data_generator(data_file, index_list, batch_size: int = 1,
             epoch_list = copy.copy(base_list)
         if shuffle_index_list:
             rng.shuffle(epoch_list)
+        yielded = False
         while epoch_list:
             index = epoch_list.pop()
             x, y = get_data_from_file(data_file, index,
@@ -227,7 +228,15 @@ def data_generator(data_file, index_list, batch_size: int = 1,
             if len(x_list) == batch_size or (not epoch_list and x_list):
                 yield convert_data(x_list, y_list, n_labels=n_labels,
                                    labels=labels)
+                yielded = True
                 x_list, y_list = [], []
+        if not yielded:
+            # every patch was blank-skipped: a consumer waiting on
+            # next(generator) would otherwise hang forever
+            raise RuntimeError(
+                "data_generator produced no batches for an entire epoch "
+                f"(skip_blank={skip_blank}, {len(base_list)} cases) — "
+                "truth volumes appear to be empty")
 
 
 def get_number_of_patches(data_file, index_list, patch_shape=None,

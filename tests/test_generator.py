@@ -111,3 +111,26 @@ def test_prefetch_passthrough_and_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer failed"):
         next(it)
+
+
+def test_all_blank_dataset_raises_instead_of_hanging(tmp_path):
+    """skip_blank on an all-background dataset must error, not spin forever."""
+    from fetal_mri_segmentation_tpu.utils.nifti import save_nifti
+    from fetal_mri_segmentation_tpu.data import write_data_to_file, open_data_file
+
+    files = []
+    for i in range(2):
+        d = tmp_path / f"case_{i}"
+        d.mkdir()
+        vol = np.random.default_rng(i).random((12, 12, 12)).astype(np.float32)
+        save_nifti(vol, str(d / "volume.nii.gz"))
+        save_nifti(np.zeros((12, 12, 12), np.uint8), str(d / "truth.nii.gz"))
+        files.append([str(d / "volume.nii.gz"), str(d / "truth.nii.gz")])
+    out = str(tmp_path / "blank.h5")
+    write_data_to_file(files, out, image_shape=(12, 12, 12), normalize=None,
+                       crop=False)
+    with open_data_file(out) as f:
+        gen = data_generator(f, [0, 1], batch_size=2, n_labels=1,
+                             patch_shape=(6, 6, 6), skip_blank=True, seed=0)
+        with pytest.raises(RuntimeError, match="no batches"):
+            next(gen)
