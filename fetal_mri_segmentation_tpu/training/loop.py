@@ -67,19 +67,22 @@ def train_model(model, state: TrainState, config,
     ckpt = CheckpointIO(config.model_file)
     csv = CSVLogger(config.training_log, append=True)
     meter = ThroughputMeter(config.patch_shape, config.image_shape)
-    plateau = ReduceLROnPlateau(state.learning_rate,
-                                factor=config.learning_rate_drop,
-                                patience=config.patience)
-    early = EarlyStopping(patience=config.early_stop)
 
     start_epoch = 0
     best_val = float("inf")
     if ckpt.exists() and not config.overwrite:
         state, start_epoch, best_val = ckpt.restore(state)
-        plateau.best = best_val
-        early.best = best_val
         if verbose:
             print(f"[resume] epoch {start_epoch}, best val {best_val:.4f}")
+
+    # construct schedulers AFTER a possible restore so a resumed run keeps
+    # its (possibly already-dropped) learning rate and best-val history
+    plateau = ReduceLROnPlateau(state.learning_rate,
+                                factor=config.learning_rate_drop,
+                                patience=config.patience)
+    early = EarlyStopping(patience=config.early_stop)
+    plateau.best = best_val
+    early.best = best_val
 
     rng = jax.random.PRNGKey(seed)
 

@@ -104,3 +104,37 @@ def test_train_model_multi_device_mesh(workdir):
         assert os.path.exists(cfg.training_log)
     finally:
         data_file.close()
+
+
+def test_resume_preserves_dropped_learning_rate(workdir, tmp_path):
+    """A resumed run must keep the checkpoint's (dropped) LR — the plateau
+    scheduler is rebuilt from the RESTORED state, not the fresh config."""
+    from fetal_mri_segmentation_tpu.training import CheckpointIO
+
+    d = tmp_path
+    cfg = make_cfg(workdir, model_file=str(d / "m.ckpt"),
+                   training_log=str(d / "log.csv"), n_epochs=1)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    # simulate a mid-training checkpoint with a dropped LR
+    state = state.set_learning_rate(cfg.initial_learning_rate * 0.25)
+    CheckpointIO(cfg.model_file).save(state, epoch=1, best_val=-0.3)
+
+    data_file = open_data_file(cfg.data_file)
+    try:
+        tg, n_t, vg, n_v = get_training_and_validation_generators(
+            data_file, batch_size=cfg.batch_size, n_labels=1,
+            training_keys_file=str(d / "t.pkl"),
+            validation_keys_file=str(d / "v.pkl"),
+            data_split=0.75, overwrite=True, patch_shape=cfg.patch_shape,
+            validation_batch_size=cfg.validation_batch_size,
+            skip_blank=True, seed=0)
+        cfg2 = make_cfg(workdir, model_file=str(d / "m.ckpt"),
+                        training_log=str(d / "log.csv"), n_epochs=2)
+        fresh = create_train_state(model, cfg2, jax.random.PRNGKey(0))
+        out_state = train_model(model, fresh, cfg2, tg, vg, n_t, n_v,
+                                verbose=False)
+        # lr stayed at (or below) the restored dropped value
+        assert out_state.learning_rate <= cfg.initial_learning_rate * 0.25 + 1e-12
+    finally:
+        data_file.close()
