@@ -169,3 +169,22 @@ def test_sharded_predictor_matches_single_device():
     single = pred({}, vol)
     sharded = make_sharded_predictor(pred, make_mesh(8))({}, vol)
     assert np.allclose(single, sharded, atol=1e-5)
+
+
+def test_dp_with_batchnorm_stats():
+    """BatchNorm under DP: per-shard stats are pmean'd into replicated stats."""
+    cfg = tiny_config(batch_normalization=True)
+    model = build_model(cfg)
+    mesh = make_mesh(8)
+    state = replicate_state(mesh, create_train_state(model, cfg,
+                                                     jax.random.PRNGKey(0)))
+    before = [np.asarray(l) for l in jax.tree_util.tree_leaves(state.batch_stats)]
+    assert before
+    x, y = make_batch(8)
+    step = make_dp_train_step(model, cfg, mesh)
+    new_state, m = step(state, *shard_batch(mesh, x, y),
+                        jax.random.PRNGKey(0), jnp.asarray(8))
+    assert np.isfinite(float(m["loss"]))
+    after = jax.tree_util.tree_leaves(new_state.batch_stats)
+    assert any(not np.allclose(np.asarray(a), b)
+               for a, b in zip(after, before))
