@@ -55,7 +55,7 @@ def main():
 
     predictor = SlidingWindowPredictor(model, config, image_shape=VOLUME,
                                        patch_shape=PATCH, overlap=OVERLAP,
-                                       patch_batch_size=9, use_gaussian=True)
+                                       patch_batch_size=27, use_gaussian=True)
     vol = rng.normal(0, 1, (1,) + VOLUME).astype(np.float32)
 
     # ---- warmup / compile ----
