@@ -101,18 +101,43 @@ def run_validation_cases(validation_keys_file: str, model, variables,
                          overlap: int = 16, threshold: float = 0.5,
                          output_label_map: bool = True,
                          permute: bool = False,
-                         patch_batch_size: int = 8) -> None:
+                         patch_batch_size: int = 8,
+                         mesh=None) -> None:
     """Predict every validation case into ``output_dir/validation_case_<i>``.
 
     Reference: prediction.py::run_validation_cases (same output layout; the
     predictor executable is built once and reused across cases — all volumes
     share the dataset's uniform image_shape).
+
+    ``mesh``: optional multi-device ``jax.sharding.Mesh`` — the patch grid is
+    sharded across devices (net-new; parallel/distributed.py).
     """
     validation_indices = pickle_load(validation_keys_file)
     image_shape = tuple(data_file.root.data.shape[-3:])
     predictor = SlidingWindowPredictor(
         model, config, image_shape=image_shape, overlap=overlap,
         patch_batch_size=patch_batch_size, tta_permute=permute)
+    if mesh is not None and len(mesh.devices.flat) > 1:
+        from fetal_mri_segmentation_tpu.parallel.distributed import (
+            make_sharded_predictor)
+
+        sharded = make_sharded_predictor(predictor, mesh)
+
+        class _ShardedAdapter:
+            """Duck-types the predictor: probabilities via the sharded scan,
+            label maps thresholded on host."""
+
+            def __call__(self, variables, data):
+                return sharded(variables, data)
+
+            def predict_labels(self, variables, data, threshold=0.5):
+                prob = sharded(variables, data)
+                if config.n_labels == 1:
+                    return (prob[0] > threshold).astype(np.uint8)
+                return get_prediction_labels(prob, threshold=threshold,
+                                             labels=config.labels)
+
+        predictor = _ShardedAdapter()
 
     subject_ids = None
     if "subject_ids" in data_file._h5:

@@ -18,7 +18,8 @@ import jax
 
 
 def main(config, output_dir: str = "prediction", overlap: int = 16,
-         tta: bool = False, patch_batch_size: int = 8):
+         tta: bool = False, patch_batch_size: int = 8,
+         num_devices: int = 1):
     from fetal_mri_segmentation_tpu.data import open_data_file
     from fetal_mri_segmentation_tpu.inference import run_validation_cases
     from fetal_mri_segmentation_tpu.models import build_model
@@ -30,12 +31,17 @@ def main(config, output_dir: str = "prediction", overlap: int = 16,
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
 
+    mesh = None
+    if num_devices and num_devices > 1:
+        from fetal_mri_segmentation_tpu.parallel import make_mesh
+        mesh = make_mesh(num_devices)
+
     data_file = open_data_file(config.data_file)
     try:
         run_validation_cases(config.validation_file, model, variables,
                              data_file, config, output_dir=output_dir,
                              overlap=overlap, permute=tta,
-                             patch_batch_size=patch_batch_size)
+                             patch_batch_size=patch_batch_size, mesh=mesh)
     finally:
         data_file.close()
     print(f"predictions written under {output_dir}/")
@@ -49,10 +55,13 @@ if __name__ == "__main__":
     ap.add_argument("--patch-batch-size", type=int, default=8)
     ap.add_argument("--tta", action="store_true",
                     help="48-symmetry test-time augmentation averaging")
+    ap.add_argument("--num-devices", type=int, default=1,
+                    help="shard the patch grid over N devices")
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config
 
     main(Config.load(args.config), output_dir=args.output_dir,
          overlap=args.overlap, tta=args.tta,
-         patch_batch_size=args.patch_batch_size)
+         patch_batch_size=args.patch_batch_size,
+         num_devices=args.num_devices)

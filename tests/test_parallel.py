@@ -188,3 +188,38 @@ def test_dp_with_batchnorm_stats():
     after = jax.tree_util.tree_leaves(new_state.batch_stats)
     assert any(not np.allclose(np.asarray(a), b)
                for a, b in zip(after, before))
+
+
+def test_run_validation_cases_sharded_matches_single(tmp_path):
+    """predict over a mesh writes the same prediction.nii.gz as one device."""
+    from fetal_mri_segmentation_tpu.data import (open_data_file,
+                                                 write_data_to_file)
+    from fetal_mri_segmentation_tpu.inference import run_validation_cases
+    from fetal_mri_segmentation_tpu.utils.io_utils import pickle_dump
+    from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
+    from tests.synthetic import write_synthetic_dataset
+
+    files = write_synthetic_dataset(str(tmp_path / "nii"), n_cases=2,
+                                    shape=(20, 20, 20))
+    h5p = str(tmp_path / "d.h5")
+    write_data_to_file(files, h5p, image_shape=(16, 16, 16),
+                       normalize="per_volume", crop=False)
+    keys = str(tmp_path / "v.pkl")
+    pickle_dump([0, 1], keys)
+
+    cfg = tiny_config(patch_shape=(8, 8, 8), image_shape=(16, 16, 16))
+    model = build_model(cfg)
+    variables = {"params": create_train_state(
+        model, cfg, jax.random.PRNGKey(0)).params}
+
+    with open_data_file(h5p) as f:
+        run_validation_cases(keys, model, variables, f, cfg,
+                             output_dir=str(tmp_path / "p1"), overlap=2,
+                             patch_batch_size=2)
+        run_validation_cases(keys, model, variables, f, cfg,
+                             output_dir=str(tmp_path / "p8"), overlap=2,
+                             patch_batch_size=2, mesh=make_mesh(8))
+    for case in ("validation_case_0", "validation_case_1"):
+        a = load_nifti(str(tmp_path / "p1" / case / "prediction.nii.gz")).get_fdata()
+        b = load_nifti(str(tmp_path / "p8" / case / "prediction.nii.gz")).get_fdata()
+        assert np.mean(a == b) > 0.999  # identical up to fp reduction ties
