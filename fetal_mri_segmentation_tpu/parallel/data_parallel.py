@@ -44,6 +44,13 @@ def make_mesh(num_devices: Optional[int] = None,
 
 def shard_batch(mesh: Mesh, *arrays):
     """Place host arrays with batch-axis sharding over the mesh."""
+    n = len(mesh.devices.flat)
+    for a in arrays:
+        if a.shape[0] % n != 0:
+            raise ValueError(
+                f"global batch size {a.shape[0]} is not divisible by the "
+                f"{n}-device data mesh — pick batch_size as a multiple of "
+                f"the device count")
     sharding = NamedSharding(mesh, P("data"))
     out = tuple(jax.device_put(a, sharding) for a in arrays)
     return out if len(out) > 1 else out[0]

@@ -223,3 +223,10 @@ def test_run_validation_cases_sharded_matches_single(tmp_path):
         a = load_nifti(str(tmp_path / "p1" / case / "prediction.nii.gz")).get_fdata()
         b = load_nifti(str(tmp_path / "p8" / case / "prediction.nii.gz")).get_fdata()
         assert np.mean(a == b) > 0.999  # identical up to fp reduction ties
+
+
+def test_indivisible_batch_clear_error():
+    mesh = make_mesh(8)
+    x = np.zeros((6, 1, 4, 4, 4), np.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch(mesh, x)
