@@ -27,8 +27,13 @@ from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
 def evaluate_case(case_dir: str, labels):
     truth = load_nifti(os.path.join(case_dir, "truth.nii.gz")).get_fdata()
     pred = load_nifti(os.path.join(case_dir, "prediction.nii.gz")).get_fdata()
-    return {f"label_{lab}_dice": hard_dice(truth == lab, pred == lab)
-            for lab in labels}
+    row = {f"label_{lab}_dice": hard_dice(truth == lab, pred == lab)
+           for lab in labels}
+    # deviation flag (see docs/PARITY.md): the reference's hard dice is NaN
+    # on empty-vs-empty; ours scores 1.0 and marks the case instead, so
+    # mean/boxplot aggregation stays finite without hiding the condition.
+    row["empty_truth"] = int(all(not np.any(truth == lab) for lab in labels))
+    return row
 
 
 def main(prediction_dir: str, labels, output_csv: str,
@@ -56,7 +61,7 @@ def main(prediction_dir: str, labels, output_csv: str,
 
         # Dice boxplot (reference: evaluate.py boxplot of per-label scores)
         fig, ax = plt.subplots(figsize=(6, 4))
-        df.boxplot(ax=ax)
+        df[[c for c in df.columns if c.endswith("_dice")]].boxplot(ax=ax)
         ax.set_ylabel("Dice coefficient")
         ax.set_title("Per-case hard Dice")
         fig.tight_layout()

@@ -44,7 +44,8 @@ class Config:
 
     # --- model --------------------------------------------------------------
     model_name: str = "unet"  # "unet" | "isensee"
-    depth: int = 4
+    depth: Optional[int] = None  # None = model default (unet: 4, isensee: 5);
+                                 # an explicit value is always honored as-is
     n_base_filters: int = 32
     deconvolution: bool = False
     batch_normalization: bool = False
@@ -100,9 +101,20 @@ class Config:
 
     # -------------------------------------------------------------------------
     def __post_init__(self):
+        if self.depth is None:
+            # Reference defaults: unet_model_3d(depth=4),
+            # isensee2017_model(depth=5). Resolved here so an explicitly
+            # configured depth is never reinterpreted downstream.
+            self.depth = 5 if self.model_name == "isensee" else 4
         self.image_shape = _tup(self.image_shape)
         self.patch_shape = _tup(self.patch_shape)
         self.labels = _tup(self.labels)
+        if self.labels is not None and len(self.labels) != self.n_labels:
+            # A mismatch would make the multi-class label map silently wrong
+            # (jnp.take clips argmax indices into a too-short label table).
+            raise ValueError(
+                f"len(labels)={len(self.labels)} must equal "
+                f"n_labels={self.n_labels}; got labels={self.labels}")
         self.all_modalities = tuple(self.all_modalities)
         if self.training_modalities is None:
             self.training_modalities = self.all_modalities

@@ -17,9 +17,12 @@ from fetal_mri_segmentation_tpu.models.isensee2017 import Isensee2017  # noqa: F
 from fetal_mri_segmentation_tpu.models import layers  # noqa: F401
 
 
-def build_model(config) -> Any:
+def build_model(config, bn_axis_name=None) -> Any:
     """Instantiate the configured model (reference: train.py model selection —
-    unet3d/model/unet.py::unet_model_3d vs isensee2017.py::isensee2017_model)."""
+    unet3d/model/unet.py::unet_model_3d vs isensee2017.py::isensee2017_model).
+
+    ``bn_axis_name``: mesh axis for sync-BatchNorm under data parallelism
+    (param tree is unchanged; only the moment reduction widens)."""
     dtype = jnp.dtype(config.compute_dtype)
     if config.model_name == "unet":
         return UNet3D(
@@ -32,11 +35,12 @@ def build_model(config) -> Any:
             activation_name=config.activation_name,
             dtype=dtype,
             use_pallas=getattr(config, "use_pallas_conv", False),
+            bn_axis_name=bn_axis_name,
         )
     if config.model_name == "isensee":
         return Isensee2017(
             n_labels=config.n_labels,
-            depth=config.depth if config.depth != 4 else 5,
+            depth=config.depth,
             n_base_filters=config.n_base_filters,
             dropout_rate=config.dropout_rate,
             n_segmentation_levels=config.n_segmentation_levels,

@@ -75,8 +75,12 @@ class ConvBlock(nn.Module):
     batch_normalization: bool = False
     instance_normalization: bool = False
     activation: str = "relu"  # "relu" | "leaky_relu" | "none"
+    negative_slope: float = 0.3  # Keras LeakyReLU default alpha (the
+                                 # reference Isensee blocks use LeakyReLU())
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False  # fused implicit-GEMM conv (ops/pallas_conv.py)
+    bn_axis_name: Optional[str] = None  # sync-BN: all-reduce the batch
+                                        # moments over this mesh axis (DP)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -88,39 +92,52 @@ class ConvBlock(nn.Module):
         if self.batch_normalization:
             x = nn.BatchNorm(use_running_average=not train, axis=-1,
                              momentum=0.99, epsilon=1e-3, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name,
                              name="bn")(x).astype(self.dtype)
         elif self.instance_normalization:
             x = InstanceNorm(dtype=self.dtype, name="in")(x)
         if self.activation == "relu":
             x = nn.relu(x)
         elif self.activation == "leaky_relu":
-            x = nn.leaky_relu(x, negative_slope=0.01)
+            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
         return x
 
     def _pallas_eligible(self, x) -> bool:
-        if not self.use_pallas:
-            return False
-        if self.kernel_size != (3, 3, 3) or self.strides != (1, 1, 1):
-            return False
-        from fetal_mri_segmentation_tpu.ops.pallas_conv import (
-            pallas_conv3x3_available)
+        return self._pallas_op(x) is not None
 
-        return pallas_conv3x3_available(x.shape, x.shape[-1], self.features)
+    def _pallas_op(self, x) -> Optional[Callable]:
+        """Pick the fused kernel for this conv's shape: the halo-slab kernel
+        when C is 128-aligned (no layout conversion), else the flat-plane
+        kernel (any C >= 8). None -> plain XLA path."""
+        if not self.use_pallas:
+            return None
+        if self.kernel_size != (3, 3, 3) or self.strides != (1, 1, 1):
+            return None
+        from fetal_mri_segmentation_tpu.ops.pallas_conv import (
+            conv3x3, pallas_conv3x3_available)
+        from fetal_mri_segmentation_tpu.ops.pallas_conv_flat import (
+            conv3x3_flat, pallas_conv_flat_available)
+
+        if pallas_conv3x3_available(x.shape, x.shape[-1], self.features):
+            return conv3x3
+        if pallas_conv_flat_available(x.shape, x.shape[-1], self.features):
+            return conv3x3_flat
+        return None
 
     def _pallas_path(self, x, *, train):
         """Fused conv+bias(+activation) through the Pallas implicit-GEMM
         kernel; param tree identical to the nn.Conv path
         ({"conv": {"kernel", "bias"}}) so checkpoints are interchangeable."""
-        from fetal_mri_segmentation_tpu.ops.pallas_conv import conv3x3
-
+        conv_op = self._pallas_op(x)
         kernel, bias = _ConvParams(self.features, name="conv")(x.shape[-1])
         fused_act = "none" if (self.batch_normalization
                                or self.instance_normalization) else self.activation
-        y = conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
-                    bias.astype(jnp.float32), fused_act, 0.01)
+        y = conv_op(x.astype(self.dtype), kernel.astype(self.dtype),
+                    bias.astype(jnp.float32), fused_act, self.negative_slope)
         if self.batch_normalization:
             y = nn.BatchNorm(use_running_average=not train, axis=-1,
                              momentum=0.99, epsilon=1e-3, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name,
                              name="bn")(y).astype(self.dtype)
         elif self.instance_normalization:
             y = InstanceNorm(dtype=self.dtype, name="in")(y)
@@ -128,7 +145,7 @@ class ConvBlock(nn.Module):
             if self.activation == "relu":
                 y = nn.relu(y)
             elif self.activation == "leaky_relu":
-                y = nn.leaky_relu(y, negative_slope=0.01)
+                y = nn.leaky_relu(y, negative_slope=self.negative_slope)
         return y
 
 

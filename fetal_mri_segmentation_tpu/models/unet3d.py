@@ -37,6 +37,13 @@ class UNet3D(nn.Module):
     activation_name: str = "sigmoid"
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    bn_axis_name: Any = None  # sync-BN mesh axis under data parallelism
+
+    def _conv_block(self, f, name):
+        return ConvBlock(f, batch_normalization=self.batch_normalization,
+                         instance_normalization=self.instance_normalization,
+                         dtype=self.dtype, use_pallas=self.use_pallas,
+                         bn_axis_name=self.bn_axis_name, name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -46,14 +53,8 @@ class UNet3D(nn.Module):
         skips = []
         for level in range(self.depth):
             f = self.n_base_filters * (2 ** level)
-            x = ConvBlock(f, batch_normalization=self.batch_normalization,
-                          instance_normalization=self.instance_normalization,
-                          dtype=self.dtype, use_pallas=self.use_pallas,
-                          name=f"enc{level}_conv1")(x, train=train)
-            x = ConvBlock(f * 2, batch_normalization=self.batch_normalization,
-                          instance_normalization=self.instance_normalization,
-                          dtype=self.dtype, use_pallas=self.use_pallas,
-                          name=f"enc{level}_conv2")(x, train=train)
+            x = self._conv_block(f, f"enc{level}_conv1")(x, train=train)
+            x = self._conv_block(f * 2, f"enc{level}_conv2")(x, train=train)
             if level < self.depth - 1:
                 skips.append(x)
                 x = max_pool_3d(x, self.pool_size)
@@ -65,14 +66,8 @@ class UNet3D(nn.Module):
                        name=f"dec{level}_up")(x)
             x = jnp.concatenate([x, skip], axis=-1)
             f = skip.shape[-1]
-            x = ConvBlock(f, batch_normalization=self.batch_normalization,
-                          instance_normalization=self.instance_normalization,
-                          dtype=self.dtype, use_pallas=self.use_pallas,
-                          name=f"dec{level}_conv1")(x, train=train)
-            x = ConvBlock(f, batch_normalization=self.batch_normalization,
-                          instance_normalization=self.instance_normalization,
-                          dtype=self.dtype, use_pallas=self.use_pallas,
-                          name=f"dec{level}_conv2")(x, train=train)
+            x = self._conv_block(f, f"dec{level}_conv1")(x, train=train)
+            x = self._conv_block(f, f"dec{level}_conv2")(x, train=train)
 
         x = nn.Conv(self.n_labels, (1, 1, 1), dtype=jnp.float32,
                     param_dtype=jnp.float32, name="head")(x.astype(jnp.float32))

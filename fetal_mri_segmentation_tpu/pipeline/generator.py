@@ -101,9 +101,11 @@ def convert_data(x_list: List[np.ndarray], y_list: List[np.ndarray],
 
 
 def get_number_of_steps(n_samples: int, batch_size: int) -> int:
-    """Reference: generator.py::get_number_of_steps (ceil division)."""
+    """Reference: generator.py::get_number_of_steps — ceil division, except
+    that for n_samples <= batch_size the reference returns ``n_samples``
+    (each step then yields a partial batch of 1+ samples), matched exactly."""
     if n_samples <= batch_size:
-        return 1
+        return n_samples
     return -(-n_samples // batch_size)
 
 

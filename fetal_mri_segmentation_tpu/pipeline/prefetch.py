@@ -30,6 +30,18 @@ def prefetch(generator: Iterator, size: int = 2,
     q: "queue.Queue" = queue.Queue(maxsize=size)
     stop_flag = threading.Event()
 
+    def put_checking_stop(item) -> bool:
+        """q.put that re-checks stop_flag so an abandoned consumer (e.g. an
+        exception in the train step) never leaves the producer blocked on a
+        full queue holding device buffers. Returns False once stopped."""
+        while not stop_flag.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in generator:
@@ -37,11 +49,12 @@ def prefetch(generator: Iterator, size: int = 2,
                     return
                 if device_put is not None:
                     item = device_put(item)
-                q.put(item)
+                if not put_checking_stop(item):
+                    return
         except Exception as e:  # surface producer errors to the consumer
-            q.put(e)
+            put_checking_stop(e)
         finally:
-            q.put(_Stop())
+            put_checking_stop(_Stop())
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

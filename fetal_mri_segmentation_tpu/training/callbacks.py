@@ -87,17 +87,42 @@ class CSVLogger:
         if not append and os.path.exists(filename):
             os.remove(filename)
 
+    def _read_existing(self):
+        """(header, rows) of the current file, or (None, [])."""
+        if not os.path.exists(self.filename):
+            return None, []
+        with open(self.filename, newline="") as f:
+            reader = csv.reader(f)
+            try:
+                header = next(reader)
+            except StopIteration:
+                return None, []
+            return header, [dict(zip(header, r)) for r in reader]
+
     def log(self, epoch: int, row: Dict[str, float]) -> None:
         row = {"epoch": epoch, **{k: float(v) for k, v in row.items()}}
-        exists = os.path.exists(self.filename)
-        with open(self.filename, "a", newline="") as f:
-            if self._fieldnames is None:
-                self._fieldnames = list(row.keys())
-            w = csv.DictWriter(f, fieldnames=self._fieldnames,
-                               extrasaction="ignore")
-            if not exists:
+        if self._fieldnames is None:
+            # resume-append: adopt the existing file's header, don't assume
+            # this run logs the same columns the original run did
+            self._fieldnames = self._read_existing()[0]
+        new_keys = [k for k in row if k not in (self._fieldnames or ())]
+        if self._fieldnames is None:
+            self._fieldnames = list(row.keys())
+            with open(self.filename, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._fieldnames).writeheader()
+        elif new_keys:
+            # a resumed run added metrics (e.g. label-wise dice toggled on):
+            # widen the header and rewrite history instead of silently
+            # dropping the new columns
+            header, rows = self._read_existing()
+            self._fieldnames = list(self._fieldnames) + new_keys
+            with open(self.filename, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fieldnames, restval="")
                 w.writeheader()
-            w.writerow(row)
+                w.writerows(rows)
+        with open(self.filename, "a", newline="") as f:
+            csv.DictWriter(f, fieldnames=self._fieldnames, restval="",
+                           extrasaction="ignore").writerow(row)
 
 
 class ThroughputMeter:

@@ -47,7 +47,10 @@ def test_multi_class_labels():
 def test_number_of_steps():
     assert get_number_of_steps(10, 4) == 3
     assert get_number_of_steps(8, 4) == 2
-    assert get_number_of_steps(2, 4) == 1
+    # reference branch: n_samples <= batch_size returns n_samples
+    assert get_number_of_steps(2, 4) == 2
+    assert get_number_of_steps(4, 4) == 4
+    assert get_number_of_steps(5, 4) == 2
 
 
 def test_patch_index_list_offsets():
@@ -111,6 +114,29 @@ def test_prefetch_passthrough_and_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer failed"):
         next(it)
+
+
+def test_prefetch_producer_exits_when_consumer_abandons():
+    """An abandoned consumer must not leave the producer thread blocked on
+    q.put forever (it may hold device buffers)."""
+    import threading
+    import time
+
+    producer_done = threading.Event()
+
+    def infinite():
+        try:
+            i = 0
+            while True:
+                yield i
+                i += 1
+        finally:
+            producer_done.set()
+
+    it = prefetch(infinite(), size=1)
+    assert next(it) == 0
+    it.close()  # consumer abandons mid-stream (generator finalizer)
+    assert producer_done.wait(timeout=5.0), "producer thread leaked"
 
 
 def test_all_blank_dataset_raises_instead_of_hanging(tmp_path):

@@ -87,6 +87,19 @@ def test_build_model_factory():
     m2 = build_model(cfg2)
     assert isinstance(m2, Isensee2017)
     assert m2.depth == 5  # isensee default depth
+    # an explicitly configured depth is honored verbatim (no sentinel remap)
+    cfg3 = Config(model_name="isensee", depth=4, n_base_filters=2)
+    assert build_model(cfg3).depth == 4
+    assert Config(model_name="unet").depth == 4
+
+
+def test_isensee_rejects_too_many_seg_levels():
+    import pytest as _pytest
+
+    model = Isensee2017(n_labels=1, depth=3, n_base_filters=2,
+                        n_segmentation_levels=3, dtype=jnp.float32)
+    with _pytest.raises(ValueError, match="n_segmentation_levels"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 1)))
 
 
 def test_config_roundtrip(tmp_path):

@@ -189,3 +189,23 @@ def test_remat_train_step_matches_plain():
     for a, b in zip(jax.tree_util.tree_leaves(n1.params),
                     jax.tree_util.tree_leaves(n2.params)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_csv_logger_widens_header_on_resume(tmp_path):
+    """A resumed run that logs NEW columns must widen the header (rewriting
+    history with blanks) instead of silently dropping them; a run that drops
+    columns keeps the header and leaves blanks."""
+    import csv as _csv
+
+    from fetal_mri_segmentation_tpu.training.callbacks import CSVLogger
+
+    p = str(tmp_path / "training.log")
+    CSVLogger(p).log(0, {"loss": 1.0})
+    CSVLogger(p).log(1, {"loss": 0.5, "label_0_dice_coef": 0.9})  # resumed +col
+    CSVLogger(p).log(2, {"loss": 0.4})                            # resumed -col
+    with open(p) as f:
+        rows = list(_csv.DictReader(f))
+    assert rows[0]["label_0_dice_coef"] == ""
+    assert rows[1]["label_0_dice_coef"] == "0.9"
+    assert rows[2]["loss"] == "0.4" and rows[2]["label_0_dice_coef"] == ""
+    assert [r["epoch"] for r in rows] == ["0", "1", "2"]

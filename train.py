@@ -52,7 +52,7 @@ def fetch_training_data_files(data_dir: str, modalities, truth_name="truth"):
 
 
 def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
-         profile_dir: str = None):
+         profile_dir: str = None, seed: int = 0):
     from fetal_mri_segmentation_tpu.data import (open_data_file,
                                                  write_data_to_file)
     from fetal_mri_segmentation_tpu.models import build_model
@@ -78,7 +78,7 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
     try:
         # 2. model + state (resume handled inside train_model via checkpoint)
         model = build_model(config)
-        state = create_train_state(model, config, jax.random.PRNGKey(0))
+        state = create_train_state(model, config, jax.random.PRNGKey(seed))
 
         # 3. generators (reference: get_training_and_validation_generators)
         tg, n_train, vg, n_val = get_training_and_validation_generators(
@@ -90,7 +90,7 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
             validation_batch_size=config.validation_batch_size,
             validation_patch_overlap=config.validation_patch_overlap,
             training_patch_start_offset=config.training_patch_start_offset,
-            skip_blank=config.skip_blank, seed=0)
+            skip_blank=config.skip_blank, seed=seed)
 
         # 4. train (multi-device DP when >1 chip visible)
         n_dev = config.num_devices or len(jax.devices())
@@ -104,10 +104,10 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
             from fetal_mri_segmentation_tpu.utils.profiling import trace
             with trace(profile_dir):
                 train_model(model, state, config, tg, vg, n_train, n_val,
-                            mesh=mesh, verbose=verbose)
+                            mesh=mesh, seed=seed, verbose=verbose)
         else:
             train_model(model, state, config, tg, vg, n_train, n_val,
-                        mesh=mesh, verbose=verbose)
+                        mesh=mesh, seed=seed, verbose=verbose)
     finally:
         data_file.close()
 
@@ -148,6 +148,8 @@ if __name__ == "__main__":
                     help="synthetic end-to-end smoke run")
     ap.add_argument("--profile", metavar="LOGDIR", default=None,
                     help="capture a jax.profiler trace of training")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="seed for init, patch sampling and augmentation")
     args = ap.parse_args()
 
     if args.smoke:
@@ -162,4 +164,4 @@ if __name__ == "__main__":
     if args.overwrite:
         cfg.overwrite = True
     main(cfg, args.data_dir, overwrite=cfg.overwrite,
-         profile_dir=args.profile)
+         profile_dir=args.profile, seed=args.seed)
