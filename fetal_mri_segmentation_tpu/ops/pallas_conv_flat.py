@@ -81,7 +81,8 @@ def _interior_mask(H: int, W: int, P: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _flat_kernel(x_hbm, w_ref, b_ref, mask_ref, out_ref, slab, sem, *,
-                 C, CO, P, W2, activation, negative_slope, out_dtype):
+                 C, CO, P, W2, tap_group, activation, negative_slope,
+                 out_dtype):
     b = pl.program_id(0)
     d = pl.program_id(1)
 
@@ -89,21 +90,33 @@ def _flat_kernel(x_hbm, w_ref, b_ref, mask_ref, out_ref, slab, sem, *,
     dma.start()
     dma.wait()
 
+    def rolled(plane, kh, kw):
+        # A[p] = plane[p + shift]: lane rotation; wraparound only
+        # touches ring/pad outputs, which the mask re-zeroes.
+        shift = (kh - 1) * W2 + (kw - 1)
+        return jnp.roll(plane, -shift, axis=1) if shift else plane
+
     acc = jnp.zeros((CO, P), jnp.float32)
     for kd in range(3):
         plane = slab[kd]  # (C, P)
-        taps = []
-        for kh in range(3):
-            for kw in range(3):
-                # A[p] = plane[p + shift]: lane rotation; wraparound only
-                # touches ring/pad outputs, which the mask re-zeroes.
-                shift = (kh - 1) * W2 + (kw - 1)
-                taps.append(jnp.roll(plane, -shift, axis=1) if shift
-                            else plane)
-        a = jnp.concatenate(taps, axis=0)            # (9C, P)
-        acc += jax.lax.dot_general(
-            w_ref[kd], a, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (CO, 9C) @ (9C, P)
+        if tap_group == 9:
+            # all 27 taps in 3 MXU passes with K = 9*C
+            a = jnp.concatenate([rolled(plane, kh, kw)
+                                 for kh in range(3) for kw in range(3)],
+                                axis=0)              # (9C, P)
+            acc += jax.lax.dot_general(
+                w_ref[kd], a, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (CO, 9C) @ (9C, P)
+        else:
+            # wide-C fallback: one pass per kh with K = 3*C — the (9C, P)
+            # concat would exceed scoped VMEM (w_ref is (3, 3, CO, 3C))
+            for kh in range(3):
+                a = jnp.concatenate([rolled(plane, kh, kw)
+                                     for kw in range(3)], axis=0)  # (3C, P)
+                acc += jax.lax.dot_general(
+                    w_ref[kd, kh], a,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
     acc = acc + b_ref[:, 0][:, None]
     if activation == "relu":
@@ -114,16 +127,32 @@ def _flat_kernel(x_hbm, w_ref, b_ref, mask_ref, out_ref, slab, sem, *,
     out_ref[...] = acc.reshape(1, 1, CO, P).astype(out_dtype)
 
 
+def _tap_group(ci: int, P: int) -> int:
+    """9 (all taps in one K-packed GEMM) unless the (9C, P) concat buffer
+    would crowd scoped VMEM; then 3 (one GEMM per kh row, K = 3C)."""
+    return 9 if 9 * ci * P * 2 <= 6 * 1024 * 1024 else 3
+
+
 def _conv_flat(xf, w, bias, mask, *, H, W, activation, negative_slope,
                interpret):
     """xf: (B, D+2, C, P) -> (B, D+2, CO, P) (border ring zeroed)."""
     B, D2, C, P = xf.shape
     CO = w.shape[-1]
-    # (3,3,3,C,CO) -> per-kd (CO, 9C), columns ordered (kh, kw, ci)
-    w_k = jnp.transpose(w.reshape(3, 9 * C, CO), (0, 2, 1))
+    tap_group = _tap_group(C, P)
+    if tap_group == 9:
+        # (3,3,3,C,CO) -> per-kd (CO, 9C), columns ordered (kh, kw, ci)
+        w_k = jnp.transpose(w.reshape(3, 9 * C, CO), (0, 2, 1))
+        w_spec = pl.BlockSpec((3, CO, 9 * C), lambda b, d: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        # per-(kd, kh) (CO, 3C), columns ordered (kw, ci)
+        w_k = jnp.transpose(w.reshape(3, 3, 3 * C, CO), (0, 1, 3, 2))
+        w_spec = pl.BlockSpec((3, 3, CO, 3 * C), lambda b, d: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
     bias2 = bias.reshape(CO, 1).astype(jnp.float32)
 
     kernel = functools.partial(_flat_kernel, C=C, CO=CO, P=P, W2=W + 2,
+                               tap_group=tap_group,
                                activation=activation,
                                negative_slope=negative_slope,
                                out_dtype=xf.dtype)
@@ -132,8 +161,7 @@ def _conv_flat(xf, w, bias, mask, *, H, W, activation, negative_slope,
         grid=(B, D2 - 2),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((3, CO, 9 * C), lambda b, d: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((CO, 1), lambda b, d: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P), lambda b, d: (0, 0),
@@ -156,6 +184,71 @@ def _conv_flat(xf, w, bias, mask, *, H, W, activation, negative_slope,
     out = jax.lax.dynamic_update_slice(out, zero, (0, 0, 0, 0))
     out = jax.lax.dynamic_update_slice(out, zero, (0, D2 - 1, 0, 0))
     return out
+
+
+def pallas_conv_flat_available(x_shape, ci: int, co: int) -> bool:
+    """Eligibility for the flat-plane kernel: any channel count >= 8.
+
+    Complements ops/pallas_conv.py's slab kernel (which needs C % 128 == 0):
+    together they cover every conv level except the 1-channel stem.
+    """
+    if os.environ.get("FETAL_TPU_NO_PALLAS", "0") == "1":
+        return False
+    if (jax.default_backend() != "tpu"
+            and os.environ.get("FETAL_TPU_PALLAS_INTERPRET", "0") != "1"):
+        return False  # Mosaic TPU kernels need a TPU (or interpret mode)
+    if ci < 8:
+        return False  # K = 9*ci too thin for the MXU; XLA keeps the stem
+    h, w = int(x_shape[2]), int(x_shape[3])
+    P = _round_up((h + 2) * (w + 2), 128)
+    # VMEM per program: input slab + tap-concat buffer (the dominant
+    # transient; see _tap_group) + weights + mask + f32 acc + 2x out
+    # (double-buffered across grid steps). Mosaic's scoped-vmem limit is
+    # 16 MB; leave headroom for rotation temporaries.
+    group = _tap_group(ci, P)
+    vmem = (3 * ci * P * 2 + group * ci * P * 2 + 27 * ci * co * 2 + P * 4
+            + co * P * 4 + 2 * co * P * 2)
+    # 14 MB cap against the 16 MB scoped limit — the C=192 @ 64^3 decoder
+    # level (estimate ~13.3 MB) verified compiling + matching XLA on chip.
+    return vmem < 14 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "negative_slope",
+                                             "interpret"))
+def _conv3x3_flat_fwd(x, w, bias, *, activation="relu", negative_slope=0.3,
+                      interpret=None):
+    """Single fused conv+bias+act through the flat-plane kernel, NDHWC in/out."""
+    if interpret is None:
+        interpret = (os.environ.get("FETAL_TPU_PALLAS_INTERPRET", "0") == "1")
+    B, D, H, W, _ = x.shape
+    xf, (H, W, P) = to_flat(x)
+    mask = jnp.asarray(_interior_mask(H, W, P))
+    yf = _conv_flat(xf, w.astype(x.dtype), bias, mask, H=H, W=W,
+                    activation=activation, negative_slope=negative_slope,
+                    interpret=interpret)
+    return from_flat(yf, H, W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_flat(x, w, bias, activation="relu", negative_slope=0.3):
+    """Differentiable fused conv3^3+bias+activation for ANY channel count:
+    Pallas flat-plane forward, XLA-recompute backward (shared with
+    ops/pallas_conv.py::conv3x3 — identical NDHWC contract)."""
+    return _conv3x3_flat_fwd(x, w, bias, activation=activation,
+                             negative_slope=negative_slope)
+
+
+def _flat_vjp_fwd(x, w, bias, activation, negative_slope):
+    y = conv3x3_flat(x, w, bias, activation, negative_slope)
+    return y, (x, w, bias)
+
+
+def _flat_vjp_bwd(activation, negative_slope, res, g):
+    from fetal_mri_segmentation_tpu.ops import pallas_conv as _pc
+    return _pc._bwd(activation, negative_slope, res, g)
+
+
+conv3x3_flat.defvjp(_flat_vjp_fwd, _flat_vjp_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("activations", "negative_slope",
