@@ -48,6 +48,12 @@ class Isensee2017(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  logits: bool = False) -> jnp.ndarray:
         """x: (B, D, H, W, C) → (B, D, H, W, n_labels)."""
+        if self.n_segmentation_levels > self.depth - 1:
+            raise ValueError(
+                f"n_segmentation_levels={self.n_segmentation_levels} needs "
+                f"depth >= n_segmentation_levels+1 (got depth={self.depth}); "
+                f"deep-supervision heads sit on decoder levels, of which "
+                f"there are depth-1")
         x = x.astype(self.dtype)
         level_outputs = []
         level_filters = []

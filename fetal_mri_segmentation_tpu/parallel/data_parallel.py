@@ -81,20 +81,34 @@ def _shardwise(inner: Callable) -> Callable:
     return shard_fn
 
 
-def make_dp_train_step(model, config, mesh: Mesh) -> Callable:
+def make_dp_train_step(model, config, mesh: Mesh, *,
+                       debug_return_batch: bool = False) -> Callable:
     """``step(state, x, y, rng, n_valid) -> (state, metrics)`` over the mesh.
 
     Inputs: `state` replicated, `x`/`y` globally-shaped with batch sharded on
     "data" (use `shard_batch`), `rng` a single key, `n_valid` the number of
     real samples in the global batch.
+
+    BatchNorm under DP is SYNC-BN: the model is rebuilt with
+    ``bn_axis_name="data"`` so the norm moments are computed over the GLOBAL
+    batch (XLA all-reduce inside the step) — bitwise-matching the
+    single-device step on the same global batch, not per-shard statistics.
+
+    ``debug_return_batch``: step additionally returns the sharded
+    post-augment ``(x, y)`` (test hook for per-shard RNG divergence).
     """
-    inner = make_train_step(model, config, axis_name="data", jit=False)
+    if getattr(config, "batch_normalization", False):
+        from fetal_mri_segmentation_tpu.models import build_model
+        model = build_model(config, bn_axis_name="data")
+    inner = make_train_step(model, config, axis_name="data", jit=False,
+                            debug_return_batch=debug_return_batch)
     shard_fn = _shardwise(inner)
 
+    out_specs = (P(), P(), P("data")) if debug_return_batch else (P(), P())
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P(), P()),
-        out_specs=(P(), P()))
+        out_specs=out_specs)
     return jax.jit(mapped, donate_argnums=(0,))
 
 

@@ -69,13 +69,18 @@ def _forward(model, params, batch_stats, x_ncdhw, *, train, dropout_rng=None):
 
 
 def make_train_step(model, config, *, axis_name: Optional[str] = None,
-                    jit: bool = True) -> Callable:
+                    jit: bool = True,
+                    debug_return_batch: bool = False) -> Callable:
     """Build ``step(state, x, y, rng) -> (state, metrics)``.
 
     With ``axis_name`` set the step is written for use inside
     shard_map/pjit: gradients (and BatchNorm stats) are psum-averaged over
     that mesh axis before the update — the ICI all-reduce of BASELINE
     config #5. The same function serves N=1 (axis_name=None) unchanged.
+
+    ``debug_return_batch``: the step additionally returns the post-augment
+    ``(x, y)`` it actually trained on — test hook proving per-shard
+    augmentation divergence under DP (see tests/test_parallel.py).
     """
     loss_fn_inner = get_loss_fn(config)
     needs_dropout = config.model_name == "isensee" and config.dropout_rate > 0
@@ -140,6 +145,8 @@ def make_train_step(model, config, *, axis_name: Optional[str] = None,
             # shard_map's out_specs=P() variance check.
             metrics = jax.tree_util.tree_map(
                 lambda v: jax.lax.pmean(v, axis_name), metrics)
+        if debug_return_batch:
+            return new_state, metrics, (x, y)
         return new_state, metrics
 
     if jit and axis_name is None:

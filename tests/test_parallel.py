@@ -111,18 +111,27 @@ def test_dp_eval_step_runs():
 
 
 def test_dp_augmented_shards_differ():
-    """With augmentation on, shards fold the axis index into the RNG — the
-    DP step must still run and produce finite metrics."""
-    cfg = tiny_config(augment=True, flip=True, permute=True, contrast=0.1)
+    """Per-shard RNG divergence: feed the SAME sample to every shard and
+    assert the post-augment sub-batches differ pairwise — this fails if the
+    `fold_in(axis_index)` in parallel/data_parallel.py::_shardwise is
+    removed (all shards would then apply identical augmentation)."""
+    cfg = tiny_config(augment=True, flip=True, permute=True, contrast=0.5)
     model = build_model(cfg)
     mesh = make_mesh(8)
     state = replicate_state(mesh, create_train_state(model, cfg,
                                                      jax.random.PRNGKey(0)))
-    x, y = make_batch(8)
-    step = make_dp_train_step(model, cfg, mesh)
-    new_state, m = step(state, *shard_batch(mesh, x, y),
-                        jax.random.PRNGKey(1), jnp.asarray(8))
+    x1, y1 = make_batch(1)
+    x = np.tile(x1, (8, 1, 1, 1, 1))  # identical sample on every shard
+    y = np.tile(y1, (8, 1, 1, 1, 1))
+    step = make_dp_train_step(model, cfg, mesh, debug_return_batch=True)
+    new_state, m, (x_aug, y_aug) = step(state, *shard_batch(mesh, x, y),
+                                        jax.random.PRNGKey(1), jnp.asarray(8))
     assert np.isfinite(float(m["loss"]))
+    x_aug = np.asarray(x_aug)
+    n_distinct = len({x_aug[i].tobytes() for i in range(8)})
+    assert n_distinct >= 6, (
+        f"only {n_distinct}/8 distinct augmented shards — per-shard RNG "
+        f"fold_in is broken")
 
 
 def test_dp_weighted_loss_matches_single_device():
@@ -188,6 +197,75 @@ def test_dp_with_batchnorm_stats():
     after = jax.tree_util.tree_leaves(new_state.batch_stats)
     assert any(not np.allclose(np.asarray(a), b)
                for a, b in zip(after, before))
+
+
+def test_dp_batchnorm_matches_single_device():
+    """Sync-BN equivalence: with bn_axis_name the DP step computes
+    GLOBAL-batch moments, so params AND batch_stats after one step match the
+    single-device step on the same global batch (shard means differ, so this
+    fails with naive per-shard BN statistics)."""
+    import optax
+
+    cfg = tiny_config(batch_normalization=True)
+    model = build_model(cfg)
+    tx = optax.sgd(1.0)
+    x, y = make_batch(8, seed=9)
+    x += np.arange(8, dtype=np.float32).reshape(8, 1, 1, 1, 1)  # shard means differ
+    rng = jax.random.PRNGKey(3)
+
+    s1 = create_train_state(model, cfg, jax.random.PRNGKey(0), tx=tx)
+    new1, m1 = make_train_step(model, cfg)(s1, jnp.asarray(x), jnp.asarray(y),
+                                           rng, 8)
+
+    mesh = make_mesh(8)
+    s8 = replicate_state(mesh, create_train_state(model, cfg,
+                                                  jax.random.PRNGKey(0), tx=tx))
+    step8 = make_dp_train_step(model, cfg, mesh)
+    new8, m8 = step8(s8, *shard_batch(mesh, x, y), rng, jnp.asarray(8))
+
+    assert np.allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new1.batch_stats),
+                    jax.tree_util.tree_leaves(new8.batch_stats)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), \
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+    for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                    jax.tree_util.tree_leaves(new8.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_initialize_distributed_two_process_smoke():
+    """parallel/distributed.py::initialize_distributed across two REAL
+    processes (CPU backend): both must see process_count==2 and the union of
+    devices (the multi-host entry SURVEY section 5.8 requires)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = (
+        "import sys, jax\n"
+        "from fetal_mri_segmentation_tpu.parallel.distributed import "
+        "initialize_distributed\n"
+        "initialize_distributed('127.0.0.1:%d', 2, int(sys.argv[1]))\n"
+        "assert jax.process_count() == 2, jax.process_count()\n"
+        "assert jax.device_count() == 2 * jax.local_device_count()\n"
+        "print('proc', sys.argv[1], 'ok')\n" % port)
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="")
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + ":" + env.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "ok" in out
 
 
 def test_run_validation_cases_sharded_matches_single(tmp_path):
