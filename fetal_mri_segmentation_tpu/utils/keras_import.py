@@ -104,6 +104,115 @@ def _unet_param_order(params: dict) -> List[str]:
     return [k for k in order if k in params]
 
 
+def _is_norm(name: str) -> bool:
+    return "normalization" in name.lower()
+
+
+def _is_conv(name: str) -> bool:
+    return "conv" in name.lower() and "transpose" not in name.lower()
+
+
+def _isensee_param_order(params: dict) -> Tuple[List[str], List[str]]:
+    """(conv_blocks, seg_heads) — our Isensee2017 module names matching the
+    Keras model's weight-layer ordering.
+
+    Reference build order (isensee2017.py::isensee2017_model): per encoder
+    level the in-conv then the context module's two conv blocks; per decoder
+    level (deep→shallow) the up-sampling module's conv block, the
+    localization module's 3^3 then 1^3 conv blocks. The 1^3 segmentation
+    heads are created inside the decoder loop but sit at the END of
+    ``keras.Model.layers`` (their outputs are only consumed by the final
+    deep-supervision sum, so topological depth places them last), in
+    creation order = deep→shallow (verified empirically against Keras).
+    """
+    enc_lv = sorted({int(k[3]) for k in params if k.startswith("enc")})
+    dec_lv = sorted({int(k[3]) for k in params if k.startswith("dec")},
+                    reverse=True)
+    blocks = []
+    for lvl in enc_lv:
+        blocks += [f"enc{lvl}_in", f"enc{lvl}_ctx1", f"enc{lvl}_ctx2"]
+    for lvl in dec_lv:
+        blocks += [f"dec{lvl}_up", f"dec{lvl}_loc1", f"dec{lvl}_loc2"]
+    heads = [f"seg{lvl}" for lvl in dec_lv if f"seg{lvl}" in params]
+    return [k for k in blocks if k in params], heads
+
+
+def import_keras_isensee_weights(params: dict,
+                                 keras_weights: Sequence[Tuple[str, list]]
+                                 ) -> dict:
+    """Map Keras Isensee2017 weights onto an ``Isensee2017`` params tree.
+
+    Reference: unet3d/training.py::load_old_model restores EITHER
+    architecture (custom_objects includes keras-contrib
+    InstanceNormalization); this is the Isensee half. Matching uses the
+    structural invariant of the reference graph: every conv BLOCK's Conv3D is
+    immediately followed by its InstanceNormalization in the weight-layer
+    list (nothing weight-bearing sits between them), while the plain 1^3
+    segmentation-head convs are the convs NOT followed by a normalization.
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, dict(params))
+    block_order, head_order = _isensee_param_order(params)
+
+    blocks_q: List[Tuple[Tuple[str, list], Tuple[str, list]]] = []
+    heads_q: List[Tuple[str, list]] = []
+    i = 0
+    while i < len(keras_weights):
+        name, w = keras_weights[i]
+        if _is_conv(name):
+            if i + 1 < len(keras_weights) and _is_norm(keras_weights[i + 1][0]):
+                blocks_q.append(((name, w), keras_weights[i + 1]))
+                i += 2
+                continue
+            heads_q.append((name, w))
+        elif not _is_norm(name):
+            raise ValueError(
+                f"unexpected weight-bearing keras layer {name!r} — not an "
+                f"Isensee2017 graph (conv blocks + segmentation heads only)")
+        i += 1
+
+    if len(blocks_q) != len(block_order) or len(heads_q) != len(head_order):
+        raise ValueError(
+            f"weight count mismatch: keras has {len(blocks_q)} conv+norm "
+            f"blocks and {len(heads_q)} bare segmentation convs, our "
+            f"Isensee2017 expects {len(block_order)} blocks and "
+            f"{len(head_order)} heads — check depth/n_segmentation_levels, "
+            f"or use import_keras_unet_weights for the plain U-Net")
+
+    new = {k: dict(v) for k, v in params.items()}
+    for target, ((lname, weights), (nname, nweights)) in zip(block_order,
+                                                             blocks_q):
+        sub = new[target]
+        kernel, bias = weights[0], weights[1]
+        want = np.asarray(sub["conv"]["kernel"]).shape
+        if kernel.shape != want:
+            raise ValueError(
+                f"{target}: kernel shape {kernel.shape} != expected {want} "
+                f"(keras layer {lname})")
+        gamma, beta = nweights[0], nweights[1]
+        if gamma.shape != np.asarray(sub["in"]["scale"]).shape:
+            raise ValueError(
+                f"{target}: InstanceNorm gamma shape {gamma.shape} != "
+                f"expected {np.asarray(sub['in']['scale']).shape} "
+                f"(keras layer {nname})")
+        new[target]["conv"] = {
+            "kernel": np.ascontiguousarray(kernel, np.float32),
+            "bias": bias.astype(np.float32)}
+        new[target]["in"] = {"scale": gamma.astype(np.float32),
+                             "bias": beta.astype(np.float32)}
+    for target, (lname, weights) in zip(head_order, heads_q):
+        kernel, bias = weights[0], weights[1]
+        want = np.asarray(new[target]["kernel"]).shape
+        if kernel.shape != want:
+            raise ValueError(
+                f"{target}: kernel shape {kernel.shape} != expected {want} "
+                f"(keras layer {lname})")
+        new[target] = {"kernel": np.ascontiguousarray(kernel, np.float32),
+                       "bias": bias.astype(np.float32)}
+    return new
+
+
 def import_keras_unet_weights(params: dict, keras_weights: Sequence[Tuple[str, list]]
                               ) -> dict:
     """Map Keras conv weights (build order) onto a UNet3D params tree.
@@ -120,10 +229,14 @@ def import_keras_unet_weights(params: dict, keras_weights: Sequence[Tuple[str, l
 
     # split the keras layers into type queues (same-type order is reliable
     # both in build order and in alphabetical h5 order).
+    if any(_is_norm(n) for n, _ in keras_weights):
+        raise ValueError(
+            "keras weights contain normalization layers — this plain-UNet "
+            "importer maps conv weights only; for the reference's Isensee "
+            "architecture use import_keras_isensee_weights")
     transpose_q = [(n, w) for n, w in keras_weights
                    if "transpose" in n.lower()]
-    conv_q = [(n, w) for n, w in keras_weights
-              if "transpose" not in n.lower()]
+    conv_q = [(n, w) for n, w in keras_weights if _is_conv(n)]
     n_deconv = sum(1 for k in order if "deconv" in params.get(k, {}))
     if len(transpose_q) != n_deconv or len(conv_q) != len(order) - n_deconv:
         raise ValueError(

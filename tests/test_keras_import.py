@@ -78,6 +78,104 @@ def test_import_rejects_wrong_architecture(pair):
                                   keras_weight_list_from_model(kmodel))
 
 
+@pytest.fixture(scope="module")
+def isensee_pair():
+    """A tiny Keras Isensee2017 twin (GroupNormalization(groups=-1) ==
+    keras-contrib InstanceNormalization) and our Isensee2017 with imported
+    weights. Reference: training.py::load_old_model restores this
+    architecture via custom_objects[InstanceNormalization]."""
+    import jax
+    import jax.numpy as jnp
+    from keras import layers
+
+    from fetal_mri_segmentation_tpu.models import Isensee2017
+    from fetal_mri_segmentation_tpu.utils.keras_import import (
+        import_keras_isensee_weights)
+
+    depth, nbf, n_seg, shape = 3, 2, 2, (8, 8, 8)
+
+    def conv_block(x, f, strides=1, kernel=3):
+        x = layers.Conv3D(f, kernel, strides=strides, padding="same")(x)
+        x = layers.GroupNormalization(groups=-1, epsilon=1e-3)(x)
+        return layers.LeakyReLU(negative_slope=0.3)(x)
+
+    inp = keras.Input(shape=shape + (1,))
+    x = inp
+    level_outputs, level_filters = [], []
+    for level in range(depth):
+        f = nbf * 2 ** level
+        level_filters.append(f)
+        in_conv = conv_block(x, f, strides=1 if level == 0 else 2)
+        h = conv_block(in_conv, f)
+        h = conv_block(h, f)
+        x = layers.Add()([in_conv, h])
+        level_outputs.append(x)
+
+    seg_layers = []
+    for level in range(depth - 2, -1, -1):
+        f = level_filters[level]
+        x = layers.UpSampling3D(2)(x)
+        x = conv_block(x, f)
+        x = layers.Concatenate()([level_outputs[level], x])
+        x = conv_block(x, f)
+        x = conv_block(x, f, kernel=1)
+        if level < n_seg:
+            seg_layers.insert(0, layers.Conv3D(1, 1)(x))
+
+    out = None
+    for level in reversed(range(n_seg)):
+        out = seg_layers[level] if out is None else layers.Add()(
+            [out, seg_layers[level]])
+        if level > 0:
+            out = layers.UpSampling3D(2)(out)
+    out = layers.Activation("sigmoid")(out)
+    kmodel = keras.Model(inp, out)
+
+    fmodel = Isensee2017(n_labels=1, depth=depth, n_base_filters=nbf,
+                         n_segmentation_levels=n_seg, dtype=jnp.float32)
+    variables = fmodel.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1,) + shape + (1,)))
+    params = import_keras_isensee_weights(
+        variables["params"], keras_weight_list_from_model(kmodel))
+    return kmodel, fmodel, {"params": params}, shape
+
+
+def test_isensee_forward_parity_with_keras(isensee_pair):
+    kmodel, fmodel, variables, shape = isensee_pair
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (2,) + shape + (1,)).astype(np.float32)
+    want = np.asarray(kmodel(x))
+    got = np.asarray(fmodel.apply(variables, x))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=5e-5), float(np.abs(got - want).max())
+
+
+def test_unet_importer_rejects_isensee(isensee_pair, pair):
+    """An Isensee .h5 fed to the plain-UNet importer must fail loudly."""
+    kmodel = isensee_pair[0]
+    variables = pair[2]
+    with pytest.raises(ValueError, match="normalization layers"):
+        import_keras_unet_weights(variables["params"],
+                                  keras_weight_list_from_model(kmodel))
+
+
+def test_isensee_import_rejects_wrong_depth(isensee_pair):
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.models import Isensee2017
+    from fetal_mri_segmentation_tpu.utils.keras_import import (
+        import_keras_isensee_weights)
+
+    kmodel = isensee_pair[0]
+    other = Isensee2017(n_labels=1, depth=4, n_base_filters=2,
+                        n_segmentation_levels=2, dtype=jnp.float32)
+    variables = other.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
+    with pytest.raises(ValueError, match="weight count mismatch"):
+        import_keras_isensee_weights(variables["params"],
+                                     keras_weight_list_from_model(kmodel))
+
+
 def test_h5_roundtrip(pair, tmp_path):
     """Importing from a Keras-saved .h5 == importing from the live model."""
     import jax
