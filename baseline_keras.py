@@ -31,11 +31,12 @@ OVERLAP = 16
 TRAIN_PATCHES_PER_VOLUME = 8
 
 
-def build_keras_unet3d(depth=3, n_base_filters=32):
+def build_keras_unet3d(depth=3, n_base_filters=32, input_shape=PATCH,
+                       learning_rate=1e-5):
     import keras
     from keras import layers
 
-    inp = keras.Input(shape=PATCH + (1,))
+    inp = keras.Input(shape=tuple(input_shape) + (1,))
     x = inp
     skips = []
     for level in range(depth):
@@ -61,7 +62,8 @@ def build_keras_unet3d(depth=3, n_base_filters=32):
         inter = K.sum(t * p)
         return -(2.0 * inter + 1.0) / (K.sum(t) + K.sum(p) + 1.0)
 
-    model.compile(optimizer=keras.optimizers.Adam(1e-5), loss=dice_loss)
+    model.compile(optimizer=keras.optimizers.Adam(learning_rate),
+                  loss=dice_loss)
     return model
 
 

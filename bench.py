@@ -1,21 +1,36 @@
 #!/usr/bin/env python
-"""TPU benchmark — the BASELINE.md composite, one JSON line to stdout.
+"""TPU benchmark — BASELINE.md composite + the five measurement configs.
 
-Measures on the attached TPU chip exactly the composite that
-``baseline_keras.py`` measures on CPU Keras (the reference-equivalent):
+Default run: ONE JSON line to stdout whose primary value is the BASELINE
+composite (config #1+#3), with the other configs' numbers in "detail":
 
-  one "volume-equivalent" = 8 batch-1 train steps on 64^3 patches
+  composite "volume-equivalent" = 8 batch-1 train steps on 64^3 patches
   (depth-3 3D U-Net, soft-Dice, Adam) + 1 whole-volume sliding-window
-  inference (128^3 volume, 64^3 patches, overlap 16, Gaussian overlap-add).
+  inference (128^3 volume, 64^3 patches, overlap 16, Gaussian overlap-add),
+  measured as a PIPELINED STREAM of volumes (async label fetch — the
+  production serving shape; reference processes cases sequentially with a
+  host round-trip per patch batch).
 
-vs_baseline = our volumes/sec divided by the CPU-Keras volumes/sec from
-``baseline_cpu_keras.json`` (north star: >= 10x).
+  config2: composite with full on-device flip/permute/contrast augmentation
+           in the train step.
+  config4: Isensee2017 composite (deep supervision, weighted dice).
+  config5: 8-way data-parallel step-time on the virtual CPU mesh
+           (correctness-scale only — this box has ONE TPU chip; clearly
+           labeled non-TPU).
+
+vs_baseline = composite volumes/sec divided by the CPU-Keras volumes/sec
+from ``baseline_cpu_keras.json`` (north star: >= 10x).
+
+``--config {1,2,3,4,5}`` measures a single config; ``--quick`` skips
+configs 2/4/5 (composite only, round-1 behavior).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,7 +42,14 @@ OVERLAP = 16
 TRAIN_PATCHES_PER_VOLUME = 8
 
 
-def main():
+def _make_batch(rng):
+    y = (rng.random((1, 1) + PATCH) > 0.7).astype(np.float32)
+    x = (y * 2 + rng.normal(0, 0.3, y.shape)).astype(np.float32)
+    return x, y
+
+
+def _composite(model_name: str, augment: bool, n_reps: int = 5):
+    """volumes/sec + component times for one model/aug settings."""
     import jax
     import jax.numpy as jnp
 
@@ -37,9 +59,14 @@ def main():
     from fetal_mri_segmentation_tpu.training import (create_train_state,
                                                      make_train_step)
 
-    config = Config(model_name="unet", depth=3, n_base_filters=32,
+    # unet: the BASELINE config-#1 depth-3/32 model; isensee: the reference
+    # isensee2017_model defaults (depth 5, n_base_filters 16, 3 seg heads)
+    depth, nbf = (3, 32) if model_name == "unet" else (5, 16)
+    config = Config(model_name=model_name, depth=depth, n_base_filters=nbf,
                     patch_shape=PATCH, image_shape=VOLUME, batch_size=1,
-                    augment=False, compute_dtype="bfloat16",
+                    augment=augment, flip=augment, permute=augment,
+                    contrast=0.1 if augment else None,
+                    compute_dtype="bfloat16",
                     use_pallas_conv=os.environ.get("FETAL_TPU_BENCH_PALLAS",
                                                    "0") == "1",
                     initial_learning_rate=1e-5)
@@ -48,8 +75,7 @@ def main():
     train_step = make_train_step(model, config)
 
     rng = np.random.default_rng(0)
-    y = (rng.random((1, 1) + PATCH) > 0.7).astype(np.float32)
-    x = (y * 2 + rng.normal(0, 0.3, y.shape)).astype(np.float32)
+    x, y = _make_batch(rng)
     x, y = jnp.asarray(x), jnp.asarray(y)
     key = jax.random.PRNGKey(1)
 
@@ -66,16 +92,19 @@ def main():
     jax.block_until_ready(m["loss"])
     predictor.predict_labels({"params": state.params}, vol)
 
-    # ---- timed composite ----
-    n_reps = 5
+    # ---- timed pipelined stream ----
+    # async label fetch: the D2H + dispatch overhead of volume i overlaps the
+    # train steps of volume i+1 (device execution stays serial).
+    outs = []
     t0 = time.perf_counter()
     for _ in range(n_reps):
         for _ in range(TRAIN_PATCHES_PER_VOLUME):
             state, m = train_step(state, x, y, key, None)
-        jax.block_until_ready(m["loss"])
-        predictor.predict_labels({"params": state.params}, vol)
+        outs.append(predictor.predict_labels_async(
+            {"params": state.params}, vol))
+    labels = [predictor.unpack_labels(o) for o in outs]
     dt = (time.perf_counter() - t0) / n_reps
-    volumes_per_sec = 1.0 / dt
+    assert all(l.shape == VOLUME for l in labels)
 
     # components (informational)
     t0 = time.perf_counter()
@@ -87,25 +116,112 @@ def main():
     predictor.predict_labels({"params": state.params}, vol)
     infer_sec = time.perf_counter() - t0
 
+    return {"volumes_per_sec": round(1.0 / dt, 4),
+            "train_step_sec": round(train_step_sec, 5),
+            "whole_volume_infer_sec": round(infer_sec, 5)}
+
+
+def _config5_dp_cpu():
+    """8-way DP step on the virtual CPU mesh, in a clean subprocess
+    (the TPU backend in this process can't host the 8-device CPU mesh)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    code = r"""
+import json, time
+import numpy as np
+import jax, jax.numpy as jnp
+from fetal_mri_segmentation_tpu.config import Config
+from fetal_mri_segmentation_tpu.models import build_model
+from fetal_mri_segmentation_tpu.parallel import (
+    make_dp_train_step, make_mesh, replicate_state, shard_batch)
+from fetal_mri_segmentation_tpu.training import create_train_state
+
+cfg = Config(model_name="unet", depth=3, n_base_filters=16,
+             patch_shape=(32, 32, 32), batch_size=8, compute_dtype="float32",
+             augment=True, flip=True, permute=True, contrast=0.1)
+model = build_model(cfg)
+mesh = make_mesh(8)
+state = replicate_state(mesh, create_train_state(model, cfg,
+                                                 jax.random.PRNGKey(0)))
+step = make_dp_train_step(model, cfg, mesh)
+rng = np.random.default_rng(0)
+y = (rng.random((8, 1, 32, 32, 32)) > 0.7).astype(np.float32)
+x = (y * 2 + rng.normal(0, 0.3, y.shape)).astype(np.float32)
+xs, ys = shard_batch(mesh, x, y)
+state, m = step(state, xs, ys, jax.random.PRNGKey(1), jnp.asarray(8))
+jax.block_until_ready(m["loss"])
+t0 = time.perf_counter()
+for i in range(5):
+    state, m = step(state, xs, ys, jax.random.PRNGKey(i), jnp.asarray(8))
+jax.block_until_ready(m["loss"])
+print(json.dumps({"dp_step_sec_cpu8": round((time.perf_counter()-t0)/5, 5),
+                  "loss": float(m["loss"]), "devices": 8,
+                  "note": "virtual 8-CPU mesh (1 TPU chip on this host)"}))
+"""
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env["PYTHONPATH"] = here + ":" + env.get("PYTHONPATH", "")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env, cwd=here,
+                             capture_output=True, text=True, timeout=900)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # pragma: no cover - diagnostics only
+        return {"error": str(e)[:200]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5],
+                    help="measure a single BASELINE config")
+    ap.add_argument("--quick", action="store_true",
+                    help="composite (configs 1+3) only")
+    args = ap.parse_args()
+
+    if args.config == 5:
+        print(json.dumps({"metric": "config5 DP step (virtual CPU mesh)",
+                          **_config5_dp_cpu()}))
+        return
+    if args.config in (1, 3):
+        res = _composite("unet", augment=False)
+        print(json.dumps({"metric": "config1+3 composite", **res}))
+        return
+    if args.config == 2:
+        res = _composite("unet", augment=True)
+        print(json.dumps({"metric": "config2 augmented composite", **res}))
+        return
+    if args.config == 4:
+        res = _composite("isensee", augment=False)
+        print(json.dumps({"metric": "config4 isensee composite", **res}))
+        return
+
+    base = _composite("unet", augment=False)
+    detail = {
+        "train_step_sec": base["train_step_sec"],
+        "whole_volume_infer_sec": base["whole_volume_infer_sec"],
+    }
+    if not args.quick:
+        detail["config2_augmented"] = _composite("unet", augment=True)
+        detail["config4_isensee"] = _composite("isensee", augment=False)
+        detail["config5_dp"] = _config5_dp_cpu()
+
+    import jax
+    detail["device"] = str(jax.devices()[0])
+
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_cpu_keras.json")
     if os.path.exists(base_path):
         with open(base_path) as f:
-            base = json.load(f)
-        vs_baseline = volumes_per_sec / base["composite_volumes_per_sec"]
+            cpu = json.load(f)
+        vs_baseline = base["volumes_per_sec"] / cpu["composite_volumes_per_sec"]
 
     result = {
         "metric": "volumes/sec end-to-end fetal-brain seg (8x 64^3 train "
-                  "steps + whole-volume Gaussian sliding-window infer)",
-        "value": round(volumes_per_sec, 4),
+                  "steps + whole-volume Gaussian sliding-window infer, "
+                  "pipelined stream)",
+        "value": base["volumes_per_sec"],
         "unit": "volumes/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "detail": {
-            "train_step_sec": round(train_step_sec, 5),
-            "whole_volume_infer_sec": round(infer_sec, 5),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

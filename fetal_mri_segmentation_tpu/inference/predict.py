@@ -58,41 +58,63 @@ def prediction_to_image(prediction: np.ndarray, affine: np.ndarray,
     return NiftiImage(np.asarray(data), np.asarray(affine))
 
 
-def run_validation_case(case_index: int, out_dir: str, model, variables,
-                        data_file, config, predictor: SlidingWindowPredictor,
-                        output_label_map: bool = True, threshold: float = 0.5,
-                        save_inputs: bool = True) -> np.ndarray:
-    """Predict one stored case; writes the reference's per-case output tree.
-
-    Reference: prediction.py::run_validation_case.
-    """
+def _load_case(case_index, out_dir, data_file, config, submit,
+               save_inputs: bool):
+    """Read one case from HDF5; queue the reference's input/truth NIfTIs."""
     os.makedirs(out_dir, exist_ok=True)
     affine = np.asarray(data_file.root.affine[case_index])
     data = np.asarray(data_file.root.data[case_index], np.float32)
-
     if save_inputs:
         for i, modality in enumerate(config.training_modalities):
-            save_nifti(data[i], os.path.join(out_dir, f"data_{modality}.nii.gz"),
-                       affine=affine)
+            submit(save_nifti, data[i],
+                   os.path.join(out_dir, f"data_{modality}.nii.gz"),
+                   affine=affine)
         truth = np.asarray(data_file.root.truth[case_index][0])
-        save_nifti(truth.astype(np.uint8),
-                   os.path.join(out_dir, "truth.nii.gz"), affine=affine)
+        submit(save_nifti, truth.astype(np.uint8),
+               os.path.join(out_dir, "truth.nii.gz"), affine=affine)
+    return data, affine
+
+
+def _scale_binary_label(label_map, config):
+    """Binary maps carry the configured label value (reference:
+    prediction_to_image — data>threshold → labels[0])."""
+    if config.n_labels == 1 and config.labels:
+        return label_map * np.uint8(config.labels[0])
+    return label_map
+
+
+def run_validation_case(case_index: int, out_dir: str, model, variables,
+                        data_file, config, predictor: SlidingWindowPredictor,
+                        output_label_map: bool = True, threshold: float = 0.5,
+                        save_inputs: bool = True,
+                        io_submit=None) -> np.ndarray:
+    """Predict one stored case; writes the reference's per-case output tree.
+
+    Reference: prediction.py::run_validation_case.
+
+    ``io_submit``: optional executor ``submit`` — NIfTI writes are queued on
+    it so gzip+disk IO of case *i* overlaps the device predict of case
+    *i+1* (the caller collects the futures' exceptions).
+    """
+    submit = io_submit if io_submit is not None else (
+        lambda fn, *a, **kw: fn(*a, **kw))
+    data, affine = _load_case(case_index, out_dir, data_file, config,
+                              submit, save_inputs)
 
     if output_label_map:
         # label map computed on device (reference: prediction_to_image
         # threshold/argmax) — only uint8/packed bits cross the device link.
         label_map = predictor.predict_labels(variables, data,
                                              threshold=threshold)
-        if config.n_labels == 1 and config.labels:
-            label_map = (label_map * np.uint8(config.labels[0]))
-        save_nifti(label_map.astype(np.uint8),
-                   os.path.join(out_dir, "prediction.nii.gz"), affine=affine)
+        label_map = _scale_binary_label(label_map, config)
+        submit(save_nifti, label_map.astype(np.uint8),
+               os.path.join(out_dir, "prediction.nii.gz"), affine=affine)
         return label_map
     probability = predictor(variables, data)
     image = prediction_to_image(probability, affine,
                                 label_map=False,
                                 threshold=threshold, labels=config.labels)
-    save_nifti(image, os.path.join(out_dir, "prediction.nii.gz"))
+    submit(save_nifti, image, os.path.join(out_dir, "prediction.nii.gz"))
     return probability
 
 
@@ -144,10 +166,47 @@ def run_validation_cases(validation_keys_file: str, model, variables,
         subject_ids = [s.decode() if isinstance(s, bytes) else str(s)
                        for s in data_file.root.subject_ids[:]]
 
-    for index in validation_indices:
-        name = (subject_ids[index] if subject_ids
-                else f"validation_case_{index}")
-        case_dir = os.path.join(output_dir, name)
-        run_validation_case(index, case_dir, model, variables, data_file,
-                            config, predictor, threshold=threshold,
-                            output_label_map=output_label_map)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Two-stage pipeline: the device predict of case i+1 is dispatched
+    # before case i's result is pulled to host (jax async dispatch hides the
+    # dispatch/D2H overhead), and all NIfTI gzip+disk writes run on a worker
+    # pool overlapping both.
+    pipelined = (output_label_map
+                 and hasattr(predictor, "predict_labels_async"))
+    futures = []
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        def submit(fn, *a, **kw):
+            futures.append(pool.submit(fn, *a, **kw))
+
+        pending = None  # (device result, case_dir, affine)
+
+        def finalize(out_dev, case_dir, affine):
+            label_map = _scale_binary_label(
+                predictor.unpack_labels(out_dev), config)
+            submit(save_nifti, label_map.astype(np.uint8),
+                   os.path.join(case_dir, "prediction.nii.gz"),
+                   affine=affine)
+
+        for index in validation_indices:
+            name = (subject_ids[index] if subject_ids
+                    else f"validation_case_{index}")
+            case_dir = os.path.join(output_dir, name)
+            if not pipelined:
+                run_validation_case(index, case_dir, model, variables,
+                                    data_file, config, predictor,
+                                    threshold=threshold,
+                                    output_label_map=output_label_map,
+                                    io_submit=submit)
+                continue
+            data, affine = _load_case(index, case_dir, data_file, config,
+                                      submit, save_inputs=True)
+            out_dev = predictor.predict_labels_async(variables, data,
+                                                     threshold=threshold)
+            if pending is not None:
+                finalize(*pending)
+            pending = (out_dev, case_dir, affine)
+        if pending is not None:
+            finalize(*pending)
+    for f in futures:  # surface any write error after all IO drained
+        f.result()

@@ -111,12 +111,19 @@ class SlidingWindowPredictor:
         # slower, measured on v5e). Very large grids fall back to the scan to
         # bound compile time.
         self.static_unroll = self._corners_np.reshape(-1, 3).shape[0] <= 512
-        self._jitted_labels = None
         # ONE jitted program for the whole volume — transpose, pad, predict,
         # un-pad, transpose back all inside. Anything eager here costs a
         # full dispatch round-trip per op (brutal over a remote/tunneled
-        # device link).
+        # device link). Both programs are built eagerly at construction so
+        # the first case pays only the compile, not trace+compile+dispatch.
         self._jitted = jax.jit(self._predict_volume)
+        self._jitted_labels = jax.jit(self._predict_labels_packed,
+                                      static_argnames=("threshold",))
+        # params stay device-resident across volumes (one device_put per
+        # checkpoint, not per case — per-call staging of the full param tree
+        # was ~40% of wall time over the tunneled device link).
+        self._resident_key = None
+        self._resident_vars = None
 
     def _predict_volume(self, variables, data_cdhw):
         """(C, D, H, W) → (L, D, H, W), fully fused single program."""
@@ -156,21 +163,44 @@ class SlidingWindowPredictor:
         label_map = jnp.where(jnp.max(prob, axis=0) > threshold, label_map, 0)
         return label_map.astype(jnp.uint8)
 
-    def predict_labels(self, variables, data_cdhw,
-                       threshold: float = 0.5) -> np.ndarray:
-        """(C, D, H, W) → uint8 label map (D, H, W), minimal D2H transfer."""
-        if self._jitted_labels is None:
-            self._jitted_labels = jax.jit(self._predict_labels_packed,
-                                          static_argnames=("threshold",))
+    def device_variables(self, variables):
+        """Device-resident copy of the param tree, cached per checkpoint
+        (identity-keyed: a new `variables` object invalidates the cache)."""
+        if self._resident_key is not variables:
+            self._resident_key = variables
+            self._resident_vars = jax.device_put(variables)
+        return self._resident_vars
+
+    def predict_labels_async(self, variables, data_cdhw,
+                             threshold: float = 0.5):
+        """Dispatch the label-map program WITHOUT blocking on the result.
+
+        Returns the on-device (packed) output; finish with
+        ``unpack_labels``. Lets a caller pipeline volumes: the dispatch/D2H
+        overhead of volume *i* overlaps the compute of volume *i+1* (jax
+        async dispatch) — this is where ~40% of single-volume wall time went
+        over a remote/tunneled device link.
+        """
+        variables = self.device_variables(variables)
         # explicit async H2D: jax.device_put overlaps the transfer with
         # dispatch instead of staging it synchronously inside the call
         data = jax.device_put(np.asarray(data_cdhw, np.float32))
-        out = np.asarray(self._jitted_labels(variables, data, threshold))
+        return self._jitted_labels(variables, data, threshold)
+
+    def unpack_labels(self, out) -> np.ndarray:
+        """Materialize an async result: D2H + bit-unpack to the uint8 map."""
+        out = np.asarray(out)
         if self.n_labels == 1:
             bits = np.unpackbits(out.reshape(-1, 1), axis=1)
             return bits.reshape(-1)[: int(np.prod(self.image_shape))].reshape(
                 self.image_shape).astype(np.uint8)
         return out
+
+    def predict_labels(self, variables, data_cdhw,
+                       threshold: float = 0.5) -> np.ndarray:
+        """(C, D, H, W) → uint8 label map (D, H, W), minimal D2H transfer."""
+        return self.unpack_labels(
+            self.predict_labels_async(variables, data_cdhw, threshold))
 
     # ------------------------------------------------------------------
     def _apply_model(self, variables, patches_dhwc):
@@ -289,6 +319,7 @@ class SlidingWindowPredictor:
 
         Exactly one program dispatch and one transfer each way.
         """
+        variables = self.device_variables(variables)
         data = jax.device_put(np.asarray(data_cdhw, np.float32))
         return np.asarray(self._jitted(variables, data))
 
