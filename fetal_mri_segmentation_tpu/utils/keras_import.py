@@ -155,22 +155,45 @@ def import_keras_isensee_weights(params: dict,
     params = jax.tree_util.tree_map(np.asarray, dict(params))
     block_order, head_order = _isensee_param_order(params)
 
-    blocks_q: List[Tuple[Tuple[str, list], Tuple[str, list]]] = []
-    heads_q: List[Tuple[str, list]] = []
-    i = 0
-    while i < len(keras_weights):
-        name, w = keras_weights[i]
-        if _is_conv(name):
-            if i + 1 < len(keras_weights) and _is_norm(keras_weights[i + 1][0]):
-                blocks_q.append(((name, w), keras_weights[i + 1]))
-                i += 2
-                continue
-            heads_q.append((name, w))
-        elif not _is_norm(name):
+    for name, _ in keras_weights:
+        if not (_is_conv(name) or _is_norm(name)):
             raise ValueError(
                 f"unexpected weight-bearing keras layer {name!r} — not an "
                 f"Isensee2017 graph (conv blocks + segmentation heads only)")
-        i += 1
+
+    conv_positions = [i for i, (n, _) in enumerate(keras_weights)
+                      if _is_conv(n)]
+    norm_positions = [i for i, (n, _) in enumerate(keras_weights)
+                      if _is_norm(n)]
+    type_grouped = (norm_positions
+                    and min(norm_positions) > max(conv_positions))
+
+    blocks_q: List[Tuple[Tuple[str, list], Tuple[str, list]]] = []
+    heads_q: List[Tuple[str, list]] = []
+    if not type_grouped:
+        # model.layers / legacy-h5 order: each block's conv is immediately
+        # followed by its normalization; bare convs are segmentation heads.
+        i = 0
+        while i < len(keras_weights):
+            name, w = keras_weights[i]
+            if _is_conv(name):
+                if (i + 1 < len(keras_weights)
+                        and _is_norm(keras_weights[i + 1][0])):
+                    blocks_q.append(((name, w), keras_weights[i + 1]))
+                    i += 2
+                    continue
+                heads_q.append((name, w))
+            i += 1
+    else:
+        # Keras-3 .weights.h5 order (keras_weight_list_from_h5 sorts by
+        # type, numeric suffix): layer numbering follows model.layers
+        # (topological) order, so within the conv type-queue the block convs
+        # come first in block order and the bare segmentation heads last —
+        # verified empirically against keras.save_weights.
+        convs = [keras_weights[i] for i in conv_positions]
+        norms = [keras_weights[i] for i in norm_positions]
+        blocks_q = list(zip(convs[: len(norms)], norms))
+        heads_q = convs[len(norms):]
 
     if len(blocks_q) != len(block_order) or len(heads_q) != len(head_order):
         raise ValueError(

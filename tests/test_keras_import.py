@@ -176,6 +176,27 @@ def test_isensee_import_rejects_wrong_depth(isensee_pair):
                                      keras_weight_list_from_model(kmodel))
 
 
+def test_isensee_h5_roundtrip(isensee_pair, tmp_path):
+    """Keras-3 .weights.h5 stores layers type-grouped (all convs, then all
+    norms) — the importer must reconstruct the block/head pairing from the
+    creation order and produce the same tree as importing the live model."""
+    import jax
+
+    from fetal_mri_segmentation_tpu.utils.keras_import import (
+        import_keras_isensee_weights, keras_weight_list_from_h5)
+
+    kmodel, fmodel, variables, shape = isensee_pair
+    p = str(tmp_path / "isensee.weights.h5")
+    kmodel.save_weights(p)
+    from_file = import_keras_isensee_weights(variables["params"],
+                                             keras_weight_list_from_h5(p))
+    from_model = import_keras_isensee_weights(
+        variables["params"], keras_weight_list_from_model(kmodel))
+    for a, b in zip(jax.tree_util.tree_leaves(from_file),
+                    jax.tree_util.tree_leaves(from_model)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_h5_roundtrip(pair, tmp_path):
     """Importing from a Keras-saved .h5 == importing from the live model."""
     import jax
