@@ -38,6 +38,8 @@ class Isensee2017(nn.Module):
     activation_name: str = "sigmoid"
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    fuse_decoder: bool = True  # collapse upsample+conv in the up-sampling
+                               # module (exact math; layers.up_concat_conv3x3)
 
     def _block(self, f, name, **kw):
         return ConvBlock(f, instance_normalization=True,
@@ -74,9 +76,13 @@ class Isensee2017(nn.Module):
         segmentation_layers = []
         for level in range(self.depth - 2, -1, -1):
             f = level_filters[level]
-            # up-sampling module
-            x = upsample_nearest(x, (2, 2, 2))
-            x = self._block(f, f"dec{level}_up")(x)
+            # up-sampling module (UpSampling3D + conv block; the fused form
+            # computes the conv at the coarse resolution — exact math)
+            if self.fuse_decoder:
+                x = self._block(f, f"dec{level}_up")((x, None))
+            else:
+                x = upsample_nearest(x, (2, 2, 2))
+                x = self._block(f, f"dec{level}_up")(x)
             x = jnp.concatenate([level_outputs[level], x], axis=-1)
             # localization module
             x = self._block(f, f"dec{level}_loc1")(x)

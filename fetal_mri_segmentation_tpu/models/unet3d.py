@@ -38,6 +38,8 @@ class UNet3D(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
     bn_axis_name: Any = None  # sync-BN mesh axis under data parallelism
+    fuse_decoder: bool = True  # collapse upsample+concat+conv (exact math,
+                               # 27->8 taps on the up half; docs/PERF.md)
 
     def _conv_block(self, f, name):
         return ConvBlock(f, batch_normalization=self.batch_normalization,
@@ -59,14 +61,23 @@ class UNet3D(nn.Module):
                 skips.append(x)
                 x = max_pool_3d(x, self.pool_size)
 
+        fuse = (self.fuse_decoder and not self.deconvolution
+                and self.pool_size == (2, 2, 2))
         for level in range(self.depth - 2, -1, -1):
             skip = skips[level]
-            x = UpConv(x.shape[-1], deconvolution=self.deconvolution,
-                       size=self.pool_size, dtype=self.dtype,
-                       name=f"dec{level}_up")(x)
-            x = jnp.concatenate([x, skip], axis=-1)
             f = skip.shape[-1]
-            x = self._conv_block(f, f"dec{level}_conv1")(x, train=train)
+            if fuse:
+                # upsample_nearest + concat + conv collapsed into one op
+                # (identical math and param tree; see
+                # layers.up_concat_conv3x3)
+                x = self._conv_block(f, f"dec{level}_conv1")((x, skip),
+                                                             train=train)
+            else:
+                x = UpConv(x.shape[-1], deconvolution=self.deconvolution,
+                           size=self.pool_size, dtype=self.dtype,
+                           name=f"dec{level}_up")(x)
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = self._conv_block(f, f"dec{level}_conv1")(x, train=train)
             x = self._conv_block(f, f"dec{level}_conv2")(x, train=train)
 
         x = nn.Conv(self.n_labels, (1, 1, 1), dtype=jnp.float32,

@@ -111,3 +111,57 @@ def test_config_roundtrip(tmp_path):
     assert cfg2.image_shape == (96, 96, 96)
     assert cfg2.input_shape == (1, 32, 32, 32)
     assert cfg2.labels == (1, 2)
+
+
+def test_fused_decoder_matches_plain_unet():
+    """upsample+concat+conv collapsed (fuse_decoder) == plain composition on
+    the SAME params (exact math up to fp reassociation)."""
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 1, (2, 16, 16, 16, 1)),
+                    jnp.float32)
+    plain = UNet3D(n_labels=1, depth=3, n_base_filters=4, dtype=jnp.float32,
+                   fuse_decoder=False)
+    fused = UNet3D(n_labels=1, depth=3, n_base_filters=4, dtype=jnp.float32,
+                   fuse_decoder=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    y_plain = plain.apply(params, x)
+    y_fused = fused.apply(params, x)
+    assert np.allclose(np.asarray(y_plain), np.asarray(y_fused), atol=1e-5), \
+        float(np.abs(np.asarray(y_plain) - np.asarray(y_fused)).max())
+
+
+def test_fused_decoder_matches_plain_isensee():
+    x = jnp.asarray(np.random.default_rng(4).normal(0, 1, (1, 16, 16, 16, 1)),
+                    jnp.float32)
+    plain = Isensee2017(n_labels=1, depth=3, n_base_filters=4,
+                        n_segmentation_levels=2, dtype=jnp.float32,
+                        fuse_decoder=False)
+    fused = Isensee2017(n_labels=1, depth=3, n_base_filters=4,
+                        n_segmentation_levels=2, dtype=jnp.float32,
+                        fuse_decoder=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    y_plain = plain.apply(params, x)
+    y_fused = fused.apply(params, x)
+    assert np.allclose(np.asarray(y_plain), np.asarray(y_fused), atol=1e-5), \
+        float(np.abs(np.asarray(y_plain) - np.asarray(y_fused)).max())
+
+
+def test_fused_decoder_grads_match_plain():
+    x = jnp.asarray(np.random.default_rng(5).normal(0, 1, (1, 8, 8, 8, 1)),
+                    jnp.float32)
+    y = jnp.asarray((np.random.default_rng(6).random((1, 8, 8, 8, 1)) > 0.5),
+                    jnp.float32)
+    plain = UNet3D(n_labels=1, depth=2, n_base_filters=2, dtype=jnp.float32,
+                   fuse_decoder=False)
+    fused = UNet3D(n_labels=1, depth=2, n_base_filters=2, dtype=jnp.float32,
+                   fuse_decoder=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+
+    def loss(model):
+        return lambda p: ((model.apply(p, x) - y) ** 2).mean()
+
+    g1 = jax.grad(loss(plain))(params)
+    g2 = jax.grad(loss(fused))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), \
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
