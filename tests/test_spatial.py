@@ -1,0 +1,105 @@
+"""GSPMD spatial / hybrid data+spatial sharding (SURVEY section 5.7 analogue)
+on the virtual 8-device CPU mesh: sharded steps must equal the
+single-device step on the same global batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fetal_mri_segmentation_tpu.config import Config
+from fetal_mri_segmentation_tpu.models import build_model
+from fetal_mri_segmentation_tpu.parallel import (
+    make_gspmd_eval_step, make_gspmd_train_step, make_hybrid_mesh,
+    make_spatial_predictor, shard_batch_spatial)
+from fetal_mri_segmentation_tpu.training import (create_train_state,
+                                                 make_train_step)
+
+
+def tiny_config(**kw):
+    defaults = dict(model_name="unet", depth=2, n_base_filters=2,
+                    patch_shape=(16, 16, 16), batch_size=2,
+                    compute_dtype="float32", augment=False,
+                    initial_learning_rate=1e-2)
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def make_batch(b=2, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (b, 1, d, 16, 16)
+    y = np.zeros(shape, np.float32)
+    y[:, :, 4:12, 4:12, 4:12] = 1.0
+    x = (y * 2 + rng.normal(0, 0.3, shape)).astype(np.float32)
+    return x, y
+
+
+@pytest.mark.parametrize("n_data,n_spatial", [(1, 8), (2, 4), (8, 1)])
+def test_gspmd_step_matches_single_device(n_data, n_spatial):
+    """Halo exchange + global reductions inserted by XLA SPMD must reproduce
+    the single-device step exactly (params compared post-SGD)."""
+    import optax
+
+    cfg = tiny_config(batch_size=max(2, n_data))
+    model = build_model(cfg)
+    tx = optax.sgd(1.0)
+    x, y = make_batch(b=max(2, n_data))
+    rng = jax.random.PRNGKey(5)
+
+    s1 = create_train_state(model, cfg, jax.random.PRNGKey(0), tx=tx)
+    new1, m1 = make_train_step(model, cfg)(s1, jnp.asarray(x), jnp.asarray(y),
+                                           rng, x.shape[0])
+
+    mesh = make_hybrid_mesh(n_data, n_spatial)
+    sg = create_train_state(model, cfg, jax.random.PRNGKey(0), tx=tx)
+    step = make_gspmd_train_step(model, cfg, mesh)
+    xs, ys = shard_batch_spatial(mesh, x, y)
+    newg, mg = step(sg, xs, ys, rng, jnp.asarray(x.shape[0]))
+
+    assert np.allclose(float(m1["loss"]), float(mg["loss"]), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                    jax.tree_util.tree_leaves(newg.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), \
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+
+
+def test_gspmd_eval_step_matches_single():
+    cfg = tiny_config()
+    model = build_model(cfg)
+    x, y = make_batch()
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    from fetal_mri_segmentation_tpu.training import make_eval_step
+    m1 = make_eval_step(model, cfg)(state, jnp.asarray(x), jnp.asarray(y))
+
+    mesh = make_hybrid_mesh(2, 4)
+    es = make_gspmd_eval_step(model, cfg, mesh)
+    mg = es(state, *shard_batch_spatial(mesh, x, y), None)
+    assert np.allclose(float(m1["loss"]), float(mg["loss"]), atol=1e-6)
+
+
+def test_spatial_predictor_matches_single_device():
+    """Whole-volume forward with depth sharded 8-way == unsharded forward."""
+    cfg = tiny_config()
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    variables = {"params": state.params}
+    vol = np.random.default_rng(7).normal(
+        0, 1, (1, 32, 16, 16)).astype(np.float32)
+
+    x = jnp.transpose(jnp.asarray(vol), (1, 2, 3, 0))[None]
+    want = np.transpose(np.asarray(model.apply(variables, x))[0],
+                        (3, 0, 1, 2))
+
+    mesh = make_hybrid_mesh(1, 8)
+    predict = make_spatial_predictor(model, cfg, mesh)
+    got = predict(variables, vol)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-5), \
+        float(np.abs(got - want).max())
+
+
+def test_shard_batch_spatial_divisibility_error():
+    mesh = make_hybrid_mesh(2, 4)
+    x = np.zeros((2, 1, 10, 8, 8), np.float32)  # D=10 not divisible by 4
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch_spatial(mesh, x)
