@@ -124,7 +124,7 @@ def run_validation_cases(validation_keys_file: str, model, variables,
                          output_label_map: bool = True,
                          permute: bool = False,
                          patch_batch_size: int = 8,
-                         mesh=None) -> None:
+                         mesh=None, spatial_mesh=None) -> None:
     """Predict every validation case into ``output_dir/validation_case_<i>``.
 
     Reference: prediction.py::run_validation_cases (same output layout; the
@@ -133,13 +133,38 @@ def run_validation_cases(validation_keys_file: str, model, variables,
 
     ``mesh``: optional multi-device ``jax.sharding.Mesh`` — the patch grid is
     sharded across devices (net-new; parallel/distributed.py).
+    ``spatial_mesh``: alternative inference mode — ONE whole-volume forward
+    with the depth axis sharded over the mesh (XLA halo exchange; no
+    patching, no overlap seams; parallel/spatial.py). Volume dims must be
+    divisible by 2^(depth-1) and the mesh's spatial factor.
     """
     validation_indices = pickle_load(validation_keys_file)
     image_shape = tuple(data_file.root.data.shape[-3:])
-    predictor = SlidingWindowPredictor(
-        model, config, image_shape=image_shape, overlap=overlap,
-        patch_batch_size=patch_batch_size, tta_permute=permute)
-    if mesh is not None and len(mesh.devices.flat) > 1:
+    if spatial_mesh is not None:
+        from fetal_mri_segmentation_tpu.parallel import make_spatial_predictor
+
+        sp = make_spatial_predictor(model, config, spatial_mesh)
+
+        class _SpatialAdapter:
+            """Duck-types the predictor for the whole-volume sharded mode."""
+
+            def __call__(self, variables, data):
+                return sp(variables, data)
+
+            def predict_labels(self, variables, data, threshold=0.5):
+                prob = sp(variables, data)
+                if config.n_labels == 1:
+                    return (prob[0] > threshold).astype(np.uint8)
+                return get_prediction_labels(prob, threshold=threshold,
+                                             labels=config.labels)
+
+        predictor = _SpatialAdapter()
+    else:
+        predictor = SlidingWindowPredictor(
+            model, config, image_shape=image_shape, overlap=overlap,
+            patch_batch_size=patch_batch_size, tta_permute=permute)
+    if (spatial_mesh is None and mesh is not None
+            and len(mesh.devices.flat) > 1):
         from fetal_mri_segmentation_tpu.parallel.distributed import (
             make_sharded_predictor)
 

@@ -19,7 +19,7 @@ import jax
 
 def main(config, output_dir: str = "prediction", overlap: int = 16,
          tta: bool = False, patch_batch_size: int = 8,
-         num_devices: int = 1):
+         num_devices: int = 1, spatial_devices: int = 1):
     from fetal_mri_segmentation_tpu.data import open_data_file
     from fetal_mri_segmentation_tpu.inference import run_validation_cases
     from fetal_mri_segmentation_tpu.models import build_model
@@ -35,13 +35,18 @@ def main(config, output_dir: str = "prediction", overlap: int = 16,
     if num_devices and num_devices > 1:
         from fetal_mri_segmentation_tpu.parallel import make_mesh
         mesh = make_mesh(num_devices)
+    spatial_mesh = None
+    if spatial_devices and spatial_devices > 1:
+        from fetal_mri_segmentation_tpu.parallel import make_hybrid_mesh
+        spatial_mesh = make_hybrid_mesh(1, spatial_devices)
 
     data_file = open_data_file(config.data_file)
     try:
         run_validation_cases(config.validation_file, model, variables,
                              data_file, config, output_dir=output_dir,
                              overlap=overlap, permute=tta,
-                             patch_batch_size=patch_batch_size, mesh=mesh)
+                             patch_batch_size=patch_batch_size, mesh=mesh,
+                             spatial_mesh=spatial_mesh)
     finally:
         data_file.close()
     print(f"predictions written under {output_dir}/")
@@ -57,6 +62,10 @@ if __name__ == "__main__":
                     help="48-symmetry test-time augmentation averaging")
     ap.add_argument("--num-devices", type=int, default=1,
                     help="shard the patch grid over N devices")
+    ap.add_argument("--spatial-devices", type=int, default=1,
+                    help="whole-volume inference with the depth axis "
+                         "sharded over N devices (no patching; XLA halo "
+                         "exchange)")
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config
@@ -64,4 +73,4 @@ if __name__ == "__main__":
     main(Config.load(args.config), output_dir=args.output_dir,
          overlap=args.overlap, tta=args.tta,
          patch_batch_size=args.patch_batch_size,
-         num_devices=args.num_devices)
+         num_devices=args.num_devices, spatial_devices=args.spatial_devices)

@@ -103,3 +103,36 @@ def test_shard_batch_spatial_divisibility_error():
     x = np.zeros((2, 1, 10, 8, 8), np.float32)  # D=10 not divisible by 4
     with pytest.raises(ValueError, match="not divisible"):
         shard_batch_spatial(mesh, x)
+
+
+def test_run_validation_cases_spatial_mode(tmp_path):
+    """Whole-volume spatially-sharded inference writes the same output tree
+    (prediction.nii.gz per case) with a sensible binary label map."""
+    from fetal_mri_segmentation_tpu.data import (open_data_file,
+                                                 write_data_to_file)
+    from fetal_mri_segmentation_tpu.inference import run_validation_cases
+    from fetal_mri_segmentation_tpu.utils.io_utils import pickle_dump
+    from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
+    from tests.synthetic import write_synthetic_dataset
+
+    files = write_synthetic_dataset(str(tmp_path / "nii"), n_cases=2,
+                                    shape=(20, 20, 20))
+    h5p = str(tmp_path / "d.h5")
+    write_data_to_file(files, h5p, image_shape=(16, 16, 16),
+                       normalize="per_volume", crop=False)
+    keys = str(tmp_path / "v.pkl")
+    pickle_dump([0, 1], keys)
+
+    cfg = tiny_config(patch_shape=(16, 16, 16), image_shape=(16, 16, 16))
+    model = build_model(cfg)
+    variables = {"params": create_train_state(
+        model, cfg, jax.random.PRNGKey(0)).params}
+    with open_data_file(h5p) as f:
+        run_validation_cases(keys, model, variables, f, cfg,
+                             output_dir=str(tmp_path / "sp"),
+                             spatial_mesh=make_hybrid_mesh(1, 8))
+    for case in ("validation_case_0", "validation_case_1"):
+        p = load_nifti(str(tmp_path / "sp" / case /
+                           "prediction.nii.gz")).get_fdata()
+        assert p.shape == (16, 16, 16)
+        assert set(np.unique(p)).issubset({0.0, 1.0})
