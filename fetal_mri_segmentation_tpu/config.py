@@ -98,6 +98,9 @@ class Config:
 
     # --- parallelism (net-new; reference is single-device) -------------------
     num_devices: Optional[int] = None  # None = all visible devices (DP mesh)
+    spatial_devices: int = 1  # >1: hybrid data x spatial mesh — volume depth
+                              # sharded with XLA halo exchange (whole-volume
+                              # training beyond one chip's HBM)
 
     # -------------------------------------------------------------------------
     def __post_init__(self):

@@ -52,7 +52,18 @@ def train_model(model, state: TrainState, config,
     batch_size = config.batch_size
     val_batch_size = config.validation_batch_size or batch_size
 
-    if mesh is not None and len(mesh.devices.flat) > 1:
+    if (mesh is not None and len(mesh.devices.flat) > 1
+            and "spatial" in mesh.axis_names):
+        # hybrid data x spatial GSPMD path (parallel/spatial.py): batch on
+        # "data", volume depth on "spatial"; XLA inserts halo exchanges +
+        # gradient all-reduce. Enables whole-volume training beyond one
+        # chip's HBM.
+        from fetal_mri_segmentation_tpu.parallel.spatial import (
+            make_gspmd_eval_step, make_gspmd_train_step, shard_batch_spatial)
+        train_step = make_gspmd_train_step(model, config, mesh)
+        eval_step = make_gspmd_eval_step(model, config, mesh)
+        put = lambda arrs: shard_batch_spatial(mesh, *arrs)
+    elif mesh is not None and len(mesh.devices.flat) > 1:
         from fetal_mri_segmentation_tpu.parallel.data_parallel import (
             make_dp_eval_step, make_dp_train_step, replicate_state, shard_batch)
         train_step = make_dp_train_step(model, config, mesh)

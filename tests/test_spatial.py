@@ -136,3 +136,35 @@ def test_run_validation_cases_spatial_mode(tmp_path):
                            "prediction.nii.gz")).get_fdata()
         assert p.shape == (16, 16, 16)
         assert set(np.unique(p)).issubset({0.0, 1.0})
+
+
+def test_train_model_on_hybrid_mesh(tmp_path):
+    """Full epoch loop (prefetch, checkpoint, CSV) over the data x spatial
+    GSPMD mesh — loss must improve and a checkpoint must land."""
+    import os
+
+    from fetal_mri_segmentation_tpu.training import (create_train_state,
+                                                     train_model)
+
+    cfg = tiny_config(batch_size=2, n_epochs=3, early_stop=0,
+                      model_file=str(tmp_path / "m.ckpt"),
+                      training_log=str(tmp_path / "t.log"))
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+
+    x, y = make_batch(b=4, seed=1)
+
+    def gen():
+        while True:
+            yield x[:2], y[:2]
+            yield x[2:], y[2:]
+
+    mesh = make_hybrid_mesh(2, 4)
+    state = train_model(model, state, cfg, gen(), gen(), 2, 1,
+                        mesh=mesh, verbose=False)
+    assert os.path.exists(cfg.model_file)
+    import csv
+    with open(cfg.training_log) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    assert float(rows[-1]["loss"]) < float(rows[0]["loss"])

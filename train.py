@@ -92,9 +92,15 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
             training_patch_start_offset=config.training_patch_start_offset,
             skip_blank=config.skip_blank, seed=seed)
 
-        # 4. train (multi-device DP when >1 chip visible)
+        # 4. train (multi-device DP when >1 chip visible; hybrid
+        #    data x spatial mesh when spatial_devices > 1)
         n_dev = config.num_devices or len(jax.devices())
-        mesh = make_mesh(n_dev) if n_dev > 1 else None
+        n_spatial = getattr(config, "spatial_devices", 1) or 1
+        if n_spatial > 1:
+            from fetal_mri_segmentation_tpu.parallel import make_hybrid_mesh
+            mesh = make_hybrid_mesh(max(n_dev // n_spatial, 1), n_spatial)
+        else:
+            mesh = make_mesh(n_dev) if n_dev > 1 else None
         if verbose:
             print(f"training on {n_dev} device(s); "
                   f"{n_train} steps/epoch, {n_val} val steps")
