@@ -171,6 +171,25 @@ class SlidingWindowPredictor:
             self._resident_vars = jax.device_put(variables)
         return self._resident_vars
 
+    def _stage_volume(self, data_cdhw):
+        """Host→device staging of one volume, minimized for thin links.
+
+        When the model computes in bf16 (its first op casts the input), the
+        upload is rounded to bf16 ON HOST first — half the H2D bytes with
+        BIT-IDENTICAL results, since pad/transpose/gather preserve values
+        and the model's own cast would produce the same rounding. Measured:
+        the 8 MB fp32 volume H2D dominates single-volume wall time over
+        this box's tunneled device link (docs/PERF.md).
+        """
+        arr = np.asarray(data_cdhw, np.float32)
+        # key on the MODEL's compute dtype (not the config): only a model
+        # that casts its input to bf16 makes the rounding a no-op.
+        if getattr(self.model, "dtype", None) == jnp.bfloat16:
+            import ml_dtypes
+
+            arr = arr.astype(ml_dtypes.bfloat16)
+        return jax.device_put(arr)
+
     def predict_labels_async(self, variables, data_cdhw,
                              threshold: float = 0.5):
         """Dispatch the label-map program WITHOUT blocking on the result.
@@ -184,7 +203,7 @@ class SlidingWindowPredictor:
         variables = self.device_variables(variables)
         # explicit async H2D: jax.device_put overlaps the transfer with
         # dispatch instead of staging it synchronously inside the call
-        data = jax.device_put(np.asarray(data_cdhw, np.float32))
+        data = self._stage_volume(data_cdhw)
         return self._jitted_labels(variables, data, threshold)
 
     def unpack_labels(self, out) -> np.ndarray:
@@ -320,7 +339,7 @@ class SlidingWindowPredictor:
         Exactly one program dispatch and one transfer each way.
         """
         variables = self.device_variables(variables)
-        data = jax.device_put(np.asarray(data_cdhw, np.float32))
+        data = self._stage_volume(data_cdhw)
         return np.asarray(self._jitted(variables, data))
 
 

@@ -129,3 +129,31 @@ def test_predict_labels_multiclass_argmax():
                                   patch_batch_size=1)
     labels = pred.predict_labels({}, np.zeros((1, 8, 8, 8), np.float32))
     assert set(np.unique(labels)) == {5}  # channel 1 -> labels[1] == 5
+
+
+def test_bf16_volume_staging_bit_identical(monkeypatch):
+    """Host-side bf16 rounding before H2D (half the upload bytes) must be
+    BIT-identical to uploading f32 and letting the bf16 model cast — pad,
+    transpose and patch-gather all preserve values."""
+    import jax
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference import SlidingWindowPredictor
+    from fetal_mri_segmentation_tpu.models import build_model
+
+    cfg = Config(model_name="unet", depth=2, n_base_filters=2,
+                 patch_shape=(8, 8, 8), image_shape=(16, 16, 16),
+                 compute_dtype="bfloat16")
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), np.zeros((1, 8, 8, 8, 1),
+                                                        np.float32))
+    pred = SlidingWindowPredictor(model, cfg, (16, 16, 16), (8, 8, 8),
+                                  overlap=4, patch_batch_size=4)
+    vol = np.random.default_rng(11).normal(
+        0, 1, (1, 16, 16, 16)).astype(np.float32)
+    a = pred.predict_labels(params, vol)
+    monkeypatch.setattr(
+        pred, "_stage_volume",
+        lambda d: jax.device_put(np.asarray(d, np.float32)))
+    b = pred.predict_labels(params, vol)
+    assert np.array_equal(a, b)
