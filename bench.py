@@ -169,6 +169,8 @@ print(json.dumps({"dp_step_sec_cpu8": round((time.perf_counter()-t0)/5, 5),
 
 
 def main():
+    from fetal_mri_segmentation_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5],
                     help="measure a single BASELINE config")

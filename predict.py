@@ -20,6 +20,9 @@ import jax
 def main(config, output_dir: str = "prediction", overlap: int = 16,
          tta: bool = False, patch_batch_size: int = 8,
          num_devices: int = 1, spatial_devices: int = 1):
+    from fetal_mri_segmentation_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     from fetal_mri_segmentation_tpu.data import open_data_file
     from fetal_mri_segmentation_tpu.inference import run_validation_cases
     from fetal_mri_segmentation_tpu.models import build_model

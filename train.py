@@ -53,6 +53,9 @@ def fetch_training_data_files(data_dir: str, modalities, truth_name="truth"):
 
 def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
          profile_dir: str = None, seed: int = 0):
+    from fetal_mri_segmentation_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     from fetal_mri_segmentation_tpu.data import (open_data_file,
                                                  write_data_to_file)
     from fetal_mri_segmentation_tpu.models import build_model
