@@ -22,6 +22,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite re-jits the same tiny programs
+# every session on 1 CPU core — caching them across runs cuts wall time.
+from fetal_mri_segmentation_tpu.utils.compilation_cache import (  # noqa: E402
+    enable_compilation_cache)
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 
