@@ -106,16 +106,43 @@ def run_validation_case(case_index: int, out_dir: str, model, variables,
         # threshold/argmax) — only uint8/packed bits cross the device link.
         label_map = predictor.predict_labels(variables, data,
                                              threshold=threshold)
-        label_map = _scale_binary_label(label_map, config)
-        submit(save_nifti, label_map.astype(np.uint8),
-               os.path.join(out_dir, "prediction.nii.gz"), affine=affine)
-        return label_map
+        return _write_prediction(label_map, config, out_dir, affine, submit)
     probability = predictor(variables, data)
     image = prediction_to_image(probability, affine,
                                 label_map=False,
                                 threshold=threshold, labels=config.labels)
     submit(save_nifti, image, os.path.join(out_dir, "prediction.nii.gz"))
     return probability
+
+
+class _FnAdapter:
+    """Duck-types the predictor interface around a probability-map function
+    (mesh-sharded or spatial whole-volume predict): label maps are derived
+    on host with the reference's threshold/argmax semantics."""
+
+    def __init__(self, predict_fn, config):
+        self._fn = predict_fn
+        self._config = config
+
+    def __call__(self, variables, data):
+        return self._fn(variables, data)
+
+    def predict_labels(self, variables, data, threshold=0.5):
+        prob = self._fn(variables, data)
+        if self._config.n_labels == 1:
+            return (prob[0] > threshold).astype(np.uint8)
+        return get_prediction_labels(prob, threshold=threshold,
+                                     labels=self._config.labels)
+
+
+def _write_prediction(label_map, config, case_dir, affine, submit):
+    """The single place the per-case prediction artifact is produced
+    (binary label scaling + NIfTI write) — used by both the per-case API
+    and the pipelined stream so they cannot diverge."""
+    label_map = _scale_binary_label(label_map, config).astype(np.uint8)
+    submit(save_nifti, label_map,
+           os.path.join(case_dir, "prediction.nii.gz"), affine=affine)
+    return label_map
 
 
 def run_validation_cases(validation_keys_file: str, model, variables,
@@ -141,50 +168,33 @@ def run_validation_cases(validation_keys_file: str, model, variables,
     validation_indices = pickle_load(validation_keys_file)
     image_shape = tuple(data_file.root.data.shape[-3:])
     if spatial_mesh is not None:
+        # options that only exist in the sliding-window mode must not be
+        # silently dropped — fail loudly on incompatible combinations.
+        if permute:
+            raise ValueError(
+                "spatial_mesh inference is one whole-volume forward — "
+                "48-symmetry TTA (permute) applies to cubic PATCHES only; "
+                "drop --tta or use patch-grid sharding (--num-devices)")
+        if mesh is not None and len(mesh.devices.flat) > 1:
+            raise ValueError(
+                "spatial_mesh and patch-grid mesh are mutually exclusive "
+                "inference modes — pass one of --spatial-devices / "
+                "--num-devices")
         from fetal_mri_segmentation_tpu.parallel import make_spatial_predictor
 
-        sp = make_spatial_predictor(model, config, spatial_mesh)
-
-        class _SpatialAdapter:
-            """Duck-types the predictor for the whole-volume sharded mode."""
-
-            def __call__(self, variables, data):
-                return sp(variables, data)
-
-            def predict_labels(self, variables, data, threshold=0.5):
-                prob = sp(variables, data)
-                if config.n_labels == 1:
-                    return (prob[0] > threshold).astype(np.uint8)
-                return get_prediction_labels(prob, threshold=threshold,
-                                             labels=config.labels)
-
-        predictor = _SpatialAdapter()
+        # SpatialPredictor duck-types the serving surface directly
+        # (device-side label maps, resident params)
+        predictor = make_spatial_predictor(model, config, spatial_mesh)
     else:
         predictor = SlidingWindowPredictor(
             model, config, image_shape=image_shape, overlap=overlap,
             patch_batch_size=patch_batch_size, tta_permute=permute)
-    if (spatial_mesh is None and mesh is not None
-            and len(mesh.devices.flat) > 1):
-        from fetal_mri_segmentation_tpu.parallel.distributed import (
-            make_sharded_predictor)
+        if mesh is not None and len(mesh.devices.flat) > 1:
+            from fetal_mri_segmentation_tpu.parallel.distributed import (
+                make_sharded_predictor)
 
-        sharded = make_sharded_predictor(predictor, mesh)
-
-        class _ShardedAdapter:
-            """Duck-types the predictor: probabilities via the sharded scan,
-            label maps thresholded on host."""
-
-            def __call__(self, variables, data):
-                return sharded(variables, data)
-
-            def predict_labels(self, variables, data, threshold=0.5):
-                prob = sharded(variables, data)
-                if config.n_labels == 1:
-                    return (prob[0] > threshold).astype(np.uint8)
-                return get_prediction_labels(prob, threshold=threshold,
-                                             labels=config.labels)
-
-        predictor = _ShardedAdapter()
+            predictor = _FnAdapter(make_sharded_predictor(predictor, mesh),
+                                   config)
 
     subject_ids = None
     if "subject_ids" in data_file._h5:
@@ -207,11 +217,8 @@ def run_validation_cases(validation_keys_file: str, model, variables,
         pending = None  # (device result, case_dir, affine)
 
         def finalize(out_dev, case_dir, affine):
-            label_map = _scale_binary_label(
-                predictor.unpack_labels(out_dev), config)
-            submit(save_nifti, label_map.astype(np.uint8),
-                   os.path.join(case_dir, "prediction.nii.gz"),
-                   affine=affine)
+            _write_prediction(predictor.unpack_labels(out_dev), config,
+                              case_dir, affine, submit)
 
         for index in validation_indices:
             name = (subject_ids[index] if subject_ids

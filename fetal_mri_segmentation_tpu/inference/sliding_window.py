@@ -123,6 +123,7 @@ class SlidingWindowPredictor:
         # checkpoint, not per case — per-call staging of the full param tree
         # was ~40% of wall time over the tunneled device link).
         self._resident_key = None
+        self._resident_host = None
         self._resident_vars = None
 
     def _predict_volume(self, variables, data_cdhw):
@@ -164,10 +165,18 @@ class SlidingWindowPredictor:
         return label_map.astype(jnp.uint8)
 
     def device_variables(self, variables):
-        """Device-resident copy of the param tree, cached per checkpoint
-        (identity-keyed: a new `variables` object invalidates the cache)."""
-        if self._resident_key is not variables:
-            self._resident_key = variables
+        """Device-resident copy of the param tree, cached per checkpoint.
+
+        Keyed on the identity of every LEAF (not the container), so both a
+        new dict and an in-place swap like ``variables["params"] = new``
+        invalidate the cache — a container-identity key would silently keep
+        serving the previously uploaded weights."""
+        key = tuple(id(l) for l in jax.tree_util.tree_leaves(variables))
+        if self._resident_key != key:
+            self._resident_key = key
+            # keep a strong ref to the host tree while cached: otherwise a
+            # GC'd leaf could hand its id() to a new array (false cache hit)
+            self._resident_host = variables
             self._resident_vars = jax.device_put(variables)
         return self._resident_vars
 

@@ -139,7 +139,8 @@ class ConvBlock(nn.Module):
 
         if pallas_conv3x3_available(x.shape, x.shape[-1], self.features):
             return conv3x3
-        if pallas_conv_flat_available(x.shape, x.shape[-1], self.features):
+        if pallas_conv_flat_available(x.shape, x.shape[-1], self.features,
+                                      jnp.dtype(self.dtype).itemsize):
             return conv3x3_flat
         return None
 

@@ -127,10 +127,10 @@ def _flat_kernel(x_hbm, w_ref, b_ref, mask_ref, out_ref, slab, sem, *,
     out_ref[...] = acc.reshape(1, 1, CO, P).astype(out_dtype)
 
 
-def _tap_group(ci: int, P: int) -> int:
+def _tap_group(ci: int, P: int, itemsize: int = 2) -> int:
     """9 (all taps in one K-packed GEMM) unless the (9C, P) concat buffer
     would crowd scoped VMEM; then 3 (one GEMM per kh row, K = 3C)."""
-    return 9 if 9 * ci * P * 2 <= 6 * 1024 * 1024 else 3
+    return 9 if 9 * ci * P * itemsize <= 6 * 1024 * 1024 else 3
 
 
 def _conv_flat(xf, w, bias, mask, *, H, W, activation, negative_slope,
@@ -138,7 +138,7 @@ def _conv_flat(xf, w, bias, mask, *, H, W, activation, negative_slope,
     """xf: (B, D+2, C, P) -> (B, D+2, CO, P) (border ring zeroed)."""
     B, D2, C, P = xf.shape
     CO = w.shape[-1]
-    tap_group = _tap_group(C, P)
+    tap_group = _tap_group(C, P, jnp.dtype(xf.dtype).itemsize)
     if tap_group == 9:
         # (3,3,3,C,CO) -> per-kd (CO, 9C), columns ordered (kh, kw, ci)
         w_k = jnp.transpose(w.reshape(3, 9 * C, CO), (0, 2, 1))
@@ -186,7 +186,8 @@ def _conv_flat(xf, w, bias, mask, *, H, W, activation, negative_slope,
     return out
 
 
-def pallas_conv_flat_available(x_shape, ci: int, co: int) -> bool:
+def pallas_conv_flat_available(x_shape, ci: int, co: int,
+                               itemsize: int = 2) -> bool:
     """Eligibility for the flat-plane kernel: any channel count >= 8.
 
     Complements ops/pallas_conv.py's slab kernel (which needs C % 128 == 0):
@@ -205,9 +206,10 @@ def pallas_conv_flat_available(x_shape, ci: int, co: int) -> bool:
     # transient; see _tap_group) + weights + mask + f32 acc + 2x out
     # (double-buffered across grid steps). Mosaic's scoped-vmem limit is
     # 16 MB; leave headroom for rotation temporaries.
-    group = _tap_group(ci, P)
-    vmem = (3 * ci * P * 2 + group * ci * P * 2 + 27 * ci * co * 2 + P * 4
-            + co * P * 4 + 2 * co * P * 2)
+    group = _tap_group(ci, P, itemsize)
+    vmem = (3 * ci * P * itemsize + group * ci * P * itemsize
+            + 27 * ci * co * itemsize + P * 4
+            + co * P * 4 + 2 * co * P * itemsize)
     # 14 MB cap against the 16 MB scoped limit — the C=192 @ 64^3 decoder
     # level (estimate ~13.3 MB) verified compiling + matching XLA on chip.
     return vmem < 14 * 1024 * 1024

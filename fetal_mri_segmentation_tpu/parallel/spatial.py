@@ -102,31 +102,75 @@ def shard_batch_spatial(mesh: Mesh, *arrays):
     return tuple(out) if len(out) > 1 else out[0]
 
 
-def make_spatial_predictor(model, config, mesh: Mesh,
-                           variables=None) -> Callable:
-    """Whole-volume forward with the volume depth sharded over the mesh —
+class SpatialPredictor:
+    """Whole-volume predictor with the volume depth sharded over the mesh —
     activation memory per chip drops by the spatial factor (lets volumes
     that exceed one chip's HBM run without patching).
 
-    Returns ``predict(variables, data_cdhw) -> (L, D, H, W) float32``.
-    """
-    import jax.numpy as jnp
+    Duck-types `SlidingWindowPredictor`'s serving surface: ``__call__`` for
+    the (L, D, H, W) probability map and ``predict_labels`` computing the
+    uint8 label map ON DEVICE (threshold / argmax→labels), with the param
+    tree kept device-resident across cases (same levers that cut ~40% of
+    per-volume wall time from the sliding-window path)."""
 
-    repl = NamedSharding(mesh, P())
-    spatial = ("spatial" if "spatial" in mesh.axis_names
-               else mesh.axis_names[0])
-    vol_spec = NamedSharding(mesh, P(None, spatial, None, None))
+    def __init__(self, model, config, mesh: Mesh):
+        import jax.numpy as jnp
 
-    def _fn(variables, vol_cdhw):
-        x = jnp.transpose(vol_cdhw, (1, 2, 3, 0))[None]  # (1, D, H, W, C)
-        y = model.apply(variables, x)                    # (1, D, H, W, L)
-        return jnp.transpose(y[0], (3, 0, 1, 2)).astype(jnp.float32)
+        self.config = config
+        repl = NamedSharding(mesh, P())
+        spatial = ("spatial" if "spatial" in mesh.axis_names
+                   else mesh.axis_names[0])
+        self._vol_spec = NamedSharding(mesh, P(None, spatial, None, None))
+        self._resident_key = None
+        self._resident_host = None
+        self._resident_vars = None
 
-    jitted = jax.jit(_fn, in_shardings=(repl, vol_spec),
-                     out_shardings=repl)
+        def _probs(variables, vol_cdhw):
+            x = jnp.transpose(vol_cdhw, (1, 2, 3, 0))[None]  # (1, D, H, W, C)
+            y = model.apply(variables, x)                    # (1, D, H, W, L)
+            return jnp.transpose(y[0], (3, 0, 1, 2)).astype(jnp.float32)
 
-    def predict(variables, data_cdhw) -> np.ndarray:
-        vol = jax.device_put(np.asarray(data_cdhw, np.float32), vol_spec)
-        return np.asarray(jitted(variables, vol))
+        def _labels(variables, vol_cdhw, threshold):
+            prob = _probs(variables, vol_cdhw)
+            if config.n_labels == 1:
+                return (prob[0] > threshold).astype(jnp.uint8)
+            labels = jnp.asarray(list(config.labels
+                                      or range(1, config.n_labels + 1)),
+                                 jnp.int32)
+            label_map = jnp.take(labels, jnp.argmax(prob, axis=0))
+            return jnp.where(jnp.max(prob, axis=0) > threshold,
+                             label_map, 0).astype(jnp.uint8)
 
-    return predict
+        self._jitted = jax.jit(_probs, in_shardings=(repl, self._vol_spec),
+                               out_shardings=repl)
+        self._jitted_labels = jax.jit(_labels,
+                                      in_shardings=(repl, self._vol_spec),
+                                      out_shardings=repl,
+                                      static_argnames=("threshold",))
+
+    def _device_variables(self, variables):
+        key = tuple(id(l) for l in jax.tree_util.tree_leaves(variables))
+        if self._resident_key != key:
+            self._resident_key = key
+            self._resident_host = variables
+            self._resident_vars = jax.device_put(variables)
+        return self._resident_vars
+
+    def _stage(self, data_cdhw):
+        return jax.device_put(np.asarray(data_cdhw, np.float32),
+                              self._vol_spec)
+
+    def __call__(self, variables, data_cdhw) -> np.ndarray:
+        variables = self._device_variables(variables)
+        return np.asarray(self._jitted(variables, self._stage(data_cdhw)))
+
+    def predict_labels(self, variables, data_cdhw,
+                       threshold: float = 0.5) -> np.ndarray:
+        variables = self._device_variables(variables)
+        return np.asarray(self._jitted_labels(
+            variables, self._stage(data_cdhw), threshold))
+
+
+def make_spatial_predictor(model, config, mesh: Mesh) -> SpatialPredictor:
+    """See `SpatialPredictor`."""
+    return SpatialPredictor(model, config, mesh)

@@ -157,3 +157,33 @@ def test_bf16_volume_staging_bit_identical(monkeypatch):
         lambda d: jax.device_put(np.asarray(d, np.float32)))
     b = pred.predict_labels(params, vol)
     assert np.array_equal(a, b)
+
+
+def test_device_variables_cache_invalidates_on_inplace_swap():
+    """Mutating the same dict object with new params must NOT serve stale
+    weights from the resident cache (leaf-identity keying)."""
+    import jax
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference import SlidingWindowPredictor
+    from fetal_mri_segmentation_tpu.models import build_model
+
+    cfg = Config(model_name="unet", depth=2, n_base_filters=2,
+                 patch_shape=(8, 8, 8), image_shape=(16, 16, 16),
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    p1 = model.init(jax.random.PRNGKey(0), np.zeros((1, 8, 8, 8, 1),
+                                                    np.float32))
+    p2 = model.init(jax.random.PRNGKey(1), np.zeros((1, 8, 8, 8, 1),
+                                                    np.float32))
+    pred = SlidingWindowPredictor(model, cfg, (16, 16, 16), (8, 8, 8),
+                                  overlap=4, patch_batch_size=4)
+    vol = np.random.default_rng(0).normal(
+        0, 1, (1, 16, 16, 16)).astype(np.float32)
+    variables = dict(p1)
+    a = pred(variables, vol)
+    variables["params"] = p2["params"]  # in-place checkpoint swap
+    b = pred(variables, vol)
+    c = pred(p2, vol)
+    assert np.allclose(b, c, atol=1e-6)
+    assert not np.allclose(a, b, atol=1e-6)

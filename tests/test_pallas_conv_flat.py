@@ -82,7 +82,7 @@ def test_conv3x3_flat_grads_match_xla(monkeypatch):
 def test_flat_conv_tap_group3_matches_xla(monkeypatch):
     """Wide-C fallback (one GEMM per kh row) == XLA oracle. Distinct shape
     from other tests so the jit cache can't serve a tap_group=9 trace."""
-    monkeypatch.setattr(PF, "_tap_group", lambda ci, P: 3)
+    monkeypatch.setattr(PF, "_tap_group", lambda ci, P, itemsize=2: 3)
     x, w, b = make(B=1, D=5, H=9, W=11, CI=8, CO=6, seed=7)
     got = PF._conv3x3_flat_fwd(x, w, b, activation="relu", interpret=True)
     want = xla_conv_act(x, w, b, "relu")

@@ -168,3 +168,36 @@ def test_train_model_on_hybrid_mesh(tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 3
     assert float(rows[-1]["loss"]) < float(rows[0]["loss"])
+
+
+def test_spatial_mode_rejects_incompatible_options(tmp_path):
+    """--tta and patch-grid --num-devices must fail loudly with spatial mode
+    instead of being silently ignored."""
+    from fetal_mri_segmentation_tpu.data import (open_data_file,
+                                                 write_data_to_file)
+    from fetal_mri_segmentation_tpu.inference import run_validation_cases
+    from fetal_mri_segmentation_tpu.parallel import make_mesh
+    from fetal_mri_segmentation_tpu.utils.io_utils import pickle_dump
+    from tests.synthetic import write_synthetic_dataset
+
+    files = write_synthetic_dataset(str(tmp_path / "nii"), n_cases=1,
+                                    shape=(20, 20, 20))
+    h5p = str(tmp_path / "d.h5")
+    write_data_to_file(files, h5p, image_shape=(16, 16, 16),
+                       normalize="per_volume", crop=False)
+    keys = str(tmp_path / "v.pkl")
+    pickle_dump([0], keys)
+    cfg = tiny_config(patch_shape=(16, 16, 16), image_shape=(16, 16, 16))
+    model = build_model(cfg)
+    variables = {"params": create_train_state(
+        model, cfg, jax.random.PRNGKey(0)).params}
+    smesh = make_hybrid_mesh(1, 8)
+    with open_data_file(h5p) as f:
+        with pytest.raises(ValueError, match="TTA"):
+            run_validation_cases(keys, model, variables, f, cfg,
+                                 output_dir=str(tmp_path / "x"),
+                                 spatial_mesh=smesh, permute=True)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            run_validation_cases(keys, model, variables, f, cfg,
+                                 output_dir=str(tmp_path / "x"),
+                                 spatial_mesh=smesh, mesh=make_mesh(8))

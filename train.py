@@ -100,12 +100,17 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
         n_dev = config.num_devices or len(jax.devices())
         n_spatial = getattr(config, "spatial_devices", 1) or 1
         if n_spatial > 1:
+            if n_dev % n_spatial != 0:
+                sys.exit(f"spatial_devices={n_spatial} must divide the "
+                         f"device count ({n_dev}) — devices would sit idle")
             from fetal_mri_segmentation_tpu.parallel import make_hybrid_mesh
-            mesh = make_hybrid_mesh(max(n_dev // n_spatial, 1), n_spatial)
+            mesh = make_hybrid_mesh(n_dev // n_spatial, n_spatial)
         else:
             mesh = make_mesh(n_dev) if n_dev > 1 else None
         if verbose:
-            print(f"training on {n_dev} device(s); "
+            desc = (f"mesh {tuple(mesh.devices.shape)} {mesh.axis_names}"
+                    if mesh is not None else "1 device")
+            print(f"training on {desc}; "
                   f"{n_train} steps/epoch, {n_val} val steps")
         if profile_dir:
             # device-timeline trace (tensorboard-loadable) around training —
