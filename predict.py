@@ -19,7 +19,8 @@ import jax
 
 def main(config, output_dir: str = "prediction", overlap: int = 16,
          tta: bool = False, patch_batch_size: int = 8,
-         num_devices: int = 1, spatial_devices: int = 1):
+         num_devices: int = 1, spatial_devices: int = 1,
+         export_path: str = None):
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
@@ -33,6 +34,14 @@ def main(config, output_dir: str = "prediction", overlap: int = 16,
     variables = {"params": state.params}
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
+
+    if export_path:
+        from fetal_mri_segmentation_tpu.utils.export import export_predictor
+        export_predictor(model, config, variables, config.image_shape,
+                         export_path, overlap=overlap,
+                         patch_batch_size=patch_batch_size)
+        print(f"exported portable label-map program to {export_path}")
+        return
 
     mesh = None
     if num_devices and num_devices > 1:
@@ -65,6 +74,10 @@ if __name__ == "__main__":
                     help="48-symmetry test-time augmentation averaging")
     ap.add_argument("--num-devices", type=int, default=1,
                     help="shard the patch grid over N devices")
+    ap.add_argument("--export", metavar="PATH", default=None,
+                    help="serialize the whole-volume label-map program "
+                         "(trained weights baked in, StableHLO) to PATH "
+                         "and exit — deployable with jax alone")
     ap.add_argument("--spatial-devices", type=int, default=1,
                     help="whole-volume inference with the depth axis "
                          "sharded over N devices (no patching; XLA halo "
@@ -76,4 +89,5 @@ if __name__ == "__main__":
     main(Config.load(args.config), output_dir=args.output_dir,
          overlap=args.overlap, tta=args.tta,
          patch_batch_size=args.patch_batch_size,
-         num_devices=args.num_devices, spatial_devices=args.spatial_devices)
+         num_devices=args.num_devices,
+         spatial_devices=args.spatial_devices, export_path=args.export)

@@ -1,0 +1,44 @@
+"""Portable StableHLO export: the artifact must reproduce the live
+predictor bit-for-bit and load with no model/flax dependency."""
+
+import jax
+import numpy as np
+
+from fetal_mri_segmentation_tpu.config import Config
+from fetal_mri_segmentation_tpu.inference import SlidingWindowPredictor
+from fetal_mri_segmentation_tpu.models import build_model
+from fetal_mri_segmentation_tpu.utils.export import (export_predictor,
+                                                     load_predictor)
+
+
+def test_export_roundtrip_matches_live_predictor(tmp_path):
+    cfg = Config(model_name="unet", depth=2, n_base_filters=2,
+                 patch_shape=(8, 8, 8), image_shape=(16, 16, 16),
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 8, 8, 8, 1), np.float32))
+    live = SlidingWindowPredictor(model, cfg, (16, 16, 16), (8, 8, 8),
+                                  overlap=4, patch_batch_size=4)
+    p = str(tmp_path / "model.fetal")
+    export_predictor(model, cfg, variables, (16, 16, 16), p, overlap=4,
+                     patch_batch_size=4)
+
+    predict = load_predictor(p)
+    assert predict.meta["n_labels"] == 1
+    vol = np.random.default_rng(3).normal(
+        0, 1, (1, 16, 16, 16)).astype(np.float32)
+    got = predict(vol)
+    want = live.predict_labels(variables, vol)
+    assert got.shape == (16, 16, 16)
+    assert np.array_equal(got, want)
+
+
+def test_export_rejects_bad_magic(tmp_path):
+    import pytest
+
+    p = str(tmp_path / "junk.fetal")
+    with open(p, "wb") as f:
+        f.write(b"NOTANEXPORT")
+    with pytest.raises(ValueError, match="not a fetal-tpu export"):
+        load_predictor(p)
