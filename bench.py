@@ -121,6 +121,49 @@ def _composite(model_name: str, augment: bool, n_reps: int = 5):
             "whole_volume_infer_sec": round(infer_sec, 5)}
 
 
+def _direct_volume_infer():
+    """Beyond-parity serving mode: ONE whole-volume forward (no patch grid,
+    no overlap recompute) on a single chip — `predict.py --direct`.
+
+    Measured with the in-jit scan protocol (input coupled to the previous
+    output) because this box's runtime memoizes identical executions;
+    see docs/PERF.md methodology note. Device-execution time only.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.models import build_model
+
+    config = Config(model_name="unet", depth=3, n_base_filters=32,
+                    patch_shape=PATCH, image_shape=VOLUME, batch_size=1,
+                    compute_dtype="bfloat16")
+    model = build_model(config)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1,) + PATCH + (1,), jnp.float32))
+    N = 10
+
+    @jax.jit
+    def loop(variables, vol):
+        def body(v, _):
+            x = jnp.transpose(v, (1, 2, 3, 0))[None]
+            prob = jnp.transpose(model.apply(variables, x)[0],
+                                 (3, 0, 1, 2)).astype(jnp.float32)
+            lab = (prob[0] > 0.5).astype(jnp.uint8)
+            return v * 1.000001 + lab[None].astype(v.dtype) * 1e-6, lab.sum()
+        return jax.lax.scan(body, vol, None, length=N)
+
+    vol = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (1,) + VOLUME).astype(np.float32))
+    v, r = loop(variables, vol)
+    jax.block_until_ready((v, r))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        v, r = loop(variables, v)
+    jax.block_until_ready((v, r))
+    return round((time.perf_counter() - t0) / (3 * N), 5)
+
+
 def _config5_dp_cpu():
     """8-way DP step on the virtual CPU mesh, in a clean subprocess
     (the TPU backend in this process can't host the 8-device CPU mesh)."""
@@ -204,6 +247,10 @@ def main():
         detail["config2_augmented"] = _composite("unet", augment=True)
         detail["config4_isensee"] = _composite("isensee", augment=False)
         detail["config5_dp"] = _config5_dp_cpu()
+        # beyond-parity direct serving mode (predict.py --direct); device
+        # time — not part of the composite (config #3 is defined as
+        # sliding-window + Gaussian overlap-add)
+        detail["direct_volume_infer_sec"] = _direct_volume_infer()
 
     import jax
     detail["device"] = str(jax.devices()[0])

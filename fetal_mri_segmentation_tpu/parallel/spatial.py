@@ -103,27 +103,36 @@ def shard_batch_spatial(mesh: Mesh, *arrays):
 
 
 class SpatialPredictor:
-    """Whole-volume predictor with the volume depth sharded over the mesh —
-    activation memory per chip drops by the spatial factor (lets volumes
-    that exceed one chip's HBM run without patching).
+    """Whole-volume predictor: ONE forward pass over the full volume, depth
+    axis sharded over the mesh — activation memory per chip drops by the
+    spatial factor (lets volumes that exceed one chip's HBM run without
+    patching). On a 1-device mesh the collectives compile away and this IS
+    the single-chip DIRECT inference mode: measured ~4x less device time
+    than the sliding-window path on 128^3 (57 vs 226 ms, docs/PERF.md) —
+    the patch grid recomputes every overlap region, the direct pass doesn't.
 
-    Duck-types `SlidingWindowPredictor`'s serving surface: ``__call__`` for
-    the (L, D, H, W) probability map and ``predict_labels`` computing the
-    uint8 label map ON DEVICE (threshold / argmax→labels), with the param
-    tree kept device-resident across cases (same levers that cut ~40% of
-    per-volume wall time from the sliding-window path)."""
+    Duck-types `SlidingWindowPredictor`'s full serving surface — ``__call__``
+    (probability map), ``predict_labels`` / ``predict_labels_async`` +
+    ``unpack_labels`` (pipelined streams), device-resident params, bf16 host
+    staging, and BIT-PACKED binary label D2H — so `run_validation_cases`
+    pipelines it identically."""
 
     def __init__(self, model, config, mesh: Mesh):
         import jax.numpy as jnp
 
+        self.model = model
         self.config = config
+        self.n_labels = config.n_labels
         repl = NamedSharding(mesh, P())
         spatial = ("spatial" if "spatial" in mesh.axis_names
                    else mesh.axis_names[0])
+        self._n_spatial = dict(zip(mesh.axis_names,
+                                   mesh.devices.shape)).get(spatial, 1)
         self._vol_spec = NamedSharding(mesh, P(None, spatial, None, None))
         self._resident_key = None
         self._resident_host = None
         self._resident_vars = None
+        self._last_shape = None
 
         def _probs(variables, vol_cdhw):
             x = jnp.transpose(vol_cdhw, (1, 2, 3, 0))[None]  # (1, D, H, W, C)
@@ -133,7 +142,18 @@ class SpatialPredictor:
         def _labels(variables, vol_cdhw, threshold):
             prob = _probs(variables, vol_cdhw)
             if config.n_labels == 1:
-                return (prob[0] > threshold).astype(jnp.uint8)
+                # bit-pack the binary mask on device: 8x fewer D2H bytes —
+                # the device->host link is the single-volume bottleneck on
+                # tunneled links (same scheme as
+                # inference/sliding_window.py::_predict_labels_packed).
+                mask = (prob[0] > threshold).astype(jnp.uint8).reshape(-1)
+                padn = (-mask.shape[0]) % 8
+                if padn:
+                    mask = jnp.pad(mask, (0, padn))
+                weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1],
+                                      jnp.uint8)
+                return (mask.reshape(-1, 8) * weights[None, :]).sum(
+                    axis=1).astype(jnp.uint8)
             labels = jnp.asarray(list(config.labels
                                       or range(1, config.n_labels + 1)),
                                  jnp.int32)
@@ -148,7 +168,9 @@ class SpatialPredictor:
                                       out_shardings=repl,
                                       static_argnames=("threshold",))
 
-    def _device_variables(self, variables):
+    def device_variables(self, variables):
+        """Device-resident param tree, cached per checkpoint (leaf-id key,
+        same contract as SlidingWindowPredictor.device_variables)."""
         key = tuple(id(l) for l in jax.tree_util.tree_leaves(variables))
         if self._resident_key != key:
             self._resident_key = key
@@ -156,19 +178,79 @@ class SpatialPredictor:
             self._resident_vars = jax.device_put(variables)
         return self._resident_vars
 
+    # kept for backward compatibility with earlier round-2 callers
+    _device_variables = device_variables
+
+    def _check_shape(self, shape):
+        """Fail loudly when the whole-volume forward cannot run: spatial
+        dims must survive depth-1 halvings, and the depth axis must split
+        evenly over the mesh's spatial shards."""
+        d_div = 2 ** (int(getattr(self.config, "depth", 1) or 1) - 1)
+        for i, s in enumerate(shape):
+            if s % d_div != 0:
+                raise ValueError(
+                    f"whole-volume inference needs every spatial dim "
+                    f"divisible by 2^(depth-1)={d_div}; volume shape "
+                    f"{tuple(shape)} dim {i} is {s}. Use the sliding-window "
+                    f"predictor (patching) for this geometry.")
+        if shape[0] % self._n_spatial != 0:
+            raise ValueError(
+                f"volume depth {shape[0]} not divisible by the mesh's "
+                f"{self._n_spatial} spatial shards")
+
     def _stage(self, data_cdhw):
-        return jax.device_put(np.asarray(data_cdhw, np.float32),
-                              self._vol_spec)
+        """Host→device staging; rounds to bf16 ON HOST for bf16 models —
+        half the H2D bytes, bit-identical results (the model's first op is
+        the same cast; see SlidingWindowPredictor._stage_volume)."""
+        arr = np.asarray(data_cdhw, np.float32)
+        self._check_shape(arr.shape[1:])
+        self._last_shape = tuple(arr.shape[1:])
+        if getattr(self.model, "dtype", None) is not None:
+            import jax.numpy as jnp
+            if self.model.dtype == jnp.bfloat16:
+                import ml_dtypes
+
+                arr = arr.astype(ml_dtypes.bfloat16)
+        return jax.device_put(arr, self._vol_spec)
 
     def __call__(self, variables, data_cdhw) -> np.ndarray:
-        variables = self._device_variables(variables)
+        variables = self.device_variables(variables)
         return np.asarray(self._jitted(variables, self._stage(data_cdhw)))
+
+    def predict_labels_async(self, variables, data_cdhw,
+                             threshold: float = 0.5):
+        """Dispatch without blocking; finish with ``unpack_labels`` — lets
+        `run_validation_cases` overlap volume i's D2H/NIfTI write with
+        volume i+1's compute."""
+        variables = self.device_variables(variables)
+        return self._jitted_labels(variables, self._stage(data_cdhw),
+                                   threshold)
+
+    def unpack_labels(self, out) -> np.ndarray:
+        out = np.asarray(out)
+        if self.n_labels == 1:
+            shape = self._last_shape
+            bits = np.unpackbits(out.reshape(-1, 1), axis=1)
+            return bits.reshape(-1)[: int(np.prod(shape))].reshape(
+                shape).astype(np.uint8)
+        return out
 
     def predict_labels(self, variables, data_cdhw,
                        threshold: float = 0.5) -> np.ndarray:
-        variables = self._device_variables(variables)
-        return np.asarray(self._jitted_labels(
-            variables, self._stage(data_cdhw), threshold))
+        return self.unpack_labels(
+            self.predict_labels_async(variables, data_cdhw, threshold))
+
+
+def make_direct_predictor(model, config) -> SpatialPredictor:
+    """Single-device DIRECT whole-volume predictor (beyond-parity serving
+    mode): the fully-convolutional net runs once over the whole volume —
+    no patch grid, no overlap recompute, no seams. ~4x less device time
+    than sliding-window on 128^3 (docs/PERF.md). Requires volume dims
+    divisible by 2^(depth-1); numerics near former patch borders differ
+    from the Gaussian overlap-add average (tested close on trained models).
+    """
+    return SpatialPredictor(
+        model, config, Mesh(np.asarray(jax.devices()[:1]), ("spatial",)))
 
 
 def make_spatial_predictor(model, config, mesh: Mesh) -> SpatialPredictor:

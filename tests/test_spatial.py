@@ -201,3 +201,122 @@ def test_spatial_mode_rejects_incompatible_options(tmp_path):
             run_validation_cases(keys, model, variables, f, cfg,
                                  output_dir=str(tmp_path / "x"),
                                  spatial_mesh=smesh, mesh=make_mesh(8))
+
+
+def test_direct_predictor_matches_spatial_sharded():
+    """make_direct_predictor (1-device mesh, collectives compiled away) must
+    produce the same label map as the 8-way depth-sharded predictor —
+    including through the bit-packed D2H path."""
+    from fetal_mri_segmentation_tpu.parallel import make_direct_predictor
+
+    cfg = tiny_config()
+    model = build_model(cfg)
+    variables = {"params": create_train_state(
+        model, cfg, jax.random.PRNGKey(0)).params}
+    vol = np.random.default_rng(3).normal(
+        0, 1, (1, 32, 16, 16)).astype(np.float32)
+
+    direct = make_direct_predictor(model, cfg)
+    sharded = make_spatial_predictor(model, cfg, make_hybrid_mesh(1, 8))
+
+    lab_d = direct.predict_labels(variables, vol)
+    lab_s = sharded.predict_labels(variables, vol)
+    assert lab_d.shape == (32, 16, 16)
+    assert lab_d.dtype == np.uint8
+    np.testing.assert_array_equal(lab_d, lab_s)
+
+    # bit-packed labels must agree with thresholding the probability map
+    prob = direct(variables, vol)
+    np.testing.assert_array_equal(lab_d, (prob[0] > 0.5).astype(np.uint8))
+
+
+def test_direct_predictor_shape_validation():
+    """Volumes whose dims don't survive the pooling halvings must fail with
+    a clear error instead of a shape crash inside the model."""
+    from fetal_mri_segmentation_tpu.parallel import make_direct_predictor
+
+    cfg = tiny_config(depth=3)
+    model = build_model(cfg)
+    variables = {"params": create_train_state(
+        model, cfg, jax.random.PRNGKey(0)).params}
+    bad = np.zeros((1, 18, 16, 16), np.float32)  # 18 % 2^(3-1) != 0
+    with pytest.raises(ValueError, match="divisible"):
+        make_direct_predictor(model, cfg).predict_labels(variables, bad)
+
+
+def test_direct_close_to_sliding_window_on_trained_model():
+    """Direct whole-volume inference vs Gaussian sliding-window on a
+    quick-trained model: the two modes differ only at former patch borders,
+    so the masks must agree almost everywhere (beyond-parity serving mode's
+    quality contract)."""
+    import optax
+
+    from fetal_mri_segmentation_tpu.inference import SlidingWindowPredictor
+    from fetal_mri_segmentation_tpu.parallel import make_direct_predictor
+
+    cfg = tiny_config(patch_shape=(16, 16, 16), image_shape=(32, 32, 32),
+                      initial_learning_rate=1e-2)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               tx=optax.adam(1e-2))
+    step = make_train_step(model, cfg)
+
+    rng = np.random.default_rng(0)
+    y = np.zeros((2, 1, 16, 16, 16), np.float32)
+    y[:, :, 4:12, 4:12, 4:12] = 1.0
+    x = (y * 2 + rng.normal(0, 0.3, y.shape)).astype(np.float32)
+    for i in range(30):
+        state, metrics = step(state, jnp.asarray(x), jnp.asarray(y),
+                              jax.random.PRNGKey(i))
+    assert float(metrics["dice"]) > 0.9  # converged enough to compare modes
+
+    yv = np.zeros((1, 32, 32, 32), np.float32)
+    yv[:, 8:24, 8:24, 8:24] = 1.0
+    xv = (yv * 2 + rng.normal(0, 0.3, yv.shape)).astype(np.float32)
+    variables = {"params": state.params}
+
+    sw = SlidingWindowPredictor(model, cfg, image_shape=(32, 32, 32),
+                                overlap=4)
+    lab_sw = sw.predict_labels(variables, xv)
+    lab_d = make_direct_predictor(model, cfg).predict_labels(variables, xv)
+
+    inter = np.sum((lab_sw > 0) & (lab_d > 0))
+    denom = np.sum(lab_sw > 0) + np.sum(lab_d > 0)
+    dice = 2.0 * inter / max(denom, 1)
+    assert dice > 0.95, f"direct vs sliding-window mask dice {dice:.4f}"
+
+
+def test_run_validation_cases_direct_mode(tmp_path):
+    """--direct (1-device spatial mesh) drives the PIPELINED
+    run_validation_cases path end-to-end and writes the same output tree."""
+    from jax.sharding import Mesh
+
+    from fetal_mri_segmentation_tpu.data import (open_data_file,
+                                                 write_data_to_file)
+    from fetal_mri_segmentation_tpu.inference import run_validation_cases
+    from fetal_mri_segmentation_tpu.utils.io_utils import pickle_dump
+    from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
+    from tests.synthetic import write_synthetic_dataset
+
+    files = write_synthetic_dataset(str(tmp_path / "nii"), n_cases=2,
+                                    shape=(20, 20, 20))
+    h5p = str(tmp_path / "d.h5")
+    write_data_to_file(files, h5p, image_shape=(16, 16, 16),
+                       normalize="per_volume", crop=False)
+    keys = str(tmp_path / "v.pkl")
+    pickle_dump([0, 1], keys)
+
+    cfg = tiny_config(patch_shape=(16, 16, 16), image_shape=(16, 16, 16))
+    model = build_model(cfg)
+    variables = {"params": create_train_state(
+        model, cfg, jax.random.PRNGKey(0)).params}
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("spatial",))
+    with open_data_file(h5p) as f:
+        run_validation_cases(keys, model, variables, f, cfg,
+                             output_dir=str(tmp_path / "direct"),
+                             spatial_mesh=mesh1)
+    for case in ("validation_case_0", "validation_case_1"):
+        p = load_nifti(str(tmp_path / "direct" / case /
+                           "prediction.nii.gz")).get_fdata()
+        assert p.shape == (16, 16, 16)
+        assert set(np.unique(p)).issubset({0.0, 1.0})
