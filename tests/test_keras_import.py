@@ -214,3 +214,67 @@ def test_h5_roundtrip(pair, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(from_file),
                     jax.tree_util.tree_leaves(from_model)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_unet_weights_forward_parity(pair):
+    """EXPORT direction (utils/keras_export.py): random flax weights pushed
+    onto the twin Keras model must produce the same probabilities — the
+    reverse-migration counterpart of the import parity test."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.models import UNet3D
+    from fetal_mri_segmentation_tpu.utils.keras_export import (
+        export_keras_unet_weights)
+
+    kmodel, _, _, shape = pair
+    fmodel = UNet3D(n_labels=1, depth=2, n_base_filters=2,
+                    deconvolution=True, dtype=jnp.float32)
+    variables = fmodel.init(jax.random.PRNGKey(42),
+                            jnp.zeros((1,) + shape + (1,)))
+    export_keras_unet_weights(variables["params"], kmodel)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (2,) + shape + (1,)).astype(np.float32)
+    want = np.asarray(fmodel.apply(variables, x))
+    got = np.asarray(kmodel(x))
+    assert np.allclose(got, want, atol=2e-5), float(np.abs(got - want).max())
+
+
+def test_export_isensee_weights_forward_parity(isensee_pair):
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.models import Isensee2017
+    from fetal_mri_segmentation_tpu.utils.keras_export import (
+        export_keras_isensee_weights)
+
+    kmodel, _, _, shape = isensee_pair
+    fmodel = Isensee2017(n_labels=1, depth=3, n_base_filters=2,
+                         n_segmentation_levels=2, dtype=jnp.float32)
+    variables = fmodel.init(jax.random.PRNGKey(11),
+                            jnp.zeros((1,) + shape + (1,)))
+    export_keras_isensee_weights(variables["params"], kmodel)
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 1, (2,) + shape + (1,)).astype(np.float32)
+    want = np.asarray(fmodel.apply(variables, x, train=False))
+    got = np.asarray(kmodel(x))
+    assert np.allclose(got, want, atol=2e-5), float(np.abs(got - want).max())
+
+
+def test_export_rejects_wrong_architecture(pair, isensee_pair):
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.models import UNet3D
+    from fetal_mri_segmentation_tpu.utils.keras_export import (
+        export_keras_unet_weights)
+
+    kmodel_isensee = isensee_pair[0]
+    fmodel = UNet3D(n_labels=1, depth=2, n_base_filters=2,
+                    deconvolution=True, dtype=jnp.float32)
+    variables = fmodel.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8, 8, 8, 1)))
+    with pytest.raises(ValueError, match="normalization"):
+        export_keras_unet_weights(variables["params"], kmodel_isensee)
