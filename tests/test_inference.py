@@ -187,3 +187,58 @@ def test_device_variables_cache_invalidates_on_inplace_swap():
     c = pred(p2, vol)
     assert np.allclose(b, c, atol=1e-6)
     assert not np.allclose(a, b, atol=1e-6)
+
+
+def test_tiled_reconstruction_matches_unrolled_and_falls_back():
+    """The segment-sum (tiled) overlap-add must equal the static-unrolled
+    in-place-add path exactly (same math, reordered additions), and
+    geometries whose corner stride shares no >=4 tile with the patch must
+    fall back instead of silently mis-binning."""
+    rng = np.random.default_rng(5)
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1)
+    vol = rng.random((1, 20, 20, 20)).astype(np.float32)
+
+    pred = SlidingWindowPredictor(IdentityModel(), cfg,
+                                  image_shape=(20, 20, 20),
+                                  patch_shape=(8, 8, 8), overlap=4,
+                                  patch_batch_size=3, use_gaussian=True)
+    assert pred.use_tiled  # stride 4, patch 8 -> tile 4
+    got_tiled = pred({}, vol)
+    pred.use_tiled = False  # force the unrolled path on the same geometry
+    pred._jitted = jax.jit(pred._predict_volume)
+    got_unrolled = pred({}, vol)
+    assert np.allclose(got_tiled, got_unrolled, atol=1e-6), \
+        float(np.abs(got_tiled - got_unrolled).max())
+
+    # overlap 5 -> stride 3, gcd(3, 8) = 1 -> tiles too small, fallback
+    degenerate = SlidingWindowPredictor(IdentityModel(), cfg,
+                                        image_shape=(20, 20, 20),
+                                        patch_shape=(8, 8, 8), overlap=5,
+                                        patch_batch_size=3)
+    assert not degenerate.use_tiled
+    got = degenerate({}, vol)
+    assert got.shape == (1, 20, 20, 20)
+
+
+def test_tiled_reconstruction_multilabel():
+    """Tiled path with n_labels > 1 (rows carry the label axis through the
+    segment sum)."""
+
+    class TwoChannelModel:
+        def apply(self, variables, x):
+            return jnp.concatenate([x, 1.0 - x], axis=-1)
+
+    rng = np.random.default_rng(6)
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=2, labels=(1, 2))
+    vol = rng.random((1, 16, 16, 16)).astype(np.float32)
+    pred = SlidingWindowPredictor(TwoChannelModel(), cfg,
+                                  image_shape=(16, 16, 16),
+                                  patch_shape=(8, 8, 8), overlap=4,
+                                  patch_batch_size=4, use_gaussian=True)
+    assert pred.use_tiled
+    got_tiled = pred({}, vol)
+    pred.use_tiled = False
+    pred._jitted = jax.jit(pred._predict_volume)
+    got_unrolled = pred({}, vol)
+    assert got_tiled.shape == (2, 16, 16, 16)
+    assert np.allclose(got_tiled, got_unrolled, atol=1e-6)
