@@ -107,8 +107,8 @@ class SpatialPredictor:
     axis sharded over the mesh — activation memory per chip drops by the
     spatial factor (lets volumes that exceed one chip's HBM run without
     patching). On a 1-device mesh the collectives compile away and this IS
-    the single-chip DIRECT inference mode: measured ~4x less device time
-    than the sliding-window path on 128^3 (57 vs 226 ms, docs/PERF.md) —
+    the single-chip DIRECT inference mode: measured ~2x less device time
+    than the (tiled) sliding-window path on 128^3 (57 vs 115 ms, docs/PERF.md) —
     the patch grid recomputes every overlap region, the direct pass doesn't.
 
     Duck-types `SlidingWindowPredictor`'s full serving surface — ``__call__``
@@ -244,8 +244,8 @@ class SpatialPredictor:
 def make_direct_predictor(model, config) -> SpatialPredictor:
     """Single-device DIRECT whole-volume predictor (beyond-parity serving
     mode): the fully-convolutional net runs once over the whole volume —
-    no patch grid, no overlap recompute, no seams. ~4x less device time
-    than sliding-window on 128^3 (docs/PERF.md). Requires volume dims
+    no patch grid, no overlap recompute, no seams. ~2x less device time
+    than the tiled sliding-window on 128^3 (57 vs 115 ms, docs/PERF.md). Requires volume dims
     divisible by 2^(depth-1); numerics near former patch borders differ
     from the Gaussian overlap-add average (tested close on trained models).
     """

@@ -90,7 +90,7 @@ if __name__ == "__main__":
                          "exchange)")
     ap.add_argument("--direct", action="store_true",
                     help="single-device whole-volume inference (one "
-                         "forward, no patch grid — ~4x less device time "
+                         "forward, no patch grid — ~2x less device time "
                          "than sliding-window; volume dims must divide "
                          "2^(depth-1))")
     args = ap.parse_args()
