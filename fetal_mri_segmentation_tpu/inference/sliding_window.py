@@ -365,8 +365,14 @@ class SlidingWindowPredictor:
             seg.reshape(-1, P * spp[0] * spp[1] * spp[2]))
         self.use_tiled = True
 
-    def _predict_padded_tiled(self, variables, vol_dhwc):
-        """Gather → forward → tiled segment-sum overlap-add (see _init_tiled)."""
+    def tiled_accumulate(self, variables, vol_dhwc, corners, valid, seg_ids,
+                         init=None):
+        """Scan corner batches into the TILE-tensor accumulator
+        (n_tiles, T0, T1, T2, L) via one segment_sum per batch.
+
+        Exposed (like `scan_accumulate`) for the mesh-sharded predictor
+        (parallel/distributed.py), which runs it on a shard of the corner
+        list and psums the tile tensors."""
         pd, ph, pw = self.patch_shape
         (t0, t1, t2), (s0, s1, s2) = self._tile, self._spp
         L = self.n_labels
@@ -391,16 +397,28 @@ class SlidingWindowPredictor:
                                             num_segments=self._n_tiles)
             return acc, None
 
-        init = jnp.zeros((self._n_tiles, t0, t1, t2, L), jnp.float32)
-        acc, _ = jax.lax.scan(body, init,
-                              (self.corners, self.valid, self._seg_ids))
+        if init is None:
+            init = jnp.zeros((self._n_tiles, t0, t1, t2, L), jnp.float32)
+        acc, _ = jax.lax.scan(body, init, (corners, valid, seg_ids))
+        return acc
+
+    def tiles_to_padded(self, acc):
+        """(n_tiles, T0, T1, T2, L) tile tensor → padded-volume weighted sum."""
+        (t0, t1, t2) = self._tile
         n0, n1, n2 = self._nt
+        L = self.n_labels
         acc = acc.reshape(n0, n1, n2, t0, t1, t2, L)
         acc = acc.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
             self._tiled_shape + (L,))
-        acc = acc[: self.padded_shape[0], : self.padded_shape[1],
-                  : self.padded_shape[2]]
-        return acc / jnp.asarray(self._wsum_np)[..., None]
+        return acc[: self.padded_shape[0], : self.padded_shape[1],
+                   : self.padded_shape[2]]
+
+    def _predict_padded_tiled(self, variables, vol_dhwc):
+        """Gather → forward → tiled segment-sum overlap-add (see _init_tiled)."""
+        acc = self.tiled_accumulate(variables, vol_dhwc, self.corners,
+                                    self.valid, self._seg_ids)
+        return (self.tiles_to_padded(acc)
+                / jnp.asarray(self._wsum_np)[..., None])
 
     def _predict_padded_static(self, variables, vol_dhwc):
         """Static-unrolled gather → batched forward → in-place overlap-add."""

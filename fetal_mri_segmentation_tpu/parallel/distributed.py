@@ -58,17 +58,36 @@ def make_sharded_predictor(predictor, mesh: Mesh):
     pad = (-n_batches) % n_dev
     corners = predictor.corners
     valid = predictor.valid
+    use_tiled = getattr(predictor, "use_tiled", False)
+    seg_ids = predictor._seg_ids if use_tiled else jnp.zeros(
+        (n_batches, 1), jnp.int32)  # placeholder, unused
     if pad:
         corners = jnp.concatenate(
             [corners, jnp.repeat(corners[-1:], pad, axis=0)])
         valid = jnp.concatenate(
             [valid, jnp.zeros((pad,) + valid.shape[1:], valid.dtype)])
+        seg_ids = jnp.concatenate(
+            [seg_ids, jnp.repeat(seg_ids[-1:], pad, axis=0)])
 
-    def shard_fn(variables, vol, corners_l, valid_l):
+    def shard_fn(variables, vol, corners_l, valid_l, seg_l):
         # accumulators start shard-varying (each shard owns a partial sum);
         # pcast marks the invariant zeros accordingly for shard_map's
         # varying-manual-axes typing.
         L = predictor.n_labels
+        if use_tiled:
+            # tiled (segment-sum) overlap-add per shard, one psum of the
+            # TILE tensor (smaller than the padded volume), weight field
+            # precomputed on host — same win as the single-device path
+            # (docs/PERF.md round-2 addendum 5).
+            t0, t1, t2 = predictor._tile
+            init = jax.lax.pcast(
+                jnp.zeros((predictor._n_tiles, t0, t1, t2, L), jnp.float32),
+                ("data",), to="varying")
+            tiles = predictor.tiled_accumulate(variables, vol, corners_l,
+                                               valid_l, seg_l, init=init)
+            tiles = jax.lax.psum(tiles, "data")
+            return (predictor.tiles_to_padded(tiles)
+                    / jnp.asarray(predictor._wsum_np)[..., None])
         init = tuple(
             jax.lax.pcast(z, ("data",), to="varying") for z in (
                 jnp.zeros(predictor.padded_shape + (L,), jnp.float32),
@@ -80,7 +99,7 @@ def make_sharded_predictor(predictor, mesh: Mesh):
         return acc / jnp.maximum(wsum, 1e-8)[..., None]
 
     mapped = shard_map(shard_fn, mesh=mesh,
-                       in_specs=(P(), P(), P("data"), P("data")),
+                       in_specs=(P(), P(), P("data"), P("data"), P("data")),
                        out_specs=P())
     jitted = jax.jit(mapped)
 
@@ -92,9 +111,11 @@ def make_sharded_predictor(predictor, mesh: Mesh):
                  zip(predictor.padded_shape, predictor.image_shape)]
         padspec = [(int(pb[d]), int(total[d] - pb[d])) for d in range(3)]
         vol = jnp.pad(vol, padspec + [(0, 0)])
+        sharded = NamedSharding(mesh, P("data"))
         out = jitted(variables, vol,
-                     jax.device_put(corners, NamedSharding(mesh, P("data"))),
-                     jax.device_put(valid, NamedSharding(mesh, P("data"))))
+                     jax.device_put(corners, sharded),
+                     jax.device_put(valid, sharded),
+                     jax.device_put(seg_ids, sharded))
         sl = tuple(slice(int(pb[d]), int(pb[d] + predictor.image_shape[d]))
                    for d in range(3))
         return np.transpose(np.asarray(out[sl]), (3, 0, 1, 2))

@@ -173,11 +173,16 @@ def test_sharded_predictor_matches_single_device():
 
     cfg = tiny_config(patch_shape=(8, 8, 8))
     vol = np.random.default_rng(5).random((1, 20, 20, 20)).astype(np.float32)
-    pred = SlidingWindowPredictor(IdentityModel(), cfg, (20, 20, 20),
-                                  (8, 8, 8), overlap=4, patch_batch_size=2)
-    single = pred({}, vol)
-    sharded = make_sharded_predictor(pred, make_mesh(8))({}, vol)
-    assert np.allclose(single, sharded, atol=1e-5)
+    # overlap 4 -> tiled segment-sum path; overlap 5 -> gcd(3,8)=1 forces
+    # the legacy scan_accumulate fallback — both must match single-device.
+    for overlap in (4, 5):
+        pred = SlidingWindowPredictor(IdentityModel(), cfg, (20, 20, 20),
+                                      (8, 8, 8), overlap=overlap,
+                                      patch_batch_size=2)
+        assert pred.use_tiled == (overlap == 4)
+        single = pred({}, vol)
+        sharded = make_sharded_predictor(pred, make_mesh(8))({}, vol)
+        assert np.allclose(single, sharded, atol=1e-5)
 
 
 def test_dp_with_batchnorm_stats():
