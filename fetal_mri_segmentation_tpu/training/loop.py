@@ -34,6 +34,24 @@ def _weighted_mean(values, weights) -> float:
     return float((v * w).sum() / max(w.sum(), 1e-12))
 
 
+def detect_dice_collapse(dice_history, *, patience: int = 3,
+                         threshold: float = 0.01) -> bool:
+    """True when training dice has been ~0 for `patience` consecutive epochs.
+
+    Soft-Dice + sigmoid has a silent failure mode shared with the Keras
+    reference: a too-large learning rate saturates the logits within the
+    first epochs, the dice gradient vanishes, and the run sits at
+    dice ≈ 0 forever while the loss looks "stable". (Observed concretely:
+    this synthetic quality loop converges to 0.98+ at the default
+    initial_learning_rate=5e-4 but flatlines at dice ≈ 2e-4 at 5e-3.)
+    The loop surfaces this as an explicit warning instead of letting the
+    user burn a full epoch budget.
+    """
+    if len(dice_history) < patience:
+        return False
+    return all(d < threshold for d in dice_history[-patience:])
+
+
 def train_model(model, state: TrainState, config,
                 training_generator: Iterator, validation_generator: Iterator,
                 steps_per_epoch: int, validation_steps: int,
@@ -108,6 +126,8 @@ def train_model(model, state: TrainState, config,
                         device_put=lambda b: (*put(b[:2]), b[2]))
 
     stop = False
+    dice_history: list = []
+    collapse_warned = False
     for epoch in range(start_epoch, n_epochs):
         # ---- train ----
         meter.reset()
@@ -150,6 +170,17 @@ def train_model(model, state: TrainState, config,
             print(f"epoch {epoch}: loss={row['loss']:.4f} "
                   f"val_loss={row['val_loss']:.4f} lr={row['lr']:.2e} "
                   f"{row['patches_per_sec']:.1f} patches/s")
+
+        dice_history.append(row.get("dice_coefficient", 1.0))
+        if not collapse_warned and detect_dice_collapse(dice_history):
+            collapse_warned = True
+            print(f"[warning] training dice < 0.01 for "
+                  f"{len(dice_history)} epochs — the sigmoid has likely "
+                  f"saturated and the soft-Dice gradient vanished. Lower "
+                  f"initial_learning_rate (current "
+                  f"{config.initial_learning_rate:g}; default 5e-4 "
+                  f"converges where 5e-3 collapses) and restart with "
+                  f"--overwrite.")
 
         # ---- callbacks (reference: get_callbacks) ----
         val_loss = row["val_loss"]

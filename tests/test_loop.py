@@ -138,3 +138,19 @@ def test_resume_preserves_dropped_learning_rate(workdir, tmp_path):
         assert out_state.learning_rate <= cfg.initial_learning_rate * 0.25 + 1e-12
     finally:
         data_file.close()
+
+
+def test_detect_dice_collapse():
+    """Saturation-collapse detector: fires only after `patience` consecutive
+    near-zero training-dice epochs (the lr-too-high soft-Dice failure mode;
+    see training/loop.py::detect_dice_collapse)."""
+    from fetal_mri_segmentation_tpu.training.loop import detect_dice_collapse
+
+    assert not detect_dice_collapse([])
+    assert not detect_dice_collapse([0.001, 0.002])          # too short
+    assert detect_dice_collapse([0.001, 0.002, 0.0005])      # 3 low epochs
+    assert not detect_dice_collapse([0.001, 0.3, 0.0005])    # interrupted
+    # healthy-then-collapsed history: the window is the LAST 3 epochs
+    assert detect_dice_collapse([0.9, 0.95, 0.002, 0.001, 0.003])
+    # healthy run never fires
+    assert not detect_dice_collapse([0.1, 0.5, 0.8, 0.9])
