@@ -146,6 +146,24 @@ class Config:
     @classmethod
     def from_dict(cls, d: dict) -> "Config":
         known = {f.name for f in dataclasses.fields(cls)}
+        # derived keys that to_dict() adds for reference-surface parity
+        derived = {"nb_channels", "input_shape"}
+        unknown = sorted(k for k in d if k not in known | derived)
+        if unknown:
+            # a silently dropped key means the experiment runs with a
+            # DEFAULT the user thinks they overrode (e.g. "normalize" vs
+            # the reference key "normalization") — warn, don't error, so
+            # forward-compatible configs still load.
+            import difflib
+            import warnings
+            hints = []
+            for k in unknown:
+                close = difflib.get_close_matches(k, known, n=1)
+                hints.append(f"{k!r}"
+                             + (f" (did you mean {close[0]!r}?)"
+                                if close else ""))
+            warnings.warn("Config: ignoring unknown keys: "
+                          + ", ".join(hints), stacklevel=2)
         return cls(**{k: v for k, v in d.items() if k in known})
 
     def save(self, path: str) -> None:

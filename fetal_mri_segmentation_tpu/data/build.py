@@ -131,7 +131,12 @@ def write_data_to_file(training_data_files: Sequence[Sequence[str]],
                 normalize_data_storage, normalize_data_storage_per_volume,
                 normalize_data_storage_windowed)
             if normalize == "global":
-                normalize_data_storage(h5["data"])
+                mean, std = normalize_data_storage(h5["data"])
+                # persisted so serving-time ad-hoc cases (inference/
+                # predict.py::predict_case) can be shifted into the
+                # TRAINING distribution rather than z-scored per-volume.
+                h5.attrs["norm_mean"] = np.asarray(mean, np.float64)
+                h5.attrs["norm_std"] = np.asarray(std, np.float64)
             elif normalize == "windowed":
                 normalize_data_storage_windowed(h5["data"])
             else:

@@ -25,10 +25,13 @@ def normalize_data(data: np.ndarray, mean: np.ndarray, std: np.ndarray
     return (data - mean) / std
 
 
-def normalize_data_storage(data_storage) -> None:
+def normalize_data_storage(data_storage):
     """Global z-score: average the per-volume moments, apply one (mean, std).
 
     Reference: normalize.py::normalize_data_storage (upstream lineage).
+    Returns the per-channel ``(mean, std)`` so the dataset builder can
+    persist them (new cases at serving time must be normalized with the
+    TRAINING distribution's moments, not their own).
     """
     means, stds = [], []
     n = data_storage.shape[0]
@@ -41,6 +44,7 @@ def normalize_data_storage(data_storage) -> None:
     for i in range(n):
         data_storage[i] = normalize_data(
             np.asarray(data_storage[i], dtype=np.float32), mean, std)
+    return mean, std
 
 
 def normalize_data_storage_per_volume(data_storage) -> None:
@@ -66,6 +70,38 @@ def window_intensities(data: np.ndarray, lower_percentile: float = 1.0,
         lo, hi = np.percentile(data[c], [lower_percentile, upper_percentile])
         out[c] = np.clip(data[c], lo, hi)
     return out
+
+
+def normalize_case(data: np.ndarray, mode: str,
+                   mean=None, std=None,
+                   lower_percentile: float = 1.0,
+                   upper_percentile: float = 99.0) -> np.ndarray:
+    """Normalize ONE in-memory case ``(C, D, H, W)`` exactly like the
+    dataset builder normalized the stored volumes (same `mode` semantics as
+    ``write_data_to_file(normalize=...)``) — the serving-time twin of the
+    ingest-time pass, for predicting cases that were never ingested.
+
+    ``mode="global"`` requires the training dataset's persisted per-channel
+    ``(mean, std)`` (HDF5 attrs ``norm_mean``/``norm_std``; see
+    data/build.py) — a new case must be shifted into the TRAINING
+    distribution, not z-scored against itself.
+    """
+    data = np.asarray(data, dtype=np.float32)
+    if mode is None or mode == "none":
+        return data
+    if mode == "global":
+        if mean is None or std is None:
+            raise ValueError(
+                "normalize_case(mode='global') needs the training "
+                "dataset's (mean, std) — rebuild the HDF5 with this "
+                "version (attrs norm_mean/norm_std) or pass them explicitly")
+        return normalize_data(data, mean, std)
+    if mode == "windowed":
+        data = window_intensities(data, lower_percentile, upper_percentile)
+    elif mode != "per_volume":
+        raise ValueError(f"unknown normalization mode: {mode!r}")
+    return normalize_data(data, data.mean(axis=(1, 2, 3)),
+                          data.std(axis=(1, 2, 3)))
 
 
 def normalize_data_storage_windowed(data_storage,

@@ -115,6 +115,116 @@ def run_validation_case(case_index: int, out_dir: str, model, variables,
     return probability
 
 
+def resolve_case_files(path: str, config) -> tuple:
+    """Resolve an ad-hoc input for `predict_case`.
+
+    A directory is resolved to ``<dir>/<modality>.nii[.gz]`` per
+    ``config.training_modalities`` (the train-time data layout), plus
+    ``truth.nii[.gz]`` when present. A single NIfTI file is a one-modality
+    case. Returns ``(modality_files, truth_file_or_None)``.
+    """
+    if os.path.isdir(path):
+        files = []
+        for m in config.training_modalities:
+            for ext in (".nii.gz", ".nii"):
+                p = os.path.join(path, m + ext)
+                if os.path.exists(p):
+                    files.append(p)
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"{path}: missing modality file {m}.nii[.gz] "
+                    f"(training_modalities={config.training_modalities})")
+        truth = None
+        for ext in (".nii.gz", ".nii"):
+            p = os.path.join(path, "truth" + ext)
+            if os.path.exists(p):
+                truth = p
+                break
+        return files, truth
+    if len(config.training_modalities) != 1:
+        raise ValueError(
+            f"{path}: a bare NIfTI file only works for single-modality "
+            f"configs; this config trains on "
+            f"{config.training_modalities} — pass the case DIRECTORY")
+    return [path], None
+
+
+def load_global_moments(data_file_path: str):
+    """Training-distribution (mean, std) persisted by the dataset builder
+    (data/build.py stores h5 attrs ``norm_mean``/``norm_std`` for
+    ``normalization="global"``); None when unavailable."""
+    import h5py
+
+    if not os.path.exists(data_file_path):
+        return None
+    with h5py.File(data_file_path, "r") as h5:
+        if "norm_mean" in h5.attrs:
+            return (np.asarray(h5.attrs["norm_mean"]),
+                    np.asarray(h5.attrs["norm_std"]))
+    return None
+
+
+def predict_case(input_path: str, out_dir: str, model, variables, config,
+                 predictor: Optional[SlidingWindowPredictor] = None,
+                 overlap: int = 16, threshold: float = 0.5,
+                 permute: bool = False, patch_batch_size: int = 8,
+                 save_inputs: bool = True, crop: bool = True,
+                 global_moments=None) -> np.ndarray:
+    """Predict a case straight from NIfTI files — no HDF5 ingest required.
+
+    The reference can only predict cases already written into its HDF5
+    dataset (prediction.py::run_validation_cases reads the hdf5_file); a new
+    scan required a rebuild. This runs the SAME preprocessing the dataset
+    builder applies (shared background crop — including truth when present,
+    matching data.py::write_data_to_file — resample to ``config.image_shape``,
+    the configured normalization) and predicts with the same compiled
+    predictor, so a case ingested-then-predicted and a case predicted ad-hoc
+    produce identical label maps (regression-tested).
+
+    Writes the usual per-case tree under ``out_dir`` (``data_<modality>``,
+    optional ``truth``, ``prediction.nii.gz``, affine = the build-adjusted
+    affine). Returns the label map.
+    """
+    from fetal_mri_segmentation_tpu.data.normalize import normalize_case
+    from fetal_mri_segmentation_tpu.utils.geometry import (
+        compute_shared_crop, read_image_files)
+
+    files, truth_file = resolve_case_files(input_path, config)
+    all_files = files + ([truth_file] if truth_file else [])
+    crop_slices = compute_shared_crop(all_files) if crop else None
+    images = read_image_files(all_files, image_shape=config.image_shape,
+                              crop=crop_slices)
+    affine = images[0].affine
+    data = np.stack([img.get_fdata(dtype=np.float32)
+                     for img in images[:len(files)]], axis=0)
+
+    if config.normalization == "global" and global_moments is None:
+        global_moments = load_global_moments(config.data_file)
+    mean, std = global_moments if global_moments else (None, None)
+    data = normalize_case(data, config.normalization, mean=mean, std=std)
+
+    os.makedirs(out_dir, exist_ok=True)
+    if save_inputs:
+        for i, modality in enumerate(config.training_modalities):
+            save_nifti(data[i],
+                       os.path.join(out_dir, f"data_{modality}.nii.gz"),
+                       affine=affine)
+        if truth_file:
+            save_nifti(
+                images[-1].get_fdata(dtype=np.float32).astype(np.uint8),
+                os.path.join(out_dir, "truth.nii.gz"), affine=affine)
+
+    if predictor is None:
+        predictor = SlidingWindowPredictor(
+            model, config, image_shape=config.image_shape, overlap=overlap,
+            patch_batch_size=patch_batch_size, tta_permute=permute)
+    label_map = predictor.predict_labels(variables, data,
+                                         threshold=threshold)
+    return _write_prediction(label_map, config, out_dir, affine,
+                             lambda fn, *a, **kw: fn(*a, **kw))
+
+
 class _FnAdapter:
     """Duck-types the predictor interface around a probability-map function
     (mesh-sharded or spatial whole-volume predict): label maps are derived

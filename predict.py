@@ -20,7 +20,8 @@ import jax
 def main(config, output_dir: str = "prediction", overlap: int = 16,
          tta: bool = False, patch_batch_size: int = 8,
          num_devices: int = 1, spatial_devices: int = 1,
-         direct: bool = False, export_path: str = None):
+         direct: bool = False, export_path: str = None,
+         inputs=None):
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
@@ -41,6 +42,26 @@ def main(config, output_dir: str = "prediction", overlap: int = 16,
                          export_path, overlap=overlap,
                          patch_batch_size=patch_batch_size)
         print(f"exported portable label-map program to {export_path}")
+        return
+
+    if inputs:
+        # ad-hoc NIfTI cases (no HDF5 ingest; beyond the reference surface,
+        # which could only predict cases already inside its HDF5 file)
+        import os
+
+        from fetal_mri_segmentation_tpu.inference import (
+            SlidingWindowPredictor, predict_case)
+        predictor = SlidingWindowPredictor(
+            model, config, image_shape=config.image_shape, overlap=overlap,
+            patch_batch_size=patch_batch_size, tta_permute=tta)
+        for path in inputs:
+            name = os.path.basename(os.path.normpath(path))
+            name = name.replace(".nii.gz", "").replace(".nii", "")
+            out_dir = os.path.join(output_dir, name)
+            predict_case(path, out_dir, model, variables, config,
+                         predictor=predictor, overlap=overlap, permute=tta,
+                         patch_batch_size=patch_batch_size)
+            print(f"{path} -> {out_dir}/prediction.nii.gz")
         return
 
     mesh = None
@@ -88,6 +109,13 @@ if __name__ == "__main__":
                     help="whole-volume inference with the depth axis "
                          "sharded over N devices (no patching; XLA halo "
                          "exchange)")
+    ap.add_argument("--input", nargs="+", metavar="CASE", default=None,
+                    help="predict ad-hoc NIfTI case(s) instead of the "
+                         "validation set: each CASE is a directory with "
+                         "<modality>.nii.gz files (train-time layout) or a "
+                         "single .nii[.gz] for one-modality configs; same "
+                         "crop/resample/normalize preprocessing as the "
+                         "dataset builder, no HDF5 needed")
     ap.add_argument("--direct", action="store_true",
                     help="single-device whole-volume inference (one "
                          "forward, no patch grid — ~2x less device time "
@@ -102,4 +130,4 @@ if __name__ == "__main__":
          patch_batch_size=args.patch_batch_size,
          num_devices=args.num_devices,
          spatial_devices=args.spatial_devices, direct=args.direct,
-         export_path=args.export)
+         export_path=args.export, inputs=args.input)

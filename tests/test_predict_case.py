@@ -1,0 +1,127 @@
+"""Ad-hoc NIfTI case prediction (inference/predict.py::predict_case).
+
+The reference could only predict cases already ingested into its HDF5
+dataset; `predict_case` runs the SAME ingest preprocessing (shared crop,
+resample, normalize) on raw NIfTI files and must therefore produce a label
+map identical to ingest-then-predict for the same case.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from fetal_mri_segmentation_tpu.config import Config
+from fetal_mri_segmentation_tpu.data import open_data_file, write_data_to_file
+from fetal_mri_segmentation_tpu.inference import (
+    SlidingWindowPredictor, predict_case, resolve_case_files,
+    run_validation_case)
+from fetal_mri_segmentation_tpu.models import build_model
+from fetal_mri_segmentation_tpu.training import create_train_state
+from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
+from tests.synthetic import write_synthetic_dataset
+
+
+def _setup(tmp_path, normalization="per_volume", n_cases=2):
+    files = write_synthetic_dataset(str(tmp_path / "cases"), n_cases=n_cases,
+                                    shape=(24, 24, 24))
+    cfg = Config(image_shape=(24, 24, 24), patch_shape=(16, 16, 16),
+                 model_name="unet", depth=3, n_base_filters=4,
+                 normalization=normalization,
+                 data_file=str(tmp_path / "data.h5"),
+                 compute_dtype="float32")
+    write_data_to_file(files, cfg.data_file, image_shape=cfg.image_shape,
+                       normalize=normalization)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    variables = {"params": state.params}
+    return cfg, model, variables
+
+
+def test_predict_case_matches_ingested(tmp_path):
+    cfg, model, variables = _setup(tmp_path)
+    predictor = SlidingWindowPredictor(model, cfg,
+                                       image_shape=cfg.image_shape,
+                                       overlap=4)
+    data_file = open_data_file(cfg.data_file)
+    try:
+        run_validation_case(0, str(tmp_path / "ingested"), model, variables,
+                            data_file, cfg, predictor)
+    finally:
+        data_file.close()
+    predict_case(str(tmp_path / "cases" / "case_0"),
+                 str(tmp_path / "adhoc"), model, variables, cfg,
+                 predictor=predictor, overlap=4)
+
+    img_i = load_nifti(str(tmp_path / "ingested" / "prediction.nii.gz"))
+    img_a = load_nifti(str(tmp_path / "adhoc" / "prediction.nii.gz"))
+    np.testing.assert_array_equal(np.asarray(img_i.get_fdata()),
+                                  np.asarray(img_a.get_fdata()))
+    np.testing.assert_allclose(img_i.affine, img_a.affine, atol=1e-6)
+    # the per-case output tree is complete (inputs + truth from the case dir)
+    assert os.path.exists(str(tmp_path / "adhoc" / "data_volume.nii.gz"))
+    assert os.path.exists(str(tmp_path / "adhoc" / "truth.nii.gz"))
+
+
+def test_predict_case_global_normalization_uses_training_moments(tmp_path):
+    cfg, model, variables = _setup(tmp_path, normalization="global",
+                                   n_cases=3)
+    # builder persisted the training-distribution moments
+    import h5py
+    with h5py.File(cfg.data_file, "r") as h5:
+        assert "norm_mean" in h5.attrs and "norm_std" in h5.attrs
+
+    predict_case(str(tmp_path / "cases" / "case_1"),
+                 str(tmp_path / "adhoc"), model, variables, cfg, overlap=4)
+    # the preprocessed input written by predict_case must equal the stored
+    # (ingested) volume: same crop/resample AND the same global moments.
+    stored = open_data_file(cfg.data_file)
+    try:
+        expected = np.asarray(stored.root.data[1][0])
+    finally:
+        stored.close()
+    written = load_nifti(str(tmp_path / "adhoc" / "data_volume.nii.gz"))
+    np.testing.assert_allclose(written.get_fdata(dtype=np.float32), expected,
+                               atol=1e-4)
+
+
+def test_predict_case_global_without_moments_errors(tmp_path):
+    cfg, model, variables = _setup(tmp_path)  # built with per_volume
+    cfg.normalization = "global"
+    cfg.data_file = str(tmp_path / "missing.h5")  # no persisted moments
+    with pytest.raises(ValueError, match="global"):
+        predict_case(str(tmp_path / "cases" / "case_0"),
+                     str(tmp_path / "adhoc"), model, variables, cfg,
+                     overlap=4)
+
+
+def test_resolve_case_files(tmp_path):
+    cfg = Config(image_shape=(24, 24, 24))
+    write_synthetic_dataset(str(tmp_path), n_cases=1, shape=(24, 24, 24))
+    files, truth = resolve_case_files(str(tmp_path / "case_0"), cfg)
+    assert len(files) == 1 and files[0].endswith("volume.nii.gz")
+    assert truth and truth.endswith("truth.nii.gz")
+    # bare file works for single-modality configs
+    files, truth = resolve_case_files(files[0], cfg)
+    assert len(files) == 1 and truth is None
+    # missing modality is a clear error
+    with pytest.raises(FileNotFoundError, match="missing modality"):
+        resolve_case_files(str(tmp_path), cfg)
+    # bare file + multi-modality config is a clear error
+    cfg2 = Config(image_shape=(24, 24, 24), all_modalities=("t1", "t2"))
+    with pytest.raises(ValueError, match="single-modality"):
+        resolve_case_files(files[0], cfg2)
+
+
+def test_config_warns_on_unknown_keys():
+    with pytest.warns(UserWarning, match="normalization"):
+        Config.from_dict({"normalize": "per_volume"})
+    # derived round-trip keys stay silent
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Config.from_dict(Config().to_dict())
