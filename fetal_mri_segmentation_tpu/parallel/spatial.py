@@ -226,10 +226,14 @@ class SpatialPredictor:
         return self._jitted_labels(variables, self._stage(data_cdhw),
                                    threshold)
 
-    def unpack_labels(self, out) -> np.ndarray:
+    def unpack_labels(self, out, shape=None) -> np.ndarray:
+        """Materialize an async result. ``shape`` defaults to the LAST
+        dispatched volume's shape — when pipelining volumes of differing
+        shapes, pass each volume's (D, H, W) explicitly (a later dispatch
+        overwrites the recorded shape before the earlier unpack)."""
         out = np.asarray(out)
         if self.n_labels == 1:
-            shape = self._last_shape
+            shape = tuple(shape) if shape is not None else self._last_shape
             bits = np.unpackbits(out.reshape(-1, 1), axis=1)
             return bits.reshape(-1)[: int(np.prod(shape))].reshape(
                 shape).astype(np.uint8)
