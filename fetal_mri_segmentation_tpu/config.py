@@ -146,9 +146,11 @@ class Config:
     @classmethod
     def from_dict(cls, d: dict) -> "Config":
         known = {f.name for f in dataclasses.fields(cls)}
-        # derived keys that to_dict() adds for reference-surface parity
+        # derived keys that to_dict() adds for reference-surface parity;
+        # "_"-prefixed keys are JSON comments (e.g. configs/*.json)
         derived = {"nb_channels", "input_shape"}
-        unknown = sorted(k for k in d if k not in known | derived)
+        unknown = sorted(k for k in d if k not in known | derived
+                         and not k.startswith("_"))
         if unknown:
             # a silently dropped key means the experiment runs with a
             # DEFAULT the user thinks they overrode (e.g. "normalize" vs

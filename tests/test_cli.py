@@ -25,3 +25,29 @@ def test_fetch_skips_incomplete_cases(tmp_path):
     os.remove(os.path.join(str(tmp_path), "case_1", "truth.nii.gz"))
     files, ids = fetch_training_data_files(str(tmp_path), ("volume",))
     assert ids == ["case_0"]
+
+
+def test_shipped_configs_load_cleanly():
+    """configs/*.json presets must load without unknown-key warnings and
+    resolve to the intended model families."""
+    import glob
+    import json
+    import warnings
+
+    from fetal_mri_segmentation_tpu.config import Config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(root, "configs", "*.json")))
+    assert paths, "configs/ presets missing"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cfgs = {os.path.basename(p): Config.load(p) for p in paths}
+    assert cfgs["fetal_unet.json"].model_name == "unet"
+    assert cfgs["fetal_isensee.json"].model_name == "isensee"
+    for name, cfg in cfgs.items():
+        assert cfg.n_labels == len(cfg.labels), name
+        # every non-comment key must be a real Config field
+        d = json.load(open(os.path.join(root, "configs", name)))
+        known = {f.name for f in __import__("dataclasses").fields(Config)}
+        bad = [k for k in d if not k.startswith("_") and k not in known]
+        assert not bad, f"{name}: unknown keys {bad}"
