@@ -193,8 +193,12 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
     files, truth_file = resolve_case_files(input_path, config)
     all_files = files + ([truth_file] if truth_file else [])
     crop_slices = compute_shared_crop(all_files) if crop else None
-    images = read_image_files(all_files, image_shape=config.image_shape,
-                              crop=crop_slices)
+    # label_indices MUST be explicit: without a truth file the default
+    # ("last file is the label") would nearest-neighbor-resample the last
+    # MODALITY, silently breaking ingest parity.
+    images = read_image_files(
+        all_files, image_shape=config.image_shape, crop=crop_slices,
+        label_indices=[len(all_files) - 1] if truth_file else [])
     affine = images[0].affine
     data = np.stack([img.get_fdata(dtype=np.float32)
                      for img in images[:len(files)]], axis=0)

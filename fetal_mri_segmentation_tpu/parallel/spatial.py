@@ -102,6 +102,18 @@ def shard_batch_spatial(mesh: Mesh, *arrays):
     return tuple(out) if len(out) > 1 else out[0]
 
 
+class AsyncLabels:
+    """Async label-map handle: the on-device (packed) result bound to the
+    volume shape it was dispatched for — so pipelining volumes of differing
+    shapes cannot unpack against the wrong geometry."""
+
+    __slots__ = ("device_array", "shape")
+
+    def __init__(self, device_array, shape):
+        self.device_array = device_array
+        self.shape = tuple(shape)
+
+
 class SpatialPredictor:
     """Whole-volume predictor: ONE forward pass over the full volume, depth
     axis sharded over the mesh — activation memory per chip drops by the
@@ -218,19 +230,23 @@ class SpatialPredictor:
         return np.asarray(self._jitted(variables, self._stage(data_cdhw)))
 
     def predict_labels_async(self, variables, data_cdhw,
-                             threshold: float = 0.5):
+                             threshold: float = 0.5) -> AsyncLabels:
         """Dispatch without blocking; finish with ``unpack_labels`` — lets
         `run_validation_cases` overlap volume i's D2H/NIfTI write with
-        volume i+1's compute."""
+        volume i+1's compute. The returned handle carries the volume's
+        shape, so mixed-shape pipelines unpack correctly."""
         variables = self.device_variables(variables)
-        return self._jitted_labels(variables, self._stage(data_cdhw),
-                                   threshold)
+        staged = self._stage(data_cdhw)
+        return AsyncLabels(
+            self._jitted_labels(variables, staged, threshold),
+            self._last_shape)
 
     def unpack_labels(self, out, shape=None) -> np.ndarray:
-        """Materialize an async result. ``shape`` defaults to the LAST
-        dispatched volume's shape — when pipelining volumes of differing
-        shapes, pass each volume's (D, H, W) explicitly (a later dispatch
-        overwrites the recorded shape before the earlier unpack)."""
+        """Materialize an async result (an `AsyncLabels` handle, or a raw
+        device array plus an explicit ``shape``)."""
+        if isinstance(out, AsyncLabels):
+            shape = out.shape
+            out = out.device_array
         out = np.asarray(out)
         if self.n_labels == 1:
             shape = tuple(shape) if shape is not None else self._last_shape

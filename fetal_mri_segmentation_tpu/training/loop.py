@@ -174,8 +174,8 @@ def train_model(model, state: TrainState, config,
         dice_history.append(row.get("dice_coefficient", 1.0))
         if not collapse_warned and detect_dice_collapse(dice_history):
             collapse_warned = True
-            print(f"[warning] training dice < 0.01 for "
-                  f"{len(dice_history)} epochs — the sigmoid has likely "
+            print(f"[warning] training dice < 0.01 for the last 3 "
+                  f"epochs — the sigmoid has likely "
                   f"saturated and the soft-Dice gradient vanished. Lower "
                   f"initial_learning_rate (current "
                   f"{config.initial_learning_rate:g}; default 5e-4 "

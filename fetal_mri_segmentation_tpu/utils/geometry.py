@@ -96,9 +96,13 @@ def read_image_files(image_files: Sequence[str],
     """Load a case's file list ([mod1, ..., truth]); nearest-interp for labels.
 
     Reference: utils.py::read_image_files (label_indices selects which files
-    get nearest-neighbor interpolation — by convention the last file is truth).
+    get nearest-neighbor interpolation — by convention the last file is
+    truth). Pass an explicit EMPTY list for all-modality cases (e.g. ad-hoc
+    inference with no truth file) — ``None`` means "last file is the label",
+    ``[]`` means "no label files".
     """
-    label_indices = set(label_indices or [len(image_files) - 1])
+    label_indices = set(label_indices if label_indices is not None
+                        else [len(image_files) - 1])
     images = []
     for i, f in enumerate(image_files):
         interp = "nearest" if i in label_indices else "linear"

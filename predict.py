@@ -22,6 +22,16 @@ def main(config, output_dir: str = "prediction", overlap: int = 16,
          num_devices: int = 1, spatial_devices: int = 1,
          direct: bool = False, export_path: str = None,
          inputs=None):
+    # flag-combination validation BEFORE the (slow) model build/restore
+    if inputs and ((num_devices and num_devices > 1)
+                   or (spatial_devices and spatial_devices > 1)):
+        raise ValueError(
+            "--input is single-device; --num-devices/--spatial-devices "
+            "apply to the validation-set path only")
+    if inputs and direct and tta:
+        raise ValueError("--direct is one whole-volume forward — "
+                         "no patch grid to TTA-average (--tta)")
+
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
@@ -51,16 +61,36 @@ def main(config, output_dir: str = "prediction", overlap: int = 16,
 
         from fetal_mri_segmentation_tpu.inference import (
             SlidingWindowPredictor, predict_case)
-        predictor = SlidingWindowPredictor(
-            model, config, image_shape=config.image_shape, overlap=overlap,
-            patch_batch_size=patch_batch_size, tta_permute=tta)
+        from fetal_mri_segmentation_tpu.inference.predict import (
+            load_global_moments)
+
+        # (incompatible flag combinations already rejected at the top of
+        # main — same fail-loudly policy as run_validation_cases)
+        if direct:
+            from fetal_mri_segmentation_tpu.parallel.spatial import (
+                make_direct_predictor)
+            predictor = make_direct_predictor(model, config)
+        else:
+            predictor = SlidingWindowPredictor(
+                model, config, image_shape=config.image_shape,
+                overlap=overlap, patch_batch_size=patch_batch_size,
+                tta_permute=tta)
+        # training-distribution moments loaded ONCE, not per case
+        moments = (load_global_moments(config.data_file)
+                   if config.normalization == "global" else None)
+        seen = {}
         for path in inputs:
             name = os.path.basename(os.path.normpath(path))
             name = name.replace(".nii.gz", "").replace(".nii", "")
+            n = seen.get(name, 0)
+            seen[name] = n + 1
+            if n:  # two inputs sharing a basename must not overwrite
+                name = f"{name}_{n + 1}"
             out_dir = os.path.join(output_dir, name)
             predict_case(path, out_dir, model, variables, config,
                          predictor=predictor, overlap=overlap, permute=tta,
-                         patch_batch_size=patch_batch_size)
+                         patch_batch_size=patch_batch_size,
+                         global_moments=moments)
             print(f"{path} -> {out_dir}/prediction.nii.gz")
         return
 

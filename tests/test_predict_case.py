@@ -125,3 +125,43 @@ def test_config_warns_on_unknown_keys():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         Config.from_dict(Config().to_dict())
+
+
+def test_predict_case_without_truth_uses_linear_resampling(tmp_path):
+    """Without a truth file, the LAST MODALITY must still be resampled
+    linearly — read_image_files' default treats the last file as a label
+    (nearest-neighbor), which silently broke ingest parity for truth-less
+    ad-hoc cases (the primary --input use case). Regression: a 20^3 case
+    resampled to 24^3 must preprocess identically with and without the
+    truth file present (crop disabled to isolate interpolation)."""
+    import shutil
+
+    files = write_synthetic_dataset(str(tmp_path / "cases"), n_cases=1,
+                                    shape=(20, 20, 20))
+    cfg = Config(image_shape=(24, 24, 24), patch_shape=(16, 16, 16),
+                 model_name="unet", depth=3, n_base_filters=4,
+                 data_file=str(tmp_path / "none.h5"),
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    variables = {"params": state.params}
+
+    shutil.copytree(str(tmp_path / "cases" / "case_0"),
+                    str(tmp_path / "no_truth"))
+    os.remove(str(tmp_path / "no_truth" / "truth.nii.gz"))
+
+    predictor = SlidingWindowPredictor(model, cfg,
+                                       image_shape=cfg.image_shape,
+                                       overlap=4)
+    predict_case(str(tmp_path / "cases" / "case_0"),
+                 str(tmp_path / "with_truth_out"), model, variables, cfg,
+                 predictor=predictor, crop=False)
+    predict_case(str(tmp_path / "no_truth"),
+                 str(tmp_path / "no_truth_out"), model, variables, cfg,
+                 predictor=predictor, crop=False)
+
+    a = load_nifti(str(tmp_path / "with_truth_out" / "data_volume.nii.gz"))
+    b = load_nifti(str(tmp_path / "no_truth_out" / "data_volume.nii.gz"))
+    np.testing.assert_allclose(a.get_fdata(dtype=np.float32),
+                               b.get_fdata(dtype=np.float32), atol=1e-5)
+    assert not os.path.exists(str(tmp_path / "no_truth_out" / "truth.nii.gz"))
