@@ -58,6 +58,24 @@ def make_optimizer(initial_learning_rate: float,
     )(learning_rate=initial_learning_rate)
 
 
+def create_abstract_state(model, config,
+                          tx: Optional[optax.GradientTransformation] = None
+                          ) -> TrainState:
+    """`create_train_state`'s tree as ShapeDtypeStructs — ZERO compile/compute.
+
+    Serving cold-start lever: restoring a checkpoint only needs the state's
+    STRUCTURE as a template, but `create_train_state` jit-compiles and runs
+    a full `model.init` forward to produce throwaway values (~30 s for even
+    a small 3D U-Net on one CPU core). `jax.eval_shape` traces the same
+    constructor abstractly; orbax restores concrete arrays straight into
+    the abstract template (see checkpoint.py::load_old_model).
+    """
+    tx = tx or make_optimizer(config.initial_learning_rate)
+    return jax.eval_shape(
+        lambda r: create_train_state(model, config, r, tx=tx),
+        jax.random.PRNGKey(0))
+
+
 def create_train_state(model, config, rng: jax.Array,
                        tx: Optional[optax.GradientTransformation] = None
                        ) -> TrainState:

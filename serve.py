@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Streaming inference server: watch a directory, predict new cases on arrival.
+
+Beyond the reference surface (its only inference mode is a batch run over the
+validation pickle). One process compiles the predictor once, keeps params
+device-resident, and serves every case dropped into --watch:
+
+    python serve.py --config experiment.json --watch incoming/ --output served/
+    python serve.py --config experiment.json --watch incoming/ --direct --once
+
+Case layout: <watch>/<case>/{<modality>.nii.gz...} (train-time layout), or
+bare .nii[.gz] files for single-modality configs. Idempotent: a case with an
+existing prediction.nii.gz is skipped; delete it to re-predict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import threading
+
+
+def main(config, watch: str, output: str = "served", overlap: int = 16,
+         patch_batch_size: int = 8, direct: bool = False, tta: bool = False,
+         poll: float = 1.0, once: bool = False, threshold: float = 0.5):
+    if direct and tta:
+        raise ValueError("--direct is one whole-volume forward — "
+                         "no patch grid to TTA-average (--tta)")
+    from fetal_mri_segmentation_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+    import jax
+
+    from fetal_mri_segmentation_tpu.inference import SlidingWindowPredictor
+    from fetal_mri_segmentation_tpu.inference.serve import watch_and_predict
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.training import load_old_model
+
+    model = build_model(config)
+    state, _, _ = load_old_model(config.model_file, model, config)
+    variables = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+
+    if direct:
+        from fetal_mri_segmentation_tpu.parallel.spatial import (
+            make_direct_predictor)
+        predictor = make_direct_predictor(model, config)
+    else:
+        predictor = SlidingWindowPredictor(
+            model, config, image_shape=config.image_shape, overlap=overlap,
+            patch_batch_size=patch_batch_size, tta_permute=tta)
+
+    stop = threading.Event()
+    signal.signal(signal.SIGINT, lambda *_: stop.set())
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+    if not once:
+        print(f"[serve] watching {watch} -> {output} "
+              f"({'direct' if direct else 'sliding-window'} mode, "
+              f"poll {poll}s; Ctrl-C to stop)", flush=True)
+    n = watch_and_predict(watch, output, model, variables, config, predictor,
+                          poll_interval=poll, once=once, stop=stop,
+                          threshold=threshold, overlap=overlap)
+    print(f"[serve] done: {n} case(s) predicted")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--watch", required=True,
+                    help="directory to watch for incoming cases")
+    ap.add_argument("--output", default="served")
+    ap.add_argument("--overlap", type=int, default=16)
+    ap.add_argument("--patch-batch-size", type=int, default=8)
+    ap.add_argument("--direct", action="store_true",
+                    help="whole-volume forward (no patch grid; ~2x less "
+                         "device time; dims must divide 2^(depth-1))")
+    ap.add_argument("--tta", action="store_true",
+                    help="48-symmetry test-time augmentation averaging")
+    ap.add_argument("--poll", type=float, default=1.0,
+                    help="poll interval in seconds")
+    ap.add_argument("--once", action="store_true",
+                    help="process the current backlog and exit")
+    ap.add_argument("--threshold", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from fetal_mri_segmentation_tpu.config import Config
+
+    main(Config.load(args.config), watch=args.watch, output=args.output,
+         overlap=args.overlap, patch_batch_size=args.patch_batch_size,
+         direct=args.direct, tta=args.tta, poll=args.poll, once=args.once,
+         threshold=args.threshold)
