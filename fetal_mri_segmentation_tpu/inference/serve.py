@@ -84,21 +84,34 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     moments = (load_global_moments(config.data_file)
                if config.normalization == "global" else None)
     pending_sigs: Dict[str, Tuple] = {}
+    failed: Dict[str, Tuple] = {}  # name -> signature AT FAILURE TIME: the
+    # case stays quarantined (no retry loop) until its files change
     n_done = 0
     while True:
         for name, path in discover_cases(watch_dir, config).items():
             out_dir = os.path.join(output_dir, name)
             if os.path.exists(os.path.join(out_dir, "prediction.nii.gz")):
                 continue
+            sig = _signature(path)
+            if failed.get(name) == sig:
+                continue  # unchanged since the failure — stay quarantined
+            failed.pop(name, None)
             if require_stable and not once:
-                sig = _signature(path)
                 if pending_sigs.get(name) != sig:
                     pending_sigs[name] = sig   # first sighting or still
                     continue                   # changing — wait one poll
             t0 = time.perf_counter()
-            predict_case(path, out_dir, model, variables, config,
-                         predictor=predictor, overlap=overlap,
-                         threshold=threshold, global_moments=moments)
+            try:
+                predict_case(path, out_dir, model, variables, config,
+                             predictor=predictor, overlap=overlap,
+                             threshold=threshold, global_moments=moments)
+            except Exception as e:  # one bad case must not kill the server
+                failed[name] = sig
+                pending_sigs.pop(name, None)
+                print(f"[serve] FAILED {name}: {type(e).__name__}: {e} "
+                      f"(quarantined — modify the case files to retry)",
+                      flush=True)
+                continue
             n_done += 1
             pending_sigs.pop(name, None)
             if verbose:

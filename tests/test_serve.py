@@ -103,3 +103,48 @@ def test_serve_defers_until_files_stable(tmp_path):
                            overlap=4, poll_interval=0.01, verbose=False)
     assert n3 == 1
     assert os.path.exists(os.path.join(out, "case_0", "prediction.nii.gz"))
+
+
+def test_serve_quarantines_bad_case_and_retries_on_change(tmp_path):
+    """A corrupt case must not kill the server, must not retry-loop while
+    unchanged, and must become eligible again once its files change."""
+    cfg, model, variables, predictor = _setup(tmp_path, n_cases=1)
+    out = str(tmp_path / "served")
+    bad = tmp_path / "watch" / "bad"
+    bad.mkdir()
+    (bad / "volume.nii.gz").write_bytes(b"not a nifti")
+
+    n = watch_and_predict(str(tmp_path / "watch"), out, model, variables,
+                          cfg, predictor, once=True, overlap=4,
+                          verbose=False)
+    assert n == 1  # the good case was still served
+    assert not os.path.exists(os.path.join(out, "bad", "prediction.nii.gz"))
+
+    # within one server lifetime: bad case fails once, is NOT retried on the
+    # next sweep, and IS retried (successfully) after its files change
+    calls = {"n": 0}
+
+    class Sweeps:
+        def __init__(self, n):
+            self.limit = n
+
+        def is_set(self):
+            calls["n"] += 1
+            return calls["n"] >= self.limit
+
+    import shutil
+    os.remove(os.path.join(out, "case_0", "prediction.nii.gz"))
+    shutil.rmtree(os.path.join(out, "case_0"))
+    n2 = watch_and_predict(str(tmp_path / "watch"), out, model, variables,
+                           cfg, predictor, once=False, stop=Sweeps(3),
+                           overlap=4, poll_interval=0.01, verbose=False)
+    assert n2 == 1  # good case re-served; bad case failed once, then skipped
+    # repair the bad case -> served on the following sweeps
+    shutil.copy(str(tmp_path / "watch" / "case_0" / "volume.nii.gz"),
+                str(bad / "volume.nii.gz"))
+    calls["n"] = 0
+    n3 = watch_and_predict(str(tmp_path / "watch"), out, model, variables,
+                           cfg, predictor, once=False, stop=Sweeps(3),
+                           overlap=4, poll_interval=0.01, verbose=False)
+    assert n3 == 1
+    assert os.path.exists(os.path.join(out, "bad", "prediction.nii.gz"))
