@@ -121,6 +121,46 @@ def _composite(model_name: str, augment: bool, n_reps: int = 5):
             "whole_volume_infer_sec": round(infer_sec, 5)}
 
 
+def _serve_case_sec():
+    """End-to-end serving wall per case (serve.py's unit of work): NIfTI
+    read, builder-identical preprocessing, whole-volume direct forward,
+    bit-packed D2H, label-map NIfTI write. Median of the post-compile
+    cases; each case is a DIFFERENT random volume (memoization guard)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference.predict import predict_case
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.parallel.spatial import (
+        make_direct_predictor)
+    from fetal_mri_segmentation_tpu.utils.nifti import save_nifti
+
+    config = Config(model_name="unet", depth=4, n_base_filters=32,
+                    image_shape=VOLUME, patch_shape=PATCH,
+                    compute_dtype="bfloat16")
+    model = build_model(config)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1,) + PATCH + (1,), jnp.float32))
+    predictor = make_direct_predictor(model, config)
+    rng = np.random.default_rng(0)
+    times = []
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(4):
+            case = os.path.join(d, f"case_{i}")
+            os.makedirs(case)
+            save_nifti(rng.normal(0, 1, VOLUME).astype(np.float32),
+                       os.path.join(case, "volume.nii.gz"))
+            t0 = time.perf_counter()
+            predict_case(case, os.path.join(d, "out", f"case_{i}"), model,
+                         variables, config, predictor=predictor,
+                         save_inputs=False, crop=False)
+            times.append(time.perf_counter() - t0)
+    return round(float(np.median(times[1:])), 5)
+
+
 def _direct_volume_infer():
     """Beyond-parity serving mode: ONE whole-volume forward (no patch grid,
     no overlap recompute) on a single chip — `predict.py --direct`.
@@ -251,6 +291,8 @@ def main():
         # time — not part of the composite (config #3 is defined as
         # sliding-window + Gaussian overlap-add)
         detail["direct_volume_infer_sec"] = _direct_volume_infer()
+        # streaming-serving unit of work (serve.py): raw NIfTI -> label map
+        detail["serve_case_sec"] = _serve_case_sec()
 
     import jax
     detail["device"] = str(jax.devices()[0])

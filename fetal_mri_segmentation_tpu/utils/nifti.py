@@ -52,6 +52,12 @@ class NiftiImage:
 
 def _open(path: str, mode: str):
     if str(path).endswith(".gz"):
+        # compresslevel 1 for WRITES: the default (9) costs seconds per
+        # volume on the serving path for a few percent smaller files
+        # (measured 4.4 s -> 0.4 s for a 128^3 label map on one core);
+        # reads auto-detect and are unaffected.
+        if "w" in mode:
+            return gzip.open(path, mode, compresslevel=1)
         return gzip.open(path, mode)
     return open(path, mode)
 
