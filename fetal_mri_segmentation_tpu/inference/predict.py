@@ -115,6 +115,42 @@ def run_validation_case(case_index: int, out_dir: str, model, variables,
     return probability
 
 
+def load_serving_model(config):
+    """Shared CLI plumbing: build the model, restore the checkpoint
+    (compile-free abstract template), assemble the ``variables`` dict.
+    Used by predict.py and serve.py so the two serving entry points cannot
+    diverge."""
+    import jax
+
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.training.checkpoint import load_old_model
+
+    model = build_model(config)
+    state, _, _ = load_old_model(config.model_file, model, config)
+    variables = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+    return model, variables
+
+
+def build_serving_predictor(model, config, *, direct: bool = False,
+                            tta: bool = False, overlap: int = 16,
+                            patch_batch_size: int = 8):
+    """Shared CLI plumbing: one predictor factory for both serving entry
+    points (sliding-window parity path or direct whole-volume mode)."""
+    if direct and tta:
+        raise ValueError("--direct is one whole-volume forward — "
+                         "no patch grid to TTA-average (--tta)")
+    if direct:
+        from fetal_mri_segmentation_tpu.parallel.spatial import (
+            make_direct_predictor)
+
+        return make_direct_predictor(model, config)
+    return SlidingWindowPredictor(
+        model, config, image_shape=config.image_shape, overlap=overlap,
+        patch_batch_size=patch_batch_size, tta_permute=tta)
+
+
 def resolve_case_files(path: str, config) -> tuple:
     """Resolve an ad-hoc input for `predict_case`.
 

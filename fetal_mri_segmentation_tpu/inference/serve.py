@@ -13,12 +13,14 @@ Case protocol:
   ``<modality>.nii[.gz]`` per ``config.training_modalities`` (the
   train-time layout), or a bare ``*.nii[.gz]`` file for single-modality
   configs;
-- a case is picked up once ALL its modality files exist and their sizes
-  have been stable for one poll interval (guards against half-written
-  uploads);
+- in continuous mode a case is picked up once ALL its modality files exist
+  and their sizes/mtimes have been stable for one poll interval (guards
+  against half-written uploads); ``--once`` backlog processing skips the
+  guard (a backlog is assumed fully uploaded);
 - output goes to ``<output_dir>/<case_name>/prediction.nii.gz``; a case is
   skipped when that file already exists (idempotent restarts — delete the
-  output to re-predict).
+  output to re-predict); failing cases are quarantined and retried when
+  their files change or after a backoff.
 """
 
 from __future__ import annotations
@@ -37,8 +39,23 @@ def _case_name(path: str) -> str:
 
 
 def discover_cases(watch_dir: str, config) -> Dict[str, str]:
-    """Map case name → input path for every complete case in the watch dir."""
-    cases = {}
+    """Map case name → input path for every complete case in the watch dir.
+
+    Basename collisions (a ``foo/`` directory next to a ``foo.nii.gz``
+    file, or ``foo.nii`` next to ``foo.nii.gz``) get deterministic ``_2``,
+    ``_3``… suffixes — the listing is sorted, so the mapping is stable
+    across sweeps and no input is silently shadowed.
+    """
+    cases: Dict[str, str] = {}
+
+    def add(name, path):
+        n = 2
+        final = name
+        while final in cases:
+            final = f"{name}_{n}"
+            n += 1
+        cases[final] = path
+
     for entry in sorted(os.listdir(watch_dir)):
         path = os.path.join(watch_dir, entry)
         if os.path.isdir(path):
@@ -47,10 +64,10 @@ def discover_cases(watch_dir: str, config) -> Dict[str, str]:
                     for ext in (".nii.gz", ".nii"))
                 for m in config.training_modalities)
             if complete:
-                cases[_case_name(path)] = path
+                add(_case_name(path), path)
         elif (entry.endswith((".nii", ".nii.gz"))
               and len(config.training_modalities) == 1):
-            cases[_case_name(path)] = path
+            add(_case_name(path), path)
     return cases
 
 
@@ -73,29 +90,48 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                       config, predictor, *, poll_interval: float = 1.0,
                       once: bool = False, require_stable: bool = True,
                       threshold: float = 0.5, overlap: int = 16,
+                      save_inputs: bool = False,
+                      retry_backoff: float = 60.0,
                       stop: Optional[object] = None,
                       verbose: bool = True) -> int:
     """Serve until ``stop.is_set()`` (or forever; one pass with ``once``).
 
     Returns the number of cases predicted. ``predictor`` is any object with
     the `SlidingWindowPredictor` serving surface (sliding-window or direct).
+
+    ``once`` processes the current backlog WITHOUT the stability guard (a
+    backlog is assumed fully uploaded); the guard applies in continuous
+    mode. ``save_inputs=False`` (default) keeps the hot path to one NIfTI
+    write — the inputs already live in the watch dir. A failing case is
+    quarantined and retried when its files change OR after
+    ``retry_backoff`` seconds (covers transient output-side errors like a
+    full disk, without a tight retry spin).
     """
     os.makedirs(output_dir, exist_ok=True)
     moments = (load_global_moments(config.data_file)
                if config.normalization == "global" else None)
     pending_sigs: Dict[str, Tuple] = {}
-    failed: Dict[str, Tuple] = {}  # name -> signature AT FAILURE TIME: the
-    # case stays quarantined (no retry loop) until its files change
+    failed: Dict[str, Tuple] = {}  # name -> (signature, monotonic time) at
+    #                                failure
     n_done = 0
     while True:
         for name, path in discover_cases(watch_dir, config).items():
             out_dir = os.path.join(output_dir, name)
             if os.path.exists(os.path.join(out_dir, "prediction.nii.gz")):
                 continue
-            sig = _signature(path)
-            if failed.get(name) == sig:
-                continue  # unchanged since the failure — stay quarantined
-            failed.pop(name, None)
+            try:
+                sig = _signature(path)
+            except OSError:
+                # files vanished/renamed between discovery and stat —
+                # the case is in flux; catch it on a later sweep
+                pending_sigs.pop(name, None)
+                continue
+            if name in failed:
+                fsig, ftime = failed[name]
+                if (fsig == sig
+                        and time.monotonic() - ftime < retry_backoff):
+                    continue  # unchanged and inside backoff — quarantined
+                del failed[name]
             if require_stable and not once:
                 if pending_sigs.get(name) != sig:
                     pending_sigs[name] = sig   # first sighting or still
@@ -104,13 +140,14 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
             try:
                 predict_case(path, out_dir, model, variables, config,
                              predictor=predictor, overlap=overlap,
-                             threshold=threshold, global_moments=moments)
+                             threshold=threshold, global_moments=moments,
+                             save_inputs=save_inputs)
             except Exception as e:  # one bad case must not kill the server
-                failed[name] = sig
+                failed[name] = (sig, time.monotonic())
                 pending_sigs.pop(name, None)
                 print(f"[serve] FAILED {name}: {type(e).__name__}: {e} "
-                      f"(quarantined — modify the case files to retry)",
-                      flush=True)
+                      f"(quarantined — retries when the files change or "
+                      f"after {retry_backoff:.0f}s)", flush=True)
                 continue
             n_done += 1
             pending_sigs.pop(name, None)

@@ -74,8 +74,7 @@ class CheckpointIO:
         return new_state, int(restored["epoch"]), float(restored["best_val"])
 
 
-def load_old_model(model_file: str, model, config,
-                   rng: Optional[jax.Array] = None):
+def load_old_model(model_file: str, model, config):
     """Rebuild state and restore the best checkpoint — full training resume.
 
     Reference: training.py::load_old_model (keras load_model with

@@ -37,14 +37,10 @@ def main(config, output_dir: str = "prediction", overlap: int = 16,
     enable_compilation_cache()
     from fetal_mri_segmentation_tpu.data import open_data_file
     from fetal_mri_segmentation_tpu.inference import run_validation_cases
-    from fetal_mri_segmentation_tpu.models import build_model
-    from fetal_mri_segmentation_tpu.training import load_old_model
+    from fetal_mri_segmentation_tpu.inference.predict import (
+        build_serving_predictor, load_serving_model)
 
-    model = build_model(config)
-    state, _, _ = load_old_model(config.model_file, model, config)
-    variables = {"params": state.params}
-    if jax.tree_util.tree_leaves(state.batch_stats):
-        variables["batch_stats"] = state.batch_stats
+    model, variables = load_serving_model(config)
 
     if export_path:
         from fetal_mri_segmentation_tpu.utils.export import export_predictor
@@ -59,22 +55,15 @@ def main(config, output_dir: str = "prediction", overlap: int = 16,
         # which could only predict cases already inside its HDF5 file)
         import os
 
-        from fetal_mri_segmentation_tpu.inference import (
-            SlidingWindowPredictor, predict_case)
+        from fetal_mri_segmentation_tpu.inference import predict_case
         from fetal_mri_segmentation_tpu.inference.predict import (
             load_global_moments)
 
         # (incompatible flag combinations already rejected at the top of
         # main — same fail-loudly policy as run_validation_cases)
-        if direct:
-            from fetal_mri_segmentation_tpu.parallel.spatial import (
-                make_direct_predictor)
-            predictor = make_direct_predictor(model, config)
-        else:
-            predictor = SlidingWindowPredictor(
-                model, config, image_shape=config.image_shape,
-                overlap=overlap, patch_batch_size=patch_batch_size,
-                tta_permute=tta)
+        predictor = build_serving_predictor(
+            model, config, direct=direct, tta=tta, overlap=overlap,
+            patch_batch_size=patch_batch_size)
         # training-distribution moments loaded ONCE, not per case
         moments = (load_global_moments(config.data_file)
                    if config.normalization == "global" else None)

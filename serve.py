@@ -23,33 +23,17 @@ import threading
 def main(config, watch: str, output: str = "served", overlap: int = 16,
          patch_batch_size: int = 8, direct: bool = False, tta: bool = False,
          poll: float = 1.0, once: bool = False, threshold: float = 0.5):
-    if direct and tta:
-        raise ValueError("--direct is one whole-volume forward — "
-                         "no patch grid to TTA-average (--tta)")
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
-    import jax
-
-    from fetal_mri_segmentation_tpu.inference import SlidingWindowPredictor
+    from fetal_mri_segmentation_tpu.inference.predict import (
+        build_serving_predictor, load_serving_model)
     from fetal_mri_segmentation_tpu.inference.serve import watch_and_predict
-    from fetal_mri_segmentation_tpu.models import build_model
-    from fetal_mri_segmentation_tpu.training import load_old_model
 
-    model = build_model(config)
-    state, _, _ = load_old_model(config.model_file, model, config)
-    variables = {"params": state.params}
-    if jax.tree_util.tree_leaves(state.batch_stats):
-        variables["batch_stats"] = state.batch_stats
-
-    if direct:
-        from fetal_mri_segmentation_tpu.parallel.spatial import (
-            make_direct_predictor)
-        predictor = make_direct_predictor(model, config)
-    else:
-        predictor = SlidingWindowPredictor(
-            model, config, image_shape=config.image_shape, overlap=overlap,
-            patch_batch_size=patch_batch_size, tta_permute=tta)
+    model, variables = load_serving_model(config)
+    predictor = build_serving_predictor(
+        model, config, direct=direct, tta=tta, overlap=overlap,
+        patch_batch_size=patch_batch_size)
 
     stop = threading.Event()
     signal.signal(signal.SIGINT, lambda *_: stop.set())

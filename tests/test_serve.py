@@ -148,3 +148,17 @@ def test_serve_quarantines_bad_case_and_retries_on_change(tmp_path):
                            overlap=4, poll_interval=0.01, verbose=False)
     assert n3 == 1
     assert os.path.exists(os.path.join(out, "bad", "prediction.nii.gz"))
+
+
+def test_discover_cases_basename_collision(tmp_path):
+    """A directory `foo/` and a bare file `foo.nii.gz` must BOTH be served
+    (deterministic _2 suffix), not silently shadow one another."""
+    cfg, *_ = _setup(tmp_path, n_cases=1)
+    import shutil
+    shutil.copy(str(tmp_path / "watch" / "case_0" / "volume.nii.gz"),
+                str(tmp_path / "watch" / "case_0.nii.gz"))
+    cases = discover_cases(str(tmp_path / "watch"), cfg)
+    assert sorted(cases) == ["case_0", "case_0_2"]
+    assert sorted({os.path.normpath(p) for p in cases.values()}) == sorted({
+        os.path.normpath(str(tmp_path / "watch" / "case_0")),
+        os.path.normpath(str(tmp_path / "watch" / "case_0.nii.gz"))})
