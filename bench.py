@@ -154,9 +154,10 @@ def _serve_case_sec():
             save_nifti(rng.normal(0, 1, VOLUME).astype(np.float32),
                        os.path.join(case, "volume.nii.gz"))
             t0 = time.perf_counter()
+            # full serve-path semantics: shared-crop + resample + normalize
             predict_case(case, os.path.join(d, "out", f"case_{i}"), model,
                          variables, config, predictor=predictor,
-                         save_inputs=False, crop=False)
+                         save_inputs=False)
             times.append(time.perf_counter() - t0)
     return round(float(np.median(times[1:])), 5)
 

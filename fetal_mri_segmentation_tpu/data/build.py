@@ -29,8 +29,8 @@ from typing import List, Optional, Sequence, Tuple
 import h5py
 import numpy as np
 
-from fetal_mri_segmentation_tpu.utils.geometry import (
-    compute_shared_crop, read_image_files)
+from fetal_mri_segmentation_tpu.utils.geometry import process_case_images
+from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
 
 
 class _Root:
@@ -112,9 +112,11 @@ def write_data_to_file(training_data_files: Sequence[Sequence[str]],
                           truth_dtype=truth_dtype)
     try:
         for i, case_files in enumerate(training_data_files):
-            crop_slices = compute_shared_crop(case_files) if crop else None
-            images = read_image_files(case_files, image_shape=image_shape,
-                                      crop=crop_slices)
+            # single-read: each (gzipped) file decompressed exactly once
+            # for both the shared-crop scan and the resample
+            images = process_case_images(
+                [load_nifti(f) for f in case_files],
+                image_shape=image_shape, crop=crop)
             data = np.stack([img.get_fdata(dtype=np.float32)
                              for img in images[:-1]], axis=0)
             truth = images[-1].get_fdata(dtype=np.float32)[None].astype(truth_dtype)

@@ -206,7 +206,7 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
                  overlap: int = 16, threshold: float = 0.5,
                  permute: bool = False, patch_batch_size: int = 8,
                  save_inputs: bool = True, crop: bool = True,
-                 global_moments=None) -> np.ndarray:
+                 global_moments=None, io_submit=None) -> np.ndarray:
     """Predict a case straight from NIfTI files — no HDF5 ingest required.
 
     The reference can only predict cases already written into its HDF5
@@ -220,20 +220,25 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
 
     Writes the usual per-case tree under ``out_dir`` (``data_<modality>``,
     optional ``truth``, ``prediction.nii.gz``, affine = the build-adjusted
-    affine). Returns the label map.
+    affine). Returns the label map. ``io_submit``: optional executor
+    ``submit`` — NIfTI gzip+disk writes are queued on it so a caller
+    serving a stream can overlap case *i*'s writes with case *i+1*'s
+    compute (the caller collects the futures' exceptions; see
+    serve.py::watch_and_predict).
     """
     from fetal_mri_segmentation_tpu.data.normalize import normalize_case
-    from fetal_mri_segmentation_tpu.utils.geometry import (
-        compute_shared_crop, read_image_files)
+    from fetal_mri_segmentation_tpu.utils.geometry import process_case_images
+    from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
 
     files, truth_file = resolve_case_files(input_path, config)
     all_files = files + ([truth_file] if truth_file else [])
-    crop_slices = compute_shared_crop(all_files) if crop else None
+    # single-read preprocessing (each gzipped file decompressed once);
     # label_indices MUST be explicit: without a truth file the default
     # ("last file is the label") would nearest-neighbor-resample the last
     # MODALITY, silently breaking ingest parity.
-    images = read_image_files(
-        all_files, image_shape=config.image_shape, crop=crop_slices,
+    images = process_case_images(
+        [load_nifti(f) for f in all_files],
+        image_shape=config.image_shape, crop=crop,
         label_indices=[len(all_files) - 1] if truth_file else [])
     affine = images[0].affine
     data = np.stack([img.get_fdata(dtype=np.float32)
@@ -245,15 +250,17 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
     data = normalize_case(data, config.normalization, mean=mean, std=std)
 
     os.makedirs(out_dir, exist_ok=True)
+    submit = io_submit if io_submit is not None else (
+        lambda fn, *a, **kw: fn(*a, **kw))
     if save_inputs:
         for i, modality in enumerate(config.training_modalities):
-            save_nifti(data[i],
-                       os.path.join(out_dir, f"data_{modality}.nii.gz"),
-                       affine=affine)
+            submit(save_nifti, data[i],
+                   os.path.join(out_dir, f"data_{modality}.nii.gz"),
+                   affine=affine)
         if truth_file:
-            save_nifti(
-                images[-1].get_fdata(dtype=np.float32).astype(np.uint8),
-                os.path.join(out_dir, "truth.nii.gz"), affine=affine)
+            submit(save_nifti,
+                   images[-1].get_fdata(dtype=np.float32).astype(np.uint8),
+                   os.path.join(out_dir, "truth.nii.gz"), affine=affine)
 
     if predictor is None:
         predictor = SlidingWindowPredictor(
@@ -261,8 +268,7 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
             patch_batch_size=patch_batch_size, tta_permute=permute)
     label_map = predictor.predict_labels(variables, data,
                                          threshold=threshold)
-    return _write_prediction(label_map, config, out_dir, affine,
-                             lambda fn, *a, **kw: fn(*a, **kw))
+    return _write_prediction(label_map, config, out_dir, affine, submit)
 
 
 class _FnAdapter:

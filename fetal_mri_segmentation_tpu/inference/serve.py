@@ -107,6 +107,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     ``retry_backoff`` seconds (covers transient output-side errors like a
     full disk, without a tight retry spin).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(output_dir, exist_ok=True)
     moments = (load_global_moments(config.data_file)
                if config.normalization == "global" else None)
@@ -114,6 +116,25 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     failed: Dict[str, Tuple] = {}  # name -> (signature, monotonic time) at
     #                                failure
     n_done = 0
+    # NIfTI gzip+disk writes run on a worker thread so case i's write
+    # overlaps case i+1's preprocess+predict; futures drain each sweep. A
+    # write that fails leaves prediction.nii.gz absent, so the case is
+    # simply retried on a later sweep (the failure is logged here).
+    pool = ThreadPoolExecutor(max_workers=1)
+    futures = []
+
+    def submit(fn, *a, **kw):
+        futures.append(pool.submit(fn, *a, **kw))
+
+    def drain_writes():
+        pending = futures[:]
+        futures.clear()
+        for f in pending:
+            err = f.exception()
+            if err is not None:
+                print(f"[serve] WRITE FAILED: {type(err).__name__}: {err} "
+                      f"(case will be retried)", flush=True)
+
     while True:
         for name, path in discover_cases(watch_dir, config).items():
             out_dir = os.path.join(output_dir, name)
@@ -141,7 +162,7 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                 predict_case(path, out_dir, model, variables, config,
                              predictor=predictor, overlap=overlap,
                              threshold=threshold, global_moments=moments,
-                             save_inputs=save_inputs)
+                             save_inputs=save_inputs, io_submit=submit)
             except Exception as e:  # one bad case must not kill the server
                 failed[name] = (sig, time.monotonic())
                 pending_sigs.pop(name, None)
@@ -154,6 +175,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
             if verbose:
                 print(f"[serve] {name} -> {out_dir}/prediction.nii.gz "
                       f"({time.perf_counter() - t0:.2f}s)", flush=True)
+        drain_writes()
         if once or (stop is not None and stop.is_set()):
+            pool.shutdown(wait=True)
             return n_done
         time.sleep(poll_interval)

@@ -29,14 +29,20 @@ def crop_img_to_slices(data: np.ndarray, rtol: float = 1e-8,
     infinity_norm = max(-data.min(), data.max())
     mask = np.logical_or(data < -rtol * infinity_norm,
                          data > rtol * infinity_norm)
+    if mask.ndim > 3:  # extra (time/channel) dims count toward any axis box
+        mask = mask.reshape(mask.shape[:3] + (-1,)).any(axis=-1)
     if not mask.any():
         return tuple(slice(0, s) for s in data.shape[:3])
-    coords = np.array(np.where(mask))
-    start = coords.min(axis=1)
-    end = coords.max(axis=1) + 1
-    start = np.maximum(start - pad, 0)
-    end = np.minimum(end + pad, data.shape[:3])
-    return tuple(slice(int(s), int(e)) for s, e in zip(start[:3], end[:3]))
+    # per-axis any() projections instead of np.where: the box needs only
+    # first/last occupied index per axis, not the O(n_foreground) coordinate
+    # lists (3x faster on a mostly-foreground 128^3 volume — serving path)
+    start, end = [], []
+    for axis in range(3):
+        other = tuple(a for a in range(3) if a != axis)
+        line = np.flatnonzero(mask.any(axis=other))
+        start.append(max(int(line[0]) - pad, 0))
+        end.append(min(int(line[-1]) + 1 + pad, data.shape[axis]))
+    return tuple(slice(s, e) for s, e in zip(start, end))
 
 
 def crop_affine(affine: np.ndarray, slices: Sequence[slice]) -> np.ndarray:
@@ -111,6 +117,18 @@ def read_image_files(image_files: Sequence[str],
     return images
 
 
+def compute_shared_crop_images(images, pad: int = 1) -> Tuple[slice, ...]:
+    """`compute_shared_crop` over ALREADY-LOADED NiftiImages (no re-read)."""
+    starts, ends = None, None
+    for img in images:
+        sl = crop_img_to_slices(img.get_fdata(dtype=np.float32), pad=pad)
+        s = np.array([x.start for x in sl])
+        e = np.array([x.stop for x in sl])
+        starts = s if starts is None else np.minimum(starts, s)
+        ends = e if ends is None else np.maximum(ends, e)
+    return tuple(slice(int(s), int(e)) for s, e in zip(starts, ends))
+
+
 def compute_shared_crop(image_files: Sequence[str], pad: int = 1
                         ) -> Tuple[slice, ...]:
     """Union bounding box over all of a case's files (so one crop fits all).
@@ -120,12 +138,36 @@ def compute_shared_crop(image_files: Sequence[str], pad: int = 1
     """
     from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
 
-    starts, ends = None, None
-    for f in image_files:
-        data = load_nifti(f).get_fdata(dtype=np.float32)
-        sl = crop_img_to_slices(data, pad=pad)
-        s = np.array([x.start for x in sl])
-        e = np.array([x.stop for x in sl])
-        starts = s if starts is None else np.minimum(starts, s)
-        ends = e if ends is None else np.maximum(ends, e)
-    return tuple(slice(int(s), int(e)) for s, e in zip(starts, ends))
+    return compute_shared_crop_images(
+        [load_nifti(f) for f in image_files], pad=pad)
+
+
+def process_case_images(images, image_shape: Optional[Sequence[int]] = None,
+                        crop: bool = True,
+                        label_indices: Optional[Sequence[int]] = None,
+                        pad: int = 1):
+    """Single-read ingest preprocessing over ALREADY-LOADED NiftiImages:
+    shared background crop (union box across all images) + resample to
+    ``image_shape`` (nearest for label files, linear otherwise).
+
+    Same semantics as ``compute_shared_crop`` + ``read_image_files`` on
+    paths, but each file is decompressed exactly ONCE — the serving hot
+    path reads a gzipped case only one time (inference/predict.py::
+    predict_case). ``label_indices`` follows read_image_files' convention
+    (None = last image is the label; [] = no labels).
+    """
+    label_set = set(label_indices if label_indices is not None
+                    else [len(images) - 1])
+    slices = compute_shared_crop_images(images, pad=pad) if crop else None
+    out = []
+    for i, img in enumerate(images):
+        if slices is not None:
+            img = NiftiImage(img.get_fdata(dtype=np.float32)[tuple(slices)],
+                             crop_affine(img.affine, slices))
+        if (image_shape is not None
+                and tuple(img.shape[:3]) != tuple(image_shape)):
+            img = resample_to_shape(
+                img, image_shape,
+                "nearest" if i in label_set else "linear")
+        out.append(img)
+    return out
