@@ -38,24 +38,19 @@ def _case_name(path: str) -> str:
     return name.replace(".nii.gz", "").replace(".nii", "")
 
 
-def discover_cases(watch_dir: str, config) -> Dict[str, str]:
+def discover_cases(watch_dir: str, config,
+                   collisions: Optional[list] = None) -> Dict[str, str]:
     """Map case name → input path for every complete case in the watch dir.
 
-    Basename collisions (a ``foo/`` directory next to a ``foo.nii.gz``
-    file, or ``foo.nii`` next to ``foo.nii.gz``) get deterministic ``_2``,
-    ``_3``… suffixes — the listing is sorted, so the mapping is stable
-    across sweeps and no input is silently shadowed.
+    A case's name derives ONLY from its own entry (never from siblings), so
+    names — and therefore output directories and quarantine keys — are
+    stable across sweeps regardless of what else appears later. Entries
+    whose names collide (a ``foo/`` directory next to a ``foo.nii.gz``
+    file, or ``foo.nii`` next to ``foo.nii.gz``) are ALL excluded and
+    reported via ``collisions`` — serving either would misattribute
+    outputs; the operator must rename one.
     """
-    cases: Dict[str, str] = {}
-
-    def add(name, path):
-        n = 2
-        final = name
-        while final in cases:
-            final = f"{name}_{n}"
-            n += 1
-        cases[final] = path
-
+    found: Dict[str, list] = {}
     for entry in sorted(os.listdir(watch_dir)):
         path = os.path.join(watch_dir, entry)
         if os.path.isdir(path):
@@ -64,10 +59,14 @@ def discover_cases(watch_dir: str, config) -> Dict[str, str]:
                     for ext in (".nii.gz", ".nii"))
                 for m in config.training_modalities)
             if complete:
-                add(_case_name(path), path)
+                found.setdefault(_case_name(path), []).append(path)
         elif (entry.endswith((".nii", ".nii.gz"))
               and len(config.training_modalities) == 1):
-            add(_case_name(path), path)
+            found.setdefault(_case_name(path), []).append(path)
+    cases = {n: ps[0] for n, ps in found.items() if len(ps) == 1}
+    if collisions is not None:
+        collisions.extend(n for n, ps in sorted(found.items())
+                          if len(ps) > 1)
     return cases
 
 
@@ -117,26 +116,33 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     #                                failure
     n_done = 0
     # NIfTI gzip+disk writes run on a worker thread so case i's write
-    # overlaps case i+1's preprocess+predict; futures drain each sweep. A
-    # write that fails leaves prediction.nii.gz absent, so the case is
-    # simply retried on a later sweep (the failure is logged here).
+    # overlaps case i+1's preprocess+predict; each case's futures drain at
+    # sweep end (success is only reported once its writes landed). Writes
+    # are atomic (utils/nifti.py temp+rename), so a failed prediction write
+    # leaves NO file and the case is genuinely retried on a later sweep.
     pool = ThreadPoolExecutor(max_workers=1)
-    futures = []
-
-    def submit(fn, *a, **kw):
-        futures.append(pool.submit(fn, *a, **kw))
+    inflight = []  # (name, out_dir, seconds, [write futures])
+    warned_collisions = set()
 
     def drain_writes():
-        pending = futures[:]
-        futures.clear()
-        for f in pending:
-            err = f.exception()
-            if err is not None:
-                print(f"[serve] WRITE FAILED: {type(err).__name__}: {err} "
-                      f"(case will be retried)", flush=True)
+        for name, odir, dt, futs in inflight:
+            errs = [e for e in (f.exception() for f in futs)
+                    if e is not None]
+            if errs:
+                e = errs[0]
+                print(f"[serve] WRITE FAILED {name}: "
+                      f"{type(e).__name__}: {e} (atomic writes leave no "
+                      f"partial artifact; retried automatically iff the "
+                      f"prediction itself is missing)", flush=True)
+            elif verbose:
+                print(f"[serve] {name} -> {odir}/prediction.nii.gz "
+                      f"({dt:.2f}s)", flush=True)
+        inflight.clear()
 
     while True:
-        for name, path in discover_cases(watch_dir, config).items():
+        collisions: list = []
+        for name, path in discover_cases(watch_dir, config,
+                                         collisions).items():
             out_dir = os.path.join(output_dir, name)
             if os.path.exists(os.path.join(out_dir, "prediction.nii.gz")):
                 continue
@@ -158,12 +164,19 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                     pending_sigs[name] = sig   # first sighting or still
                     continue                   # changing — wait one poll
             t0 = time.perf_counter()
+            case_futs: list = []
+
+            def submit(fn, *a, _futs=case_futs, **kw):
+                _futs.append(pool.submit(fn, *a, **kw))
+
             try:
                 predict_case(path, out_dir, model, variables, config,
                              predictor=predictor, overlap=overlap,
                              threshold=threshold, global_moments=moments,
                              save_inputs=save_inputs, io_submit=submit)
             except Exception as e:  # one bad case must not kill the server
+                for f in case_futs:  # settle any already-queued writes
+                    f.exception()
                 failed[name] = (sig, time.monotonic())
                 pending_sigs.pop(name, None)
                 print(f"[serve] FAILED {name}: {type(e).__name__}: {e} "
@@ -172,9 +185,14 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                 continue
             n_done += 1
             pending_sigs.pop(name, None)
-            if verbose:
-                print(f"[serve] {name} -> {out_dir}/prediction.nii.gz "
-                      f"({time.perf_counter() - t0:.2f}s)", flush=True)
+            inflight.append((name, out_dir, time.perf_counter() - t0,
+                             case_futs))
+        for c in collisions:
+            if c not in warned_collisions:
+                warned_collisions.add(c)
+                print(f"[serve] SKIPPED colliding cases named {c!r}: "
+                      f"multiple watch-dir entries map to the same case "
+                      f"name — rename one to serve them", flush=True)
         drain_writes()
         if once or (stop is not None and stop.is_set()):
             pool.shutdown(wait=True)

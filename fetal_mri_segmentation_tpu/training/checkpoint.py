@@ -14,7 +14,7 @@ auto-resumes when the model file exists and not overwrite):
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

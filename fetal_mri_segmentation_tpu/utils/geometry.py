@@ -158,12 +158,24 @@ def process_case_images(images, image_shape: Optional[Sequence[int]] = None,
     """
     label_set = set(label_indices if label_indices is not None
                     else [len(images) - 1])
-    slices = compute_shared_crop_images(images, pad=pad) if crop else None
+    # ONE float32 materialization per file, reused by the crop scan and the
+    # crop application (get_fdata converts the on-disk dtype each call)
+    arrays = [img.get_fdata(dtype=np.float32) for img in images]
+    slices = None
+    if crop:
+        starts, ends = None, None
+        for arr in arrays:
+            sl = crop_img_to_slices(arr, pad=pad)
+            s = np.array([x.start for x in sl])
+            e = np.array([x.stop for x in sl])
+            starts = s if starts is None else np.minimum(starts, s)
+            ends = e if ends is None else np.maximum(ends, e)
+        slices = tuple(slice(int(s), int(e))
+                       for s, e in zip(starts, ends))
     out = []
-    for i, img in enumerate(images):
+    for i, (img, arr) in enumerate(zip(images, arrays)):
         if slices is not None:
-            img = NiftiImage(img.get_fdata(dtype=np.float32)[tuple(slices)],
-                             crop_affine(img.affine, slices))
+            img = NiftiImage(arr[slices], crop_affine(img.affine, slices))
         if (image_shape is not None
                 and tuple(img.shape[:3]) != tuple(image_shape)):
             img = resample_to_shape(

@@ -18,6 +18,7 @@ saved outputs align voxel-for-voxel with reference outputs.
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -155,8 +156,24 @@ def save_nifti(image_or_data, path: str, affine: Optional[np.ndarray] = None
     hdr[344:348] = b"n+1\x00"
 
     payload = bytes(hdr) + b"\x00" * 4 + np.asfortranarray(data).tobytes(order="F")
-    with _open(path, "wb") as f:
-        f.write(payload)
+    # atomic publish: write a sibling temp file and rename into place, so a
+    # failed/interrupted write can never leave a truncated .nii[.gz] that
+    # downstream consumers (e.g. serve.py's already-predicted check) would
+    # mistake for a complete artifact.
+    tmp = f"{path}.tmp{os.getpid()}"
+    try:
+        # compression is decided by the FINAL path (tmp lacks the .gz)
+        opener = (gzip.open if str(path).endswith(".gz") else open)
+        kw = {"compresslevel": 1} if opener is gzip.open else {}
+        with opener(tmp, "wb", **kw) as f:
+            f.write(payload)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
 
 
 # nibabel-compatible aliases used around the codebase

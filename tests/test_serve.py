@@ -151,14 +151,21 @@ def test_serve_quarantines_bad_case_and_retries_on_change(tmp_path):
 
 
 def test_discover_cases_basename_collision(tmp_path):
-    """A directory `foo/` and a bare file `foo.nii.gz` must BOTH be served
-    (deterministic _2 suffix), not silently shadow one another."""
-    cfg, *_ = _setup(tmp_path, n_cases=1)
+    """A directory `foo/` next to a bare file `foo.nii.gz` is a genuine
+    ambiguity: neither is served (silent shadowing/misattribution would be
+    worse) and the collision is reported for the operator. Case names must
+    stay stable regardless of siblings — a name never shifts when a
+    colliding entry appears later."""
+    cfg, *_ = _setup(tmp_path, n_cases=2)
     import shutil
     shutil.copy(str(tmp_path / "watch" / "case_0" / "volume.nii.gz"),
                 str(tmp_path / "watch" / "case_0.nii.gz"))
+    collisions = []
+    cases = discover_cases(str(tmp_path / "watch"), cfg, collisions)
+    assert sorted(cases) == ["case_1"]  # non-colliding case unaffected
+    assert collisions == ["case_0"]
+    # remove the ambiguity -> the directory case is served under its
+    # ORIGINAL stable name
+    os.remove(str(tmp_path / "watch" / "case_0.nii.gz"))
     cases = discover_cases(str(tmp_path / "watch"), cfg)
-    assert sorted(cases) == ["case_0", "case_0_2"]
-    assert sorted({os.path.normpath(p) for p in cases.values()}) == sorted({
-        os.path.normpath(str(tmp_path / "watch" / "case_0")),
-        os.path.normpath(str(tmp_path / "watch" / "case_0.nii.gz"))})
+    assert sorted(cases) == ["case_0", "case_1"]
