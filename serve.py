@@ -22,7 +22,8 @@ import threading
 
 def main(config, watch: str, output: str = "served", overlap: int = 16,
          patch_batch_size: int = 8, direct: bool = False, tta: bool = False,
-         poll: float = 1.0, once: bool = False, threshold: float = 0.5):
+         poll: float = 1.0, once: bool = False, threshold: float = 0.5,
+         save_inputs: bool = False):
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
@@ -44,7 +45,8 @@ def main(config, watch: str, output: str = "served", overlap: int = 16,
               f"poll {poll}s; Ctrl-C to stop)", flush=True)
     n = watch_and_predict(watch, output, model, variables, config, predictor,
                           poll_interval=poll, once=once, stop=stop,
-                          threshold=threshold, overlap=overlap)
+                          threshold=threshold, overlap=overlap,
+                          save_inputs=save_inputs)
     print(f"[serve] done: {n} case(s) predicted")
 
 
@@ -66,6 +68,11 @@ if __name__ == "__main__":
     ap.add_argument("--once", action="store_true",
                     help="process the current backlog and exit")
     ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--save-inputs", action="store_true",
+                    help="also write the preprocessed data_<modality> and "
+                         "truth NIfTIs per case (the full evaluate.py-ready "
+                         "output tree; off by default to keep the hot path "
+                         "to one write)")
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config
@@ -73,4 +80,4 @@ if __name__ == "__main__":
     main(Config.load(args.config), watch=args.watch, output=args.output,
          overlap=args.overlap, patch_batch_size=args.patch_batch_size,
          direct=args.direct, tta=args.tta, poll=args.poll, once=args.once,
-         threshold=args.threshold)
+         threshold=args.threshold, save_inputs=args.save_inputs)

@@ -40,3 +40,42 @@ def test_nifti_image_ducktype():
     img = NiftiImage(np.ones((2, 2, 2)), np.eye(4))
     assert img.get_fdata().dtype == np.float64
     assert img.shape == (2, 2, 2)
+
+
+def test_save_nifti_atomic_no_partial_artifact(tmp_path):
+    """A failed write must leave NO file at the target path (temp+rename
+    publish) — serve.py's already-predicted check treats existence as
+    completeness."""
+    import gzip
+    from unittest import mock
+
+    import numpy as np
+
+    from fetal_mri_segmentation_tpu.utils import nifti
+
+    target = tmp_path / "out.nii.gz"
+    real_open = gzip.open
+
+    def exploding_open(path, mode="rb", **kw):
+        f = real_open(path, mode, **kw)
+        if "w" in mode:
+            orig = f.write
+
+            def bomb(data):
+                orig(data[: len(data) // 2])
+                raise OSError(28, "No space left on device")
+            f.write = bomb
+        return f
+
+    with mock.patch.object(nifti.gzip, "open", exploding_open):
+        try:
+            nifti.save_nifti(np.ones((8, 8, 8), np.float32), str(target))
+        except OSError:
+            pass
+        else:
+            raise AssertionError("expected the injected OSError")
+    assert not target.exists()
+    assert list(tmp_path.iterdir()) == []  # no stray temp files either
+    # and a normal write still round-trips
+    nifti.save_nifti(np.ones((8, 8, 8), np.float32), str(target))
+    assert np.allclose(nifti.load_nifti(str(target)).get_fdata(), 1.0)
