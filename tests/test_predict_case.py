@@ -165,3 +165,37 @@ def test_predict_case_without_truth_uses_linear_resampling(tmp_path):
     np.testing.assert_allclose(a.get_fdata(dtype=np.float32),
                                b.get_fdata(dtype=np.float32), atol=1e-5)
     assert not os.path.exists(str(tmp_path / "no_truth_out" / "truth.nii.gz"))
+
+
+def test_predict_case_multimodal(tmp_path):
+    """Two-modality ad-hoc case: resolve_case_files orders files by
+    training_modalities, both channels feed the net, and ONLY the truth is
+    nearest-resampled."""
+    from tests.synthetic import make_ellipsoid_case
+    from fetal_mri_segmentation_tpu.utils.nifti import save_nifti
+
+    vol, truth = make_ellipsoid_case(shape=(20, 20, 20), seed=0)
+    case = tmp_path / "case_m"
+    case.mkdir()
+    save_nifti(vol, str(case / "t2.nii.gz"))
+    save_nifti(vol * 0.5, str(case / "t1.nii.gz"))
+    save_nifti(truth, str(case / "truth.nii.gz"))
+
+    cfg = Config(image_shape=(24, 24, 24), patch_shape=(16, 16, 16),
+                 model_name="unet", depth=3, n_base_filters=4,
+                 all_modalities=("t1", "t2"), compute_dtype="float32",
+                 data_file=str(tmp_path / "none.h5"))
+    files, truth_f = resolve_case_files(str(case), cfg)
+    assert [os.path.basename(f) for f in files] == ["t1.nii.gz", "t2.nii.gz"]
+    assert truth_f.endswith("truth.nii.gz")
+
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    predict_case(str(case), str(tmp_path / "out"), model,
+                 {"params": state.params}, cfg, overlap=4)
+    for artifact in ("data_t1.nii.gz", "data_t2.nii.gz", "truth.nii.gz",
+                     "prediction.nii.gz"):
+        assert os.path.exists(str(tmp_path / "out" / artifact)), artifact
+    # truth resampled nearest: stays strictly binary after 20^3 -> 24^3
+    t = load_nifti(str(tmp_path / "out" / "truth.nii.gz")).get_fdata()
+    assert set(np.unique(t)).issubset({0.0, 1.0})
