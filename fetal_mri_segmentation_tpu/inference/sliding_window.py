@@ -222,12 +222,12 @@ class SlidingWindowPredictor:
 
     def unpack_labels(self, out) -> np.ndarray:
         """Materialize an async result: D2H + bit-unpack to the uint8 map."""
-        out = np.asarray(out)
         if self.n_labels == 1:
-            bits = np.unpackbits(out.reshape(-1, 1), axis=1)
-            return bits.reshape(-1)[: int(np.prod(self.image_shape))].reshape(
-                self.image_shape).astype(np.uint8)
-        return out
+            from fetal_mri_segmentation_tpu.utils.packing import (
+                unpack_bit_mask)
+
+            return unpack_bit_mask(out, self.image_shape)
+        return np.asarray(out)
 
     def predict_labels(self, variables, data_cdhw,
                        threshold: float = 0.5) -> np.ndarray:

@@ -247,13 +247,13 @@ class SpatialPredictor:
         if isinstance(out, AsyncLabels):
             shape = out.shape
             out = out.device_array
-        out = np.asarray(out)
         if self.n_labels == 1:
-            shape = tuple(shape) if shape is not None else self._last_shape
-            bits = np.unpackbits(out.reshape(-1, 1), axis=1)
-            return bits.reshape(-1)[: int(np.prod(shape))].reshape(
-                shape).astype(np.uint8)
-        return out
+            from fetal_mri_segmentation_tpu.utils.packing import (
+                unpack_bit_mask)
+
+            return unpack_bit_mask(
+                out, tuple(shape) if shape is not None else self._last_shape)
+        return np.asarray(out)
 
     def predict_labels(self, variables, data_cdhw,
                        threshold: float = 0.5) -> np.ndarray:

@@ -87,6 +87,15 @@ class CSVLogger:
         if not append and os.path.exists(filename):
             os.remove(filename)
 
+    def _read_header(self):
+        """Just the header line of the current file, or None (cheap — no
+        row materialization; a resumed 500-epoch log is read fully only on
+        the rare header-widening rewrite)."""
+        if not os.path.exists(self.filename):
+            return None
+        with open(self.filename, newline="") as f:
+            return next(csv.reader(f), None)
+
     def _read_existing(self):
         """(header, rows) of the current file, or (None, [])."""
         if not os.path.exists(self.filename):
@@ -104,7 +113,7 @@ class CSVLogger:
         if self._fieldnames is None:
             # resume-append: adopt the existing file's header, don't assume
             # this run logs the same columns the original run did
-            self._fieldnames = self._read_existing()[0]
+            self._fieldnames = self._read_header()
         new_keys = [k for k in row if k not in (self._fieldnames or ())]
         if self._fieldnames is None:
             self._fieldnames = list(row.keys())
@@ -114,7 +123,7 @@ class CSVLogger:
             # a resumed run added metrics (e.g. label-wise dice toggled on):
             # widen the header and rewrite history instead of silently
             # dropping the new columns
-            header, rows = self._read_existing()
+            rows = self._read_existing()[1]
             self._fieldnames = list(self._fieldnames) + new_keys
             with open(self.filename, "w", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=self._fieldnames, restval="")

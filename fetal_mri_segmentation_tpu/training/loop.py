@@ -143,6 +143,10 @@ def train_model(model, state: TrainState, config,
         jax.block_until_ready(train_metrics[-1]["loss"] if train_metrics
                               else state.params)
         train_time = time.perf_counter() - t0
+        # capture throughput BEFORE validation runs: the meter counts only
+        # training patches, so including validation wall time in the
+        # denominator would deflate the BASELINE throughput columns
+        rates = meter.rates()
 
         # ---- validate ----
         val_metrics, vweights = [], []
@@ -162,7 +166,7 @@ def train_model(model, state: TrainState, config,
             row[f"val_{name}"] = agg(val_metrics, vweights, key)
         row.update({
             "lr": state.learning_rate,
-            **meter.rates(),
+            **rates,
             "epoch_time_sec": train_time,
         })
         csv.log(epoch, row)

@@ -34,8 +34,16 @@ _MAGIC = b"FETALTPU1"
 def export_predictor(model, config, variables, image_shape: Sequence[int],
                      path: str, overlap: int = 16,
                      patch_batch_size: int = 27,
-                     threshold: float = 0.5) -> None:
-    """Serialize the whole-volume label-map program with weights baked in."""
+                     threshold: float = 0.5, tta: bool = False,
+                     platforms: Optional[Sequence[str]] = None) -> None:
+    """Serialize the whole-volume label-map program with weights baked in.
+
+    ``platforms`` defaults to ["tpu", "cpu"] so the artifact runs both where
+    it was produced AND on CPU-only consumers — a single-platform export
+    would refuse to execute anywhere else (the portability this module
+    exists for). ``tta`` bakes the 48-symmetry averaging into the program
+    (mirrors ``predict.py --tta``).
+    """
     import jax
     from jax import export as jexport
 
@@ -45,7 +53,8 @@ def export_predictor(model, config, variables, image_shape: Sequence[int],
     predictor = SlidingWindowPredictor(model, config,
                                        image_shape=image_shape,
                                        overlap=overlap,
-                                       patch_batch_size=patch_batch_size)
+                                       patch_batch_size=patch_batch_size,
+                                       tta_permute=tta)
     variables = jax.device_get(variables)  # bake host copies as constants
 
     def program(vol_cdhw):
@@ -54,13 +63,19 @@ def export_predictor(model, config, variables, image_shape: Sequence[int],
 
     n_ch = len(config.training_modalities)
     spec = jax.ShapeDtypeStruct((n_ch,) + tuple(image_shape), np.float32)
-    exported = jexport.export(jax.jit(program))(spec)
+    exported = jexport.export(
+        jax.jit(program),
+        platforms=list(platforms) if platforms else ["tpu", "cpu"])(spec)
     meta = {
         "image_shape": list(int(s) for s in image_shape),
         "n_channels": n_ch,
         "n_labels": int(config.n_labels),
-        "labels": list(config.labels or []),
+        # the EFFECTIVE label values the program emits (multi-class argmax
+        # defaults to 1..n_labels when config.labels is unset)
+        "labels": list(config.labels
+                       or range(1, int(config.n_labels) + 1)),
         "threshold": threshold,
+        "tta": tta,
         "packed_bits": config.n_labels == 1,
         "model_name": config.model_name,
     }
@@ -83,18 +98,28 @@ def load_predictor(path: str):
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
             raise ValueError(f"{path}: not a fetal-tpu export artifact")
-        (meta_len,) = struct.unpack("<I", f.read(4))
-        meta = json.loads(f.read(meta_len).decode())
-        exported = jexport.deserialize(f.read())
+        try:
+            (meta_len,) = struct.unpack("<I", f.read(4))
+            meta = json.loads(f.read(meta_len).decode())
+            exported = jexport.deserialize(f.read())
+        except (struct.error, json.JSONDecodeError, UnicodeDecodeError,
+                EOFError) as e:
+            # truncated/corrupt artifact behind a valid magic — keep the
+            # documented ValueError contract instead of leaking parser
+            # internals
+            raise ValueError(
+                f"{path}: truncated or corrupt export artifact "
+                f"({type(e).__name__}: {e})") from e
 
     image_shape = tuple(meta["image_shape"])
 
     def predict(vol_cdhw) -> np.ndarray:
         out = np.asarray(exported.call(np.asarray(vol_cdhw, np.float32)))
         if meta["packed_bits"]:
-            bits = np.unpackbits(out.reshape(-1, 1), axis=1)
-            return bits.reshape(-1)[: int(np.prod(image_shape))].reshape(
-                image_shape).astype(np.uint8)
+            from fetal_mri_segmentation_tpu.utils.packing import (
+                unpack_bit_mask)
+
+            return unpack_bit_mask(out, image_shape)
         return out
 
     predict.meta = meta

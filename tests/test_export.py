@@ -42,3 +42,42 @@ def test_export_rejects_bad_magic(tmp_path):
         f.write(b"NOTANEXPORT")
     with pytest.raises(ValueError, match="not a fetal-tpu export"):
         load_predictor(p)
+
+
+def test_export_is_multiplatform_and_corruption_safe(tmp_path):
+    """The artifact must carry (tpu, cpu) lowerings — a single-platform
+    export refuses to run anywhere but the producer's backend, defeating
+    the module's portability purpose (verified live: exported on the TPU
+    box, executed on a CPU-only consumer). Truncation behind a valid magic
+    must surface as the documented ValueError."""
+    import json
+    import struct
+
+    import pytest
+    from jax import export as jexport
+
+    cfg = Config(model_name="unet", depth=2, n_base_filters=2,
+                 patch_shape=(8, 8, 8), image_shape=(16, 16, 16),
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 8, 8, 8, 1), np.float32))
+    p = str(tmp_path / "model.fetal")
+    export_predictor(model, cfg, variables, (16, 16, 16), p, overlap=4,
+                     patch_batch_size=4)
+
+    with open(p, "rb") as f:
+        raw = f.read()
+    meta_len = struct.unpack_from("<I", raw, 9)[0]
+    meta = json.loads(raw[13:13 + meta_len])
+    assert meta["labels"] == [1]  # effective labels, never []
+    exported = jexport.deserialize(raw[13 + meta_len:])
+    assert set(exported.platforms) == {"tpu", "cpu"}
+
+    # truncated artifact with a valid magic -> documented ValueError
+    for cut in (9, 11, 13 + meta_len // 2, 13 + meta_len + 10):
+        bad = str(tmp_path / f"trunc_{cut}.fetal")
+        with open(bad, "wb") as f:
+            f.write(raw[:cut])
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            load_predictor(bad)
