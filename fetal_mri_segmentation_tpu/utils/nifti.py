@@ -1,14 +1,17 @@
-"""Minimal pure-numpy NIfTI-1 reader/writer (.nii / .nii.gz).
+"""Minimal pure-numpy NIfTI reader/writer (.nii / .nii.gz).
 
 The reference uses nibabel for all NIfTI I/O (reference: unet3d/utils/
 utils.py::read_image, prediction.py::prediction_to_image → nib.save). nibabel
-is not available in this image, and NIfTI-1 is a simple fixed 348-byte-header
+is not available in this image, and NIfTI is a simple fixed-size-header
 format, so we implement exactly the subset the pipeline needs:
 
-- read: dims, datatype (u8/i16/i32/f32/f64/i8/u16/u32/i64), scl slope/inter,
-  affine from sform (preferred), qform (quaternion), or pixdim fallback;
-- write: data + 4x4 affine with sform_code=1, Fortran voxel order, optional
-  gzip (suffix-driven).
+- read: NIfTI-1 (348-byte header) AND NIfTI-2 (540-byte header), both
+  endiannesses — scanner/pipeline exports are routinely big-endian, and
+  nibabel (the reference's reader) accepts all four combinations; dims,
+  datatype (u8/i16/i32/f32/f64/i8/u16/u32/i64), scl slope/inter, affine
+  from sform (preferred), qform (quaternion), or pixdim fallback;
+- write: NIfTI-1 little-endian, data + 4x4 affine with sform_code=1,
+  Fortran voxel order, optional gzip (suffix-driven).
 
 Voxel data is returned in x-fastest (Fortran) axis order as a C-contiguous
 array indexed [i, j, k], matching nibabel's `get_fdata()` axis convention so
@@ -63,10 +66,56 @@ def _open(path: str, mode: str):
     return open(path, mode)
 
 
-def _quaternion_affine(hdr: bytes) -> np.ndarray:
-    b, c, d = struct.unpack_from("<3f", hdr, 256)
-    ox, oy, oz = struct.unpack_from("<3f", hdr, 268)
-    pixdim = struct.unpack_from("<8f", hdr, 76)
+# header field layouts: (offset, struct format without byte-order prefix)
+# for each NIfTI version.  NIfTI-2 moves/widens fields (dims are int64,
+# reals are doubles) but the semantics are identical.
+_LAYOUT = {
+    1: {"dim": (40, "8h"), "datatype": (70, "h"), "pixdim": (76, "8f"),
+        "vox_offset": (108, "f"), "scl": (112, "2f"),
+        "qform_code": (252, "h"), "sform_code": (254, "h"),
+        "quatern": (256, "3f"), "qoffset": (268, "3f"),
+        "srow": (280, "4f", 16), "hdr_size": 348, "default_offset": 352},
+    2: {"dim": (16, "8q"), "datatype": (12, "h"), "pixdim": (104, "8d"),
+        "vox_offset": (168, "q"), "scl": (176, "2d"),
+        "qform_code": (344, "i"), "sform_code": (348, "i"),
+        "quatern": (352, "3d"), "qoffset": (376, "3d"),
+        "srow": (400, "4d", 32), "hdr_size": 540, "default_offset": 544},
+}
+
+# datatypes nibabel reads but a segmentation pipeline cannot use as scalar
+# volumes — rejected with a specific message rather than a bare code.
+_NONSCALAR = {128: "RGB24", 2304: "RGBA32", 32: "complex64",
+              1792: "complex128", 2048: "complex256", 1: "binary(1bit)"}
+
+
+def _detect_version(raw: bytes, path: str):
+    """(version, byte-order prefix) from the sizeof_hdr field.
+
+    NIfTI mandates sizeof_hdr == 348 (v1) / 540 (v2) in the file's own
+    byte order, which makes it the endianness probe (same trick nibabel
+    uses): 348 byteswapped is 1543569408, 540 byteswapped is 469893120 —
+    no ambiguity.
+    """
+    (le,) = struct.unpack_from("<i", raw, 0)
+    if le == 348:
+        return 1, "<"
+    if le == 540:
+        return 2, "<"
+    (be,) = struct.unpack_from(">i", raw, 0)
+    if be == 348:
+        return 1, ">"
+    if be == 540:
+        return 2, ">"
+    raise ValueError(f"{path}: not a NIfTI-1/NIfTI-2 file "
+                     f"(sizeof_hdr={le} LE / {be} BE; expected 348 or 540)")
+
+
+def _quaternion_affine(hdr: bytes, lay, bo: str) -> np.ndarray:
+    b, c, d = struct.unpack_from(bo + lay["quatern"][1], hdr,
+                                 lay["quatern"][0])
+    ox, oy, oz = struct.unpack_from(bo + lay["qoffset"][1], hdr,
+                                    lay["qoffset"][0])
+    pixdim = struct.unpack_from(bo + lay["pixdim"][1], hdr, lay["pixdim"][0])
     qfac = -1.0 if pixdim[0] < 0 else 1.0
     a2 = 1.0 - (b * b + c * c + d * d)
     a = np.sqrt(max(a2, 0.0))
@@ -85,40 +134,53 @@ def _quaternion_affine(hdr: bytes) -> np.ndarray:
 def load_nifti(path: str) -> NiftiImage:
     with _open(path, "rb") as f:
         raw = f.read()
-    hdr = raw[:348]
-    (sizeof_hdr,) = struct.unpack_from("<i", hdr, 0)
-    if sizeof_hdr != 348:
-        raise ValueError(f"{path}: not a little-endian NIfTI-1 file "
-                         f"(sizeof_hdr={sizeof_hdr})")
-    dim = struct.unpack_from("<8h", hdr, 40)
+    version, bo = _detect_version(raw, path)
+    lay = _LAYOUT[version]
+    hdr = raw[:lay["hdr_size"]]
+
+    def field(name):
+        off, fmt = lay[name][:2]
+        return struct.unpack_from(bo + fmt, hdr, off)
+
+    dim = field("dim")
     ndim = dim[0]
     shape = tuple(int(d) for d in dim[1:1 + ndim])
-    (datatype,) = struct.unpack_from("<h", hdr, 70)
-    (vox_offset,) = struct.unpack_from("<f", hdr, 108)
-    scl_slope, scl_inter = struct.unpack_from("<2f", hdr, 112)
-    sform_code = struct.unpack_from("<h", hdr, 254)[0]
-    qform_code = struct.unpack_from("<h", hdr, 252)[0]
+    (datatype,) = field("datatype")
+    (vox_offset,) = field("vox_offset")
+    scl_slope, scl_inter = field("scl")
+    sform_code = field("sform_code")[0]
+    qform_code = field("qform_code")[0]
 
+    if datatype in _NONSCALAR:
+        raise ValueError(
+            f"{path}: NIfTI datatype {_NONSCALAR[datatype]} ({datatype}) is "
+            f"not a scalar volume — this pipeline segments single-valued "
+            f"intensity images; convert the file (e.g. take one channel) "
+            f"before ingest")
     if datatype not in _DTYPES:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
-    dt = np.dtype(_DTYPES[datatype])
+    dt = np.dtype(_DTYPES[datatype]).newbyteorder(bo)
     n = int(np.prod(shape)) if shape else 0
-    off = int(vox_offset) if vox_offset else 352
+    off = int(vox_offset) if vox_offset else lay["default_offset"]
     data = np.frombuffer(raw, dtype=dt, count=n, offset=off)
     data = data.reshape(shape, order="F")
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         data = data.astype(np.float32) * slope + scl_inter
     else:
-        data = np.ascontiguousarray(data)
+        # native byte order out (downstream jnp/h5py paths assume it)
+        data = np.ascontiguousarray(
+            data.astype(dt.newbyteorder("="), copy=False))
 
     if sform_code > 0:
-        rows = [struct.unpack_from("<4f", hdr, 280 + 16 * i) for i in range(3)]
+        soff, sfmt, stride = lay["srow"]
+        rows = [struct.unpack_from(bo + sfmt, hdr, soff + stride * i)
+                for i in range(3)]
         affine = np.vstack([np.array(rows), [0, 0, 0, 1]]).astype(np.float64)
     elif qform_code > 0:
-        affine = _quaternion_affine(hdr)
+        affine = _quaternion_affine(hdr, lay, bo)
     else:
-        pixdim = struct.unpack_from("<8f", hdr, 76)
+        pixdim = field("pixdim")
         affine = np.diag([pixdim[1] or 1.0, pixdim[2] or 1.0,
                           pixdim[3] or 1.0, 1.0])
     return NiftiImage(np.ascontiguousarray(data), affine)

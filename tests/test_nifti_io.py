@@ -79,3 +79,129 @@ def test_save_nifti_atomic_no_partial_artifact(tmp_path):
     # and a normal write still round-trips
     nifti.save_nifti(np.ones((8, 8, 8), np.float32), str(target))
     assert np.allclose(nifti.load_nifti(str(target)).get_fdata(), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Real-world robustness: big-endian NIfTI-1, NIfTI-2 (both endiannesses),
+# and clear rejection of non-scalar datatypes. nibabel (the reference's
+# reader) accepts all of these; scanner exports are routinely big-endian.
+# ---------------------------------------------------------------------------
+
+import gzip as _gzip
+import struct as _struct
+
+_N1_CODES = {np.dtype(np.uint8): (2, 8), np.dtype(np.int16): (4, 16),
+             np.dtype(np.float32): (16, 32), np.dtype(np.float64): (64, 64)}
+
+
+def _synth_nifti1(data, affine, bo="<", scl=(1.0, 0.0)):
+    """Hand-built NIfTI-1 byte stream in the requested byte order."""
+    code, bits = _N1_CODES[data.dtype]
+    hdr = bytearray(348)
+    _struct.pack_into(bo + "i", hdr, 0, 348)
+    dim = [data.ndim] + list(data.shape) + [1] * (7 - data.ndim)
+    _struct.pack_into(bo + "8h", hdr, 40, *dim)
+    _struct.pack_into(bo + "h", hdr, 70, code)
+    _struct.pack_into(bo + "h", hdr, 72, bits)
+    _struct.pack_into(bo + "8f", hdr, 76, 1.0, 1, 1, 1, 1, 1, 1, 1)
+    _struct.pack_into(bo + "f", hdr, 108, 352.0)
+    _struct.pack_into(bo + "2f", hdr, 112, *scl)
+    _struct.pack_into(bo + "2h", hdr, 252, 0, 1)  # qform=0, sform=1
+    for i in range(3):
+        _struct.pack_into(bo + "4f", hdr, 280 + 16 * i,
+                          *[float(v) for v in affine[i]])
+    hdr[344:348] = b"n+1\x00"
+    body = np.asfortranarray(
+        data.astype(data.dtype.newbyteorder(bo))).tobytes(order="F")
+    return bytes(hdr) + b"\x00" * 4 + body
+
+
+def _synth_nifti2(data, affine, bo="<"):
+    """Hand-built NIfTI-2 byte stream (540-byte header, int64 dims,
+    double reals, srows at 400/432/464)."""
+    code, bits = _N1_CODES[data.dtype]
+    hdr = bytearray(540)
+    _struct.pack_into(bo + "i", hdr, 0, 540)
+    hdr[4:12] = b"n+2\x00\r\n\x1a\n"
+    _struct.pack_into(bo + "h", hdr, 12, code)
+    _struct.pack_into(bo + "h", hdr, 14, bits)
+    dim = [data.ndim] + list(data.shape) + [1] * (7 - data.ndim)
+    _struct.pack_into(bo + "8q", hdr, 16, *dim)
+    _struct.pack_into(bo + "8d", hdr, 104, 1.0, 1, 1, 1, 1, 1, 1, 1)
+    _struct.pack_into(bo + "q", hdr, 168, 544)       # vox_offset
+    _struct.pack_into(bo + "2d", hdr, 176, 1.0, 0.0)  # scl slope/inter
+    _struct.pack_into(bo + "i", hdr, 344, 0)          # qform_code
+    _struct.pack_into(bo + "i", hdr, 348, 1)          # sform_code
+    for i, off in enumerate((400, 432, 464)):
+        _struct.pack_into(bo + "4d", hdr, off,
+                          *[float(v) for v in affine[i]])
+    body = np.asfortranarray(
+        data.astype(data.dtype.newbyteorder(bo))).tobytes(order="F")
+    return bytes(hdr) + b"\x00" * 4 + body
+
+
+def _affine():
+    return np.array([[0.8, 0, 0, -10], [0, 0.8, 0, -12],
+                     [0, 0, 2.0, -5], [0, 0, 0, 1]])
+
+
+def test_big_endian_nifti1(tmp_path, rng):
+    data = rng.random((5, 6, 7)).astype(np.float32)
+    p = tmp_path / "be.nii.gz"
+    p.write_bytes(_gzip.compress(_synth_nifti1(data, _affine(), bo=">")))
+    img = load_nifti(str(p))
+    assert np.allclose(img.get_fdata(), data, atol=1e-7)
+    assert np.allclose(img.affine, _affine(), atol=1e-5)
+    # output must be native-order (downstream jnp/h5py assume it)
+    assert img.dataobj.dtype.byteorder in ("=", "<", "|")
+
+
+def test_big_endian_scl_slope(tmp_path):
+    data = np.arange(2 * 3 * 4, dtype=np.int16).reshape(2, 3, 4)
+    p = tmp_path / "scl_be.nii"
+    p.write_bytes(_synth_nifti1(data, np.eye(4), bo=">", scl=(2.0, -1.0)))
+    img = load_nifti(str(p))
+    assert np.allclose(img.get_fdata(), data * 2.0 - 1.0)
+
+
+def test_nifti2_little_endian(tmp_path, rng):
+    data = rng.random((4, 5, 6)).astype(np.float32)
+    p = tmp_path / "v2.nii"
+    p.write_bytes(_synth_nifti2(data, _affine(), bo="<"))
+    img = load_nifti(str(p))
+    assert np.allclose(img.get_fdata(), data, atol=1e-7)
+    assert np.allclose(img.affine, _affine(), atol=1e-12)
+
+
+def test_nifti2_big_endian_uint8(tmp_path):
+    data = (np.arange(3 * 4 * 5) % 5).astype(np.uint8).reshape(3, 4, 5)
+    p = tmp_path / "v2be.nii.gz"
+    p.write_bytes(_gzip.compress(_synth_nifti2(data, np.eye(4), bo=">")))
+    img = load_nifti(str(p))
+    assert img.dataobj.dtype == np.uint8
+    assert np.array_equal(img.dataobj, data)
+
+
+def test_rgb_datatype_rejected_with_clear_message(tmp_path):
+    data = np.zeros((2, 2, 2), np.uint8)
+    raw = bytearray(_synth_nifti1(data, np.eye(4)))
+    _struct.pack_into("<h", raw, 70, 128)  # RGB24
+    p = tmp_path / "rgb.nii"
+    p.write_bytes(bytes(raw))
+    try:
+        load_nifti(str(p))
+    except ValueError as e:
+        assert "RGB24" in str(e)
+    else:
+        raise AssertionError("expected ValueError for RGB datatype")
+
+
+def test_not_a_nifti_rejected(tmp_path):
+    p = tmp_path / "junk.nii"
+    p.write_bytes(b"\x00" * 400)
+    try:
+        load_nifti(str(p))
+    except ValueError as e:
+        assert "348 or 540" in str(e)
+    else:
+        raise AssertionError("expected ValueError for non-NIfTI input")

@@ -199,3 +199,32 @@ def test_predict_case_multimodal(tmp_path):
     # truth resampled nearest: stays strictly binary after 20^3 -> 24^3
     t = load_nifti(str(tmp_path / "out" / "truth.nii.gz")).get_fdata()
     assert set(np.unique(t)).issubset({0.0, 1.0})
+
+
+def test_predict_case_big_endian_input(tmp_path):
+    """A big-endian scanner export predicts identically to the same case in
+    native byte order (utils/nifti.py reads all NIfTI-1/2 endiannesses,
+    matching the reference's nibabel ingest)."""
+    import gzip
+
+    from tests.test_nifti_io import _synth_nifti1
+
+    cfg, model, variables = _setup(tmp_path)
+    predictor = SlidingWindowPredictor(model, cfg,
+                                       image_shape=cfg.image_shape,
+                                       overlap=4)
+    src = load_nifti(str(tmp_path / "cases" / "case_0" / "volume.nii.gz"))
+    be_case = tmp_path / "be_cases" / "case_0"
+    os.makedirs(be_case)
+    raw = _synth_nifti1(src.get_fdata(dtype=np.float32), src.affine, bo=">")
+    (be_case / "volume.nii.gz").write_bytes(gzip.compress(raw))
+
+    predict_case(str(tmp_path / "cases" / "case_0"),
+                 str(tmp_path / "out_le"), model, variables, cfg,
+                 predictor=predictor, overlap=4, save_inputs=False)
+    predict_case(str(be_case), str(tmp_path / "out_be"), model, variables,
+                 cfg, predictor=predictor, overlap=4, save_inputs=False)
+    le = load_nifti(str(tmp_path / "out_le" / "prediction.nii.gz"))
+    be = load_nifti(str(tmp_path / "out_be" / "prediction.nii.gz"))
+    np.testing.assert_array_equal(np.asarray(le.get_fdata()),
+                                  np.asarray(be.get_fdata()))
