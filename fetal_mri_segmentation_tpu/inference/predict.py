@@ -201,30 +201,20 @@ def load_global_moments(data_file_path: str):
     return None
 
 
-def predict_case(input_path: str, out_dir: str, model, variables, config,
-                 predictor: Optional[SlidingWindowPredictor] = None,
-                 overlap: int = 16, threshold: float = 0.5,
-                 permute: bool = False, patch_batch_size: int = 8,
-                 save_inputs: bool = True, crop: bool = True,
-                 global_moments=None, io_submit=None) -> np.ndarray:
-    """Predict a case straight from NIfTI files — no HDF5 ingest required.
+def preprocess_case(input_path: str, config, *, crop: bool = True,
+                    global_moments=None):
+    """Builder-identical preprocessing of an ad-hoc NIfTI case.
 
-    The reference can only predict cases already written into its HDF5
-    dataset (prediction.py::run_validation_cases reads the hdf5_file); a new
-    scan required a rebuild. This runs the SAME preprocessing the dataset
-    builder applies (shared background crop — including truth when present,
-    matching data.py::write_data_to_file — resample to ``config.image_shape``,
-    the configured normalization) and predicts with the same compiled
-    predictor, so a case ingested-then-predicted and a case predicted ad-hoc
-    produce identical label maps (regression-tested).
+    Runs the SAME pipeline the dataset builder applies (shared background
+    crop — including truth when present, matching
+    data.py::write_data_to_file — resample to ``config.image_shape``, the
+    configured normalization). Returns ``(data, affine, truth_image)`` with
+    ``data`` the normalized (C, D, H, W) float32 stack, ``affine`` the
+    build-adjusted affine and ``truth_image`` a NiftiImage or None.
 
-    Writes the usual per-case tree under ``out_dir`` (``data_<modality>``,
-    optional ``truth``, ``prediction.nii.gz``, affine = the build-adjusted
-    affine). Returns the label map. ``io_submit``: optional executor
-    ``submit`` — NIfTI gzip+disk writes are queued on it so a caller
-    serving a stream can overlap case *i*'s writes with case *i+1*'s
-    compute (the caller collects the futures' exceptions; see
-    serve.py::watch_and_predict).
+    Split out of `predict_case` so a streaming server can pipeline: case
+    *i+1*'s host preprocessing runs while case *i*'s device predict is in
+    flight (serve.py::watch_and_predict).
     """
     from fetal_mri_segmentation_tpu.data.normalize import normalize_case
     from fetal_mri_segmentation_tpu.utils.geometry import process_case_images
@@ -248,19 +238,55 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
         global_moments = load_global_moments(config.data_file)
     mean, std = global_moments if global_moments else (None, None)
     data = normalize_case(data, config.normalization, mean=mean, std=std)
+    return data, affine, (images[-1] if truth_file else None)
+
+
+def queue_input_writes(data, truth_image, config, out_dir, affine, submit):
+    """Queue the per-case ``data_<modality>`` / ``truth`` NIfTI writes —
+    shared by the per-case API and the pipelined stream so the output tree
+    cannot diverge between them."""
+    for i, modality in enumerate(config.training_modalities):
+        submit(save_nifti, data[i],
+               os.path.join(out_dir, f"data_{modality}.nii.gz"),
+               affine=affine)
+    if truth_image is not None:
+        submit(save_nifti,
+               truth_image.get_fdata(dtype=np.float32).astype(np.uint8),
+               os.path.join(out_dir, "truth.nii.gz"), affine=affine)
+
+
+def predict_case(input_path: str, out_dir: str, model, variables, config,
+                 predictor: Optional[SlidingWindowPredictor] = None,
+                 overlap: int = 16, threshold: float = 0.5,
+                 permute: bool = False, patch_batch_size: int = 8,
+                 save_inputs: bool = True, crop: bool = True,
+                 global_moments=None, io_submit=None) -> np.ndarray:
+    """Predict a case straight from NIfTI files — no HDF5 ingest required.
+
+    The reference can only predict cases already written into its HDF5
+    dataset (prediction.py::run_validation_cases reads the hdf5_file); a new
+    scan required a rebuild. This runs builder-identical preprocessing
+    (`preprocess_case`) and predicts with the same compiled predictor, so a
+    case ingested-then-predicted and a case predicted ad-hoc produce
+    identical label maps (regression-tested).
+
+    Writes the usual per-case tree under ``out_dir`` (``data_<modality>``,
+    optional ``truth``, ``prediction.nii.gz``, affine = the build-adjusted
+    affine). Returns the label map. ``io_submit``: optional executor
+    ``submit`` — NIfTI gzip+disk writes are queued on it so a caller
+    serving a stream can overlap case *i*'s writes with case *i+1*'s
+    compute (the caller collects the futures' exceptions; see
+    serve.py::watch_and_predict).
+    """
+    data, affine, truth_image = preprocess_case(
+        input_path, config, crop=crop, global_moments=global_moments)
 
     os.makedirs(out_dir, exist_ok=True)
     submit = io_submit if io_submit is not None else (
         lambda fn, *a, **kw: fn(*a, **kw))
     if save_inputs:
-        for i, modality in enumerate(config.training_modalities):
-            submit(save_nifti, data[i],
-                   os.path.join(out_dir, f"data_{modality}.nii.gz"),
-                   affine=affine)
-        if truth_file:
-            submit(save_nifti,
-                   images[-1].get_fdata(dtype=np.float32).astype(np.uint8),
-                   os.path.join(out_dir, "truth.nii.gz"), affine=affine)
+        queue_input_writes(data, truth_image, config, out_dir, affine,
+                           submit)
 
     if predictor is None:
         predictor = SlidingWindowPredictor(

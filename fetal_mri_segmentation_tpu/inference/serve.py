@@ -30,7 +30,8 @@ import time
 from typing import Dict, Optional, Tuple
 
 from fetal_mri_segmentation_tpu.inference.predict import (
-    load_global_moments, predict_case)
+    _write_prediction, load_global_moments, predict_case, preprocess_case,
+    queue_input_writes)
 
 
 def _case_name(path: str) -> str:
@@ -92,19 +93,30 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                       save_inputs: bool = False,
                       retry_backoff: float = 60.0,
                       stop: Optional[object] = None,
+                      stats: Optional[dict] = None,
                       verbose: bool = True) -> int:
     """Serve until ``stop.is_set()`` (or forever; one pass with ``once``).
 
-    Returns the number of cases predicted. ``predictor`` is any object with
-    the `SlidingWindowPredictor` serving surface (sliding-window or direct).
+    Returns the number of cases predicted AND durably written. ``predictor``
+    is any object with the `SlidingWindowPredictor` serving surface
+    (sliding-window or direct).
+
+    Backlog cases are PIPELINED (when the predictor exposes the async
+    surface, which all built-in predictors do): case *i*'s device predict is
+    dispatched, then case *i+1*'s host preprocessing+H2D runs while the
+    device computes, then case *i*'s D2H+unpack lands — the same two-stage
+    overlap `run_validation_cases` uses, extended to the serving surface.
+    All NIfTI gzip+disk writes additionally run on a worker thread.
 
     ``once`` processes the current backlog WITHOUT the stability guard (a
     backlog is assumed fully uploaded); the guard applies in continuous
     mode. ``save_inputs=False`` (default) keeps the hot path to one NIfTI
-    write — the inputs already live in the watch dir. A failing case is
-    quarantined and retried when its files change OR after
-    ``retry_backoff`` seconds (covers transient output-side errors like a
-    full disk, without a tight retry spin).
+    write — the inputs already live in the watch dir. A failing case
+    (including a failed output write — e.g. disk full) is quarantined and
+    retried when its files change OR after ``retry_backoff`` seconds, so a
+    persistent output-side error cannot cause a full recompute every poll.
+    ``stats``, when given, is filled with ``{"predicted", "write_failures"}``
+    so a ``--once`` caller can exit nonzero on silent write loss.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -115,34 +127,95 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     failed: Dict[str, Tuple] = {}  # name -> (signature, monotonic time) at
     #                                failure
     n_done = 0
+    n_write_failed = 0
     # NIfTI gzip+disk writes run on a worker thread so case i's write
     # overlaps case i+1's preprocess+predict; each case's futures drain at
     # sweep end (success is only reported once its writes landed). Writes
     # are atomic (utils/nifti.py temp+rename), so a failed prediction write
     # leaves NO file and the case is genuinely retried on a later sweep.
     pool = ThreadPoolExecutor(max_workers=1)
-    inflight = []  # (name, out_dir, seconds, [write futures])
+    inflight = []  # (name, out_dir, seconds, [write futures], signature)
     warned_collisions = set()
+    pipelined = (hasattr(predictor, "predict_labels_async")
+                 and hasattr(predictor, "unpack_labels"))
 
     def drain_writes():
-        for name, odir, dt, futs in inflight:
+        nonlocal n_done, n_write_failed
+        for name, odir, dt, futs, sig in inflight:
             errs = [e for e in (f.exception() for f in futs)
                     if e is not None]
             if errs:
                 e = errs[0]
+                # the case was NOT served: no durable artifact exists.
+                # Un-count it and quarantine (same backoff as a predict
+                # failure) so e.g. a full disk doesn't recompute the same
+                # prediction every poll.
+                n_done -= 1
+                n_write_failed += 1
+                failed[name] = (sig, time.monotonic())
                 print(f"[serve] WRITE FAILED {name}: "
                       f"{type(e).__name__}: {e} (atomic writes leave no "
-                      f"partial artifact; retried automatically iff the "
-                      f"prediction itself is missing)", flush=True)
+                      f"partial artifact; retried when the files change "
+                      f"or after {retry_backoff:.0f}s)", flush=True)
             elif verbose:
                 print(f"[serve] {name} -> {odir}/prediction.nii.gz "
                       f"({dt:.2f}s)", flush=True)
         inflight.clear()
 
+    def quarantine(name, sig, exc, case_futs):
+        for f in case_futs:  # settle any already-queued writes
+            f.exception()
+        failed[name] = (sig, time.monotonic())
+        pending_sigs.pop(name, None)
+        print(f"[serve] FAILED {name}: {type(exc).__name__}: {exc} "
+              f"(quarantined — retries when the files change or "
+              f"after {retry_backoff:.0f}s)", flush=True)
+
     while True:
         collisions: list = []
-        for name, path in discover_cases(watch_dir, config,
-                                         collisions).items():
+        try:
+            discovered = discover_cases(watch_dir, config, collisions)
+        except OSError as e:
+            # transiently unavailable watch dir (unmounted NFS, rename)
+            # must not kill a long-running server; in --once mode it IS
+            # the operator's one chance to see the problem — re-raise.
+            if once:
+                pool.shutdown(wait=True)
+                raise
+            print(f"[serve] watch dir unreadable: {type(e).__name__}: {e} "
+                  f"(retrying next poll)", flush=True)
+            if stop is not None and stop.is_set():
+                pool.shutdown(wait=True)
+                return n_done
+            time.sleep(poll_interval)
+            continue
+
+        # a deleted case must not leak tracking state in a long-running
+        # server: prune keys for cases no longer present in the watch dir
+        for d in (pending_sigs, failed):
+            for k in [k for k in d if k not in discovered]:
+                del d[k]
+        warned_collisions &= set(collisions)
+
+        pending = None  # (name, out_dir, sig, t0, out_dev, affine, futs)
+
+        def finalize(p):
+            nonlocal n_done
+            name, odir, sig, t0, out_dev, affine, futs = p
+            try:
+                label_map = predictor.unpack_labels(out_dev)
+            except Exception as e:  # device error surfaces at D2H
+                quarantine(name, sig, e, futs)
+                return
+            _write_prediction(
+                label_map, config, odir, affine,
+                lambda fn, *a, **kw: futs.append(pool.submit(fn, *a, **kw)))
+            n_done += 1
+            pending_sigs.pop(name, None)
+            inflight.append((name, odir, time.perf_counter() - t0, futs,
+                             sig))
+
+        for name, path in discovered.items():
             out_dir = os.path.join(output_dir, name)
             if os.path.exists(os.path.join(out_dir, "prediction.nii.gz")):
                 continue
@@ -169,24 +242,40 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
             def submit(fn, *a, _futs=case_futs, **kw):
                 _futs.append(pool.submit(fn, *a, **kw))
 
-            try:
-                predict_case(path, out_dir, model, variables, config,
-                             predictor=predictor, overlap=overlap,
-                             threshold=threshold, global_moments=moments,
-                             save_inputs=save_inputs, io_submit=submit)
-            except Exception as e:  # one bad case must not kill the server
-                for f in case_futs:  # settle any already-queued writes
-                    f.exception()
-                failed[name] = (sig, time.monotonic())
+            if not pipelined:
+                try:
+                    predict_case(path, out_dir, model, variables, config,
+                                 predictor=predictor, overlap=overlap,
+                                 threshold=threshold, global_moments=moments,
+                                 save_inputs=save_inputs, io_submit=submit)
+                except Exception as e:  # one bad case must not kill the
+                    quarantine(name, sig, e, case_futs)  # server
+                    continue
+                n_done += 1
                 pending_sigs.pop(name, None)
-                print(f"[serve] FAILED {name}: {type(e).__name__}: {e} "
-                      f"(quarantined — retries when the files change or "
-                      f"after {retry_backoff:.0f}s)", flush=True)
+                inflight.append((name, out_dir, time.perf_counter() - t0,
+                                 case_futs, sig))
                 continue
-            n_done += 1
-            pending_sigs.pop(name, None)
-            inflight.append((name, out_dir, time.perf_counter() - t0,
-                             case_futs))
+
+            # pipelined path: preprocess+dispatch now, unpack AFTER the
+            # next case's dispatch is in flight (or at sweep end)
+            try:
+                data, affine, truth_image = preprocess_case(
+                    path, config, global_moments=moments)
+                os.makedirs(out_dir, exist_ok=True)
+                if save_inputs:
+                    queue_input_writes(data, truth_image, config, out_dir,
+                                       affine, submit)
+                out_dev = predictor.predict_labels_async(
+                    variables, data, threshold=threshold)
+            except Exception as e:  # one bad case must not kill the server
+                quarantine(name, sig, e, case_futs)
+                continue
+            if pending is not None:
+                finalize(pending)
+            pending = (name, out_dir, sig, t0, out_dev, affine, case_futs)
+        if pending is not None:
+            finalize(pending)
         for c in collisions:
             if c not in warned_collisions:
                 warned_collisions.add(c)
@@ -194,6 +283,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                       f"multiple watch-dir entries map to the same case "
                       f"name — rename one to serve them", flush=True)
         drain_writes()
+        if stats is not None:
+            stats.update(predicted=n_done, write_failures=n_write_failed)
         if once or (stop is not None and stop.is_set()):
             pool.shutdown(wait=True)
             return n_done

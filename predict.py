@@ -17,6 +17,29 @@ import argparse
 import jax
 
 
+def assign_output_names(paths):
+    """Unique output-dir name per input path, in order.
+
+    Derived from the basename (sans .nii[.gz]); duplicates get a numeric
+    suffix chosen against every name already ASSIGNED — not just
+    raw-basename counts — so a literal ``foo_2`` input is never overwritten
+    by the deduped second ``foo``.
+    """
+    import os
+
+    assigned, names = set(), []
+    for path in paths:
+        base = os.path.basename(os.path.normpath(path))
+        base = base.replace(".nii.gz", "").replace(".nii", "")
+        name, n = base, 1
+        while name in assigned:
+            n += 1
+            name = f"{base}_{n}"
+        assigned.add(name)
+        names.append(name)
+    return names
+
+
 def main(config, output_dir: str = "prediction", overlap: int = 16,
          tta: bool = False, patch_batch_size: int = 8,
          num_devices: int = 1, spatial_devices: int = 1,
@@ -67,14 +90,7 @@ def main(config, output_dir: str = "prediction", overlap: int = 16,
         # training-distribution moments loaded ONCE, not per case
         moments = (load_global_moments(config.data_file)
                    if config.normalization == "global" else None)
-        seen = {}
-        for path in inputs:
-            name = os.path.basename(os.path.normpath(path))
-            name = name.replace(".nii.gz", "").replace(".nii", "")
-            n = seen.get(name, 0)
-            seen[name] = n + 1
-            if n:  # two inputs sharing a basename must not overwrite
-                name = f"{name}_{n + 1}"
+        for path, name in zip(inputs, assign_output_names(inputs)):
             out_dir = os.path.join(output_dir, name)
             predict_case(path, out_dir, model, variables, config,
                          predictor=predictor, overlap=overlap, permute=tta,

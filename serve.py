@@ -43,11 +43,18 @@ def main(config, watch: str, output: str = "served", overlap: int = 16,
         print(f"[serve] watching {watch} -> {output} "
               f"({'direct' if direct else 'sliding-window'} mode, "
               f"poll {poll}s; Ctrl-C to stop)", flush=True)
+    stats: dict = {}
     n = watch_and_predict(watch, output, model, variables, config, predictor,
                           poll_interval=poll, once=once, stop=stop,
                           threshold=threshold, overlap=overlap,
-                          save_inputs=save_inputs)
+                          save_inputs=save_inputs, stats=stats)
     print(f"[serve] done: {n} case(s) predicted")
+    if once and stats.get("write_failures"):
+        # a --once run that lost outputs (e.g. disk full) must not exit 0
+        # claiming success — the artifacts are simply not on disk
+        raise SystemExit(
+            f"[serve] {stats['write_failures']} case(s) predicted but "
+            f"their output writes FAILED — see log above")
 
 
 if __name__ == "__main__":

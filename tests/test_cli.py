@@ -51,3 +51,17 @@ def test_shipped_configs_load_cleanly():
         known = {f.name for f in __import__("dataclasses").fields(Config)}
         bad = [k for k in d if not k.startswith("_") and k not in known]
         assert not bad, f"{name}: unknown keys {bad}"
+
+
+def test_assign_output_names_dedup_never_collides():
+    from predict import assign_output_names
+
+    # the deduped second "foo" must NOT take the literal "foo_2" input's
+    # name (previously silently overwrote its output)
+    names = assign_output_names(
+        ["a/foo.nii.gz", "b/foo_2.nii.gz", "c/foo.nii"])
+    assert names[0] == "foo"
+    assert names[1] == "foo_2"
+    assert len(set(names)) == 3
+    # stable simple case
+    assert assign_output_names(["x/c1.nii", "y/c2.nii"]) == ["c1", "c2"]

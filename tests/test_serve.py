@@ -169,3 +169,155 @@ def test_discover_cases_basename_collision(tmp_path):
     os.remove(str(tmp_path / "watch" / "case_0.nii.gz"))
     cases = discover_cases(str(tmp_path / "watch"), cfg)
     assert sorted(cases) == ["case_0", "case_1"]
+
+
+def test_serve_pipelined_matches_serial(tmp_path):
+    """The pipelined backlog path (predict_labels_async + deferred unpack)
+    must produce byte-identical predictions to the serial per-case path."""
+    from fetal_mri_segmentation_tpu.inference import predict_case
+    from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
+
+    cfg, model, variables, predictor = _setup(tmp_path, n_cases=4)
+    out = str(tmp_path / "served")
+    assert hasattr(predictor, "predict_labels_async")  # pipelined path on
+    n = watch_and_predict(str(tmp_path / "watch"), out, model, variables,
+                          cfg, predictor, once=True, overlap=4,
+                          verbose=False)
+    assert n == 4
+    for i in range(4):
+        serial_dir = str(tmp_path / "serial" / f"case_{i}")
+        predict_case(str(tmp_path / "watch" / f"case_{i}"), serial_dir,
+                     model, variables, cfg, predictor=predictor, overlap=4,
+                     save_inputs=False)
+        a = load_nifti(os.path.join(out, f"case_{i}", "prediction.nii.gz"))
+        b = load_nifti(os.path.join(serial_dir, "prediction.nii.gz"))
+        np.testing.assert_array_equal(np.asarray(a.get_fdata()),
+                                      np.asarray(b.get_fdata()))
+
+
+def test_serve_write_failure_not_counted_and_quarantined(tmp_path):
+    """A case whose output write fails must NOT count as predicted (no
+    artifact on disk), must surface in stats (--once exits nonzero), and
+    must be backoff-quarantined so the prediction is not recomputed every
+    sweep while the error persists (e.g. disk full)."""
+    from unittest import mock
+
+    from fetal_mri_segmentation_tpu.inference import predict as predict_mod
+
+    cfg, model, variables, predictor = _setup(tmp_path, n_cases=1)
+    out = str(tmp_path / "served")
+
+    real_save = predict_mod.save_nifti
+
+    def failing_save(data, path, affine=None):
+        if path.endswith("prediction.nii.gz"):
+            raise OSError(28, "No space left on device")
+        return real_save(data, path, affine=affine)
+
+    stats = {}
+    with mock.patch.object(predict_mod, "save_nifti", failing_save):
+        n = watch_and_predict(str(tmp_path / "watch"), out, model,
+                              variables, cfg, predictor, once=True,
+                              overlap=4, verbose=False, stats=stats)
+    assert n == 0
+    assert stats == {"predicted": 0, "write_failures": 1}
+    assert not os.path.exists(os.path.join(out, "case_0",
+                                           "prediction.nii.gz"))
+
+    # while the error persists, the quarantine backoff prevents a full
+    # recompute every sweep: 3 sweeps -> exactly ONE write attempt
+    attempts = {"n": 0}
+
+    def counting_failing_save(data, path, affine=None):
+        if path.endswith("prediction.nii.gz"):
+            attempts["n"] += 1
+            raise OSError(28, "No space left on device")
+        return real_save(data, path, affine=affine)
+
+    calls = {"n": 0}
+
+    class Sweeps:
+        def is_set(self):
+            calls["n"] += 1
+            return calls["n"] >= 3
+
+    with mock.patch.object(predict_mod, "save_nifti",
+                           counting_failing_save):
+        n2 = watch_and_predict(str(tmp_path / "watch"), out, model,
+                               variables, cfg, predictor, once=False,
+                               stop=Sweeps(), overlap=4,
+                               poll_interval=0.01, verbose=False)
+    assert n2 == 0
+    assert attempts["n"] == 1
+    # once the disk recovers (and the backoff elapses / files change) the
+    # case serves normally — here: fresh server, working writes
+    n3 = watch_and_predict(str(tmp_path / "watch"), out, model, variables,
+                           cfg, predictor, once=True, overlap=4,
+                           verbose=False)
+    assert n3 == 1
+    assert os.path.exists(os.path.join(out, "case_0", "prediction.nii.gz"))
+
+
+def test_serve_watch_dir_unreadable(tmp_path):
+    """A transiently unavailable watch dir must not kill a continuous
+    server (retry next poll); in --once mode it must raise (the operator's
+    one chance to see the problem)."""
+    import pytest
+
+    cfg, model, variables, predictor = _setup(tmp_path, n_cases=1)
+    out = str(tmp_path / "served")
+    gone = str(tmp_path / "nonexistent")
+
+    calls = {"n": 0}
+
+    class Sweeps:
+        def is_set(self):
+            calls["n"] += 1
+            return calls["n"] >= 2
+
+    n = watch_and_predict(gone, out, model, variables, cfg, predictor,
+                          once=False, stop=Sweeps(), overlap=4,
+                          poll_interval=0.01, verbose=False)
+    assert n == 0  # survived both sweeps without raising
+    with pytest.raises(OSError):
+        watch_and_predict(gone, out, model, variables, cfg, predictor,
+                          once=True, overlap=4, verbose=False)
+
+
+def test_serve_prunes_state_for_deleted_cases(tmp_path, capsys):
+    """Quarantine state must not outlive its case: a case deleted from the
+    watch dir and later re-created with an IDENTICAL signature is retried
+    immediately (the old failure entry was pruned), instead of sitting in
+    the old entry's backoff window."""
+    import shutil
+
+    cfg, model, variables, predictor = _setup(tmp_path, n_cases=1)
+    out = str(tmp_path / "served")
+    bad = tmp_path / "watch" / "bad"
+    bad.mkdir()
+    (bad / "volume.nii.gz").write_bytes(b"not a nifti")
+    mtime = os.stat(bad / "volume.nii.gz").st_mtime
+
+    calls = {"n": 0}
+
+    class Script:
+        """sweep 1: bad fails (quarantined). between 1 and 2: delete bad.
+        between 2 and 3: re-create byte- and mtime-identical. sweep 3:
+        must fail AGAIN (pruned + retried), not be skipped by backoff."""
+
+        def is_set(self):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                shutil.rmtree(str(bad))
+            elif calls["n"] == 2:
+                bad.mkdir()
+                (bad / "volume.nii.gz").write_bytes(b"not a nifti")
+                os.utime(bad / "volume.nii.gz", (mtime, mtime))
+            return calls["n"] >= 3
+
+    watch_and_predict(str(tmp_path / "watch"), out, model, variables, cfg,
+                      predictor, once=False, stop=Script(), overlap=4,
+                      poll_interval=0.01, verbose=False,
+                      require_stable=False, retry_backoff=3600.0)
+    failures = capsys.readouterr().out.count("FAILED bad")
+    assert failures == 2
