@@ -1,0 +1,203 @@
+"""Read reference-era PyTables/blosc HDF5 datasets without PyTables.
+
+The reference writes its dataset with PyTables EArrays compressed by the
+HDF5 *blosc* filter (id 32001), complevel 5 (reference: unet3d/data.py::
+create_data_file — tables.Filters(complevel=5, complib='blosc')). Neither
+PyTables nor the blosc HDF5 filter plugin ships in this image, so a
+migrating user's existing ``fetal_data.h5`` would not open with plain h5py
+("required filter is not registered").
+
+This module restores interop with zero new dependencies: the system
+``libblosc.so.1`` C library is driven via ctypes, raw compressed chunks are
+pulled through h5py's low-level ``read_direct_chunk`` (which bypasses the
+HDF5 filter pipeline), and `BloscDataset` assembles decompressed chunks
+into ordinary numpy arrays behind a small read-only h5py-Dataset-like
+surface. ``data/build.py::open_data_file`` wraps any blosc-filtered dataset
+transparently, so training/prediction run straight off a reference file;
+``tools/convert_reference_h5.py`` rewrites one into the native layout for
+full-speed reads.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+BLOSC_FILTER_ID = 32001  # registered HDF5 filter id for blosc
+
+
+@functools.lru_cache(maxsize=1)
+def _libblosc() -> Optional[ctypes.CDLL]:
+    """The system blosc C library, or None when unavailable."""
+    candidates = []
+    found = ctypes.util.find_library("blosc")
+    if found:
+        candidates.append(found)
+    candidates += ["libblosc.so.1", "libblosc.so", "libblosc.1.dylib"]
+    for name in candidates:
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        lib.blosc_decompress_ctx.restype = ctypes.c_int
+        lib.blosc_decompress_ctx.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int]
+        lib.blosc_compress_ctx.restype = ctypes.c_int
+        lib.blosc_compress_ctx.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+        return lib
+    return None
+
+
+def blosc_available() -> bool:
+    return _libblosc() is not None
+
+
+def blosc_decompress(chunk: bytes, nbytes: Optional[int] = None) -> bytes:
+    """Decompress one blosc frame (handles blosc's internal shuffle).
+
+    ``nbytes``: expected decompressed size; read from the frame header
+    (bytes 4:8, little-endian) when omitted.
+    """
+    lib = _libblosc()
+    if lib is None:
+        raise RuntimeError(
+            "libblosc is not available on this system — use "
+            "tools/convert_reference_h5.py on a machine that has it, or "
+            "rebuild the dataset from NIfTI with train.py --overwrite")
+    if nbytes is None:
+        if len(chunk) < 16:
+            raise ValueError("truncated blosc frame (<16-byte header)")
+        nbytes = int.from_bytes(chunk[4:8], "little")
+    out = ctypes.create_string_buffer(nbytes)
+    n = lib.blosc_decompress_ctx(chunk, out, nbytes, 1)
+    if n != nbytes:
+        raise ValueError(f"blosc decompression failed (rc={n}, "
+                         f"expected {nbytes} bytes)")
+    return out.raw
+
+
+def blosc_compress(data: np.ndarray, clevel: int = 5,
+                   shuffle: int = 1, cname: bytes = b"blosclz") -> bytes:
+    """Compress an array into one blosc frame (test/tooling helper —
+    mirrors PyTables' complevel-5 blosc default)."""
+    lib = _libblosc()
+    if lib is None:
+        raise RuntimeError("libblosc is not available on this system")
+    data = np.ascontiguousarray(data)
+    src = data.tobytes()
+    dest = ctypes.create_string_buffer(len(src) + 16)
+    n = lib.blosc_compress_ctx(clevel, shuffle, data.dtype.itemsize,
+                               len(src), src, dest, len(dest), cname, 0, 1)
+    if n <= 0:
+        raise ValueError(f"blosc compression failed (rc={n})")
+    return dest.raw[:n]
+
+
+def dataset_filters(dset) -> Tuple[int, ...]:
+    """HDF5 filter ids on a dataset's chunk pipeline (low-level — h5py's
+    ``.compression`` reports None for unregistered filters)."""
+    plist = dset.id.get_create_plist()
+    return tuple(plist.get_filter(i)[0] for i in range(plist.get_nfilters()))
+
+
+def is_unreadable_blosc(dset) -> bool:
+    """True when this dataset needs the (absent) blosc HDF5 filter."""
+    try:
+        return (BLOSC_FILTER_ID in dataset_filters(dset)
+                and not _filter_registered())
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=1)
+def _filter_registered() -> bool:
+    import h5py
+
+    try:
+        return bool(h5py.h5z.filter_avail(BLOSC_FILTER_ID))
+    except Exception:
+        return False
+
+
+class BloscDataset:
+    """Read-only, h5py-Dataset-like view over a blosc-filtered dataset.
+
+    Supports the access patterns the pipeline uses on ``root.data`` /
+    ``root.truth``: ``.shape``, ``.dtype``, ``len()``, integer and
+    basic-slice indexing. Chunks are fetched raw (``read_direct_chunk``
+    bypasses the filter pipeline) and decompressed via libblosc, which
+    also undoes blosc's internal shuffle. Edge chunks are stored
+    full-size by HDF5, so decompressed chunks are trimmed to the array
+    bounds.
+    """
+
+    def __init__(self, dset):
+        self._dset = dset
+        self.shape = tuple(dset.shape)
+        self.dtype = dset.dtype
+        self.chunks = tuple(dset.chunks) if dset.chunks else self.shape
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def _chunk_array(self, chunk_offset: Tuple[int, ...]) -> np.ndarray:
+        _, raw = self._dset.id.read_direct_chunk(chunk_offset)
+        nbytes = int(np.prod(self.chunks)) * self.dtype.itemsize
+        buf = blosc_decompress(bytes(raw), nbytes)
+        return np.frombuffer(buf, dtype=self.dtype).reshape(self.chunks)
+
+    def __getitem__(self, key) -> np.ndarray:
+        full = self[...] if False else None  # (kept simple: assemble below)
+        index = np.index_exp[key]
+        # materialize the requested region chunk-by-chunk
+        out = np.empty(self.shape, self.dtype) if self._needs_full(index) \
+            else None
+        if out is not None:
+            self._fill(out, None)
+            return out[key]
+        # fast path: leading-axis integer (the pipeline's per-case read)
+        i = index[0]
+        sub_shape = self.shape[1:]
+        out = np.empty((1,) + sub_shape, self.dtype)
+        self._fill(out, int(i))
+        rest = index[1:]
+        return out[(0,) + rest] if rest else out[0]
+
+    def _needs_full(self, index) -> bool:
+        return not (len(index) >= 1 and isinstance(index[0], (int, np.integer)))
+
+    def _fill(self, out: np.ndarray, only_row: Optional[int]) -> None:
+        """Decompress every chunk overlapping the request into ``out``
+        (``out`` covers the full array, or one leading-axis row)."""
+        c0 = self.chunks[0]
+        n_chunks = self._dset.id.get_num_chunks()
+        for j in range(n_chunks):
+            info = self._dset.id.get_chunk_info(j)
+            off = tuple(info.chunk_offset)
+            if only_row is not None and not (off[0] <= only_row < off[0] + c0):
+                continue
+            arr = self._chunk_array(off)
+            # trim to array bounds (edge chunks are stored full-size)
+            slices_src, slices_dst = [], []
+            for d, (o, c, s) in enumerate(zip(off, self.chunks, self.shape)):
+                valid = min(c, s - o)
+                slices_src.append(slice(0, valid))
+                if d == 0 and only_row is not None:
+                    # map the absolute row to out's single-row axis
+                    slices_dst.append(slice(0, 1))
+                    slices_src[0] = slice(only_row - o, only_row - o + 1)
+                else:
+                    slices_dst.append(slice(o, o + valid))
+            out[tuple(slices_dst)] = arr[tuple(slices_src)]
+
+    # h5py-Dataset conveniences used around the codebase
+    def __array__(self, dtype=None):
+        arr = self[...]
+        return arr.astype(dtype) if dtype is not None else arr

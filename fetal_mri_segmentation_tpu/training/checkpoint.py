@@ -14,13 +14,21 @@ auto-resumes when the model file exists and not overwrite):
 from __future__ import annotations
 
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
 from fetal_mri_segmentation_tpu.training.state import TrainState
+
+
+# epoch-level scheduler state persisted alongside the model so a resumed
+# run continues its plateau/early-stop patience windows EXACTLY (the
+# reference's Keras restart rebuilds them — here "resume exactly" is the
+# bar the rest of the checkpoint already meets: LR and best-val are
+# restored, so the 8 bytes of wait counters must be too)
+_SCHED_KEYS = ("plateau_best", "plateau_wait", "early_best", "early_wait")
 
 
 class CheckpointIO:
@@ -34,7 +42,9 @@ class CheckpointIO:
         return os.path.isdir(self.path) and os.path.exists(
             os.path.join(self.path, "_CHECKPOINT_METADATA"))
 
-    def save(self, state: TrainState, *, epoch: int, best_val: float) -> None:
+    def save(self, state: TrainState, *, epoch: int, best_val: float,
+             sched: Optional[dict] = None) -> None:
+        sched = sched or {}
         payload = {
             "params": jax.device_get(state.params),
             "opt_state": jax.device_get(state.opt_state),
@@ -42,16 +52,21 @@ class CheckpointIO:
             "step": np.asarray(state.step),
             "epoch": np.asarray(epoch),
             "best_val": np.asarray(best_val, np.float64),
+            "sched": {k: np.asarray(float(sched.get(k, 0.0)), np.float64)
+                      for k in _SCHED_KEYS},
         }
         self._ckptr.save(self.path, payload, force=True)
         self._ckptr.wait_until_finished()
 
-    def restore(self, state: TrainState) -> Tuple[TrainState, int, float]:
+    def restore(self, state: TrainState
+                ) -> Tuple[TrainState, int, float, dict]:
         """Restore into the (abstractly matching) fresh `state` skeleton.
 
         ``state`` may be a concrete `create_train_state` result OR the
         compile-free `create_abstract_state` template (ShapeDtypeStruct
-        leaves) — orbax restores concrete arrays either way.
+        leaves) — orbax restores concrete arrays either way. Returns
+        ``(state, epoch, best_val, sched)``; ``sched`` is ``{}`` for
+        checkpoints written before scheduler state was persisted.
         """
         def host(x):
             return x if isinstance(x, jax.ShapeDtypeStruct) else \
@@ -65,13 +80,23 @@ class CheckpointIO:
             "step": host(state.step),
             "epoch": np.asarray(0),
             "best_val": np.asarray(0.0, np.float64),
+            "sched": {k: np.asarray(0.0, np.float64) for k in _SCHED_KEYS},
         }
-        restored = self._ckptr.restore(self.path, template)
+        try:
+            restored = self._ckptr.restore(self.path, template)
+            sched = {k: float(v) for k, v in restored["sched"].items()}
+        except BaseException:
+            # legacy checkpoint (no "sched" subtree): restore without it;
+            # the caller rebuilds schedulers from best_val as before
+            del template["sched"]
+            restored = self._ckptr.restore(self.path, template)
+            sched = {}
         new_state = state.replace(params=restored["params"],
                                   opt_state=restored["opt_state"],
                                   batch_stats=restored["batch_stats"],
                                   step=restored["step"])
-        return new_state, int(restored["epoch"]), float(restored["best_val"])
+        return (new_state, int(restored["epoch"]),
+                float(restored["best_val"]), sched)
 
 
 def load_old_model(model_file: str, model, config):
@@ -92,5 +117,6 @@ def load_old_model(model_file: str, model, config):
     io = CheckpointIO(model_file)
     if not io.exists():
         raise FileNotFoundError(f"no checkpoint at {model_file}")
-    state, epoch, best_val = io.restore(create_abstract_state(model, config))
+    state, epoch, best_val, _ = io.restore(
+        create_abstract_state(model, config))
     return state, epoch, best_val

@@ -70,6 +70,25 @@ def train_model(model, state: TrainState, config,
     batch_size = config.batch_size
     val_batch_size = config.validation_batch_size or batch_size
 
+    # restore BEFORE any replication/sharding of the state: `state` may be
+    # the compile-free abstract template (train.py skips the throwaway
+    # model.init when a checkpoint exists), which only becomes concrete
+    # here.
+    ckpt = CheckpointIO(config.model_file)
+    start_epoch = 0
+    best_val = float("inf")
+    sched: dict = {}
+    if ckpt.exists() and not config.overwrite:
+        state, start_epoch, best_val, sched = ckpt.restore(state)
+        if verbose:
+            print(f"[resume] epoch {start_epoch}, best val {best_val:.4f}")
+    if any(isinstance(leaf, jax.ShapeDtypeStruct)
+           for leaf in jax.tree_util.tree_leaves(state.params)):
+        raise ValueError(
+            "train_model got an abstract state template but no checkpoint "
+            "to restore from — pass a concrete create_train_state result "
+            "(or build the dataset/checkpoint first)")
+
     if (mesh is not None and len(mesh.devices.flat) > 1
             and "spatial" in mesh.axis_names):
         # hybrid data x spatial GSPMD path (parallel/spatial.py): batch on
@@ -93,25 +112,22 @@ def train_model(model, state: TrainState, config,
         eval_step = make_eval_step(model, config)
         put = lambda arrs: tuple(jax.device_put(a) for a in arrs)
 
-    ckpt = CheckpointIO(config.model_file)
     csv = CSVLogger(config.training_log, append=True)
     meter = ThroughputMeter(config.patch_shape, config.image_shape)
 
-    start_epoch = 0
-    best_val = float("inf")
-    if ckpt.exists() and not config.overwrite:
-        state, start_epoch, best_val = ckpt.restore(state)
-        if verbose:
-            print(f"[resume] epoch {start_epoch}, best val {best_val:.4f}")
-
-    # construct schedulers AFTER a possible restore so a resumed run keeps
-    # its (possibly already-dropped) learning rate and best-val history
+    # construct schedulers AFTER the restore so a resumed run keeps its
+    # (possibly already-dropped) learning rate, best-val history AND its
+    # patience counters — an interrupted run must drop the LR / stop at the
+    # same epoch an uninterrupted one would (exact resume; the sched dict
+    # is empty for legacy checkpoints, falling back to best_val seeding)
     plateau = ReduceLROnPlateau(state.learning_rate,
                                 factor=config.learning_rate_drop,
                                 patience=config.patience)
     early = EarlyStopping(patience=config.early_stop)
-    plateau.best = best_val
-    early.best = best_val
+    plateau.best = sched.get("plateau_best", best_val)
+    plateau.wait = int(sched.get("plateau_wait", 0))
+    early.best = sched.get("early_best", best_val)
+    early.wait = int(sched.get("early_wait", 0))
 
     rng = jax.random.PRNGKey(seed)
 
@@ -188,9 +204,9 @@ def train_model(model, state: TrainState, config,
 
         # ---- callbacks (reference: get_callbacks) ----
         val_loss = row["val_loss"]
-        if val_loss < best_val:
+        improved = val_loss < best_val
+        if improved:
             best_val = val_loss
-            ckpt.save(state, epoch=epoch + 1, best_val=best_val)
 
         if config.learning_rate_epochs:
             new_lr = step_decay(epoch, config.initial_learning_rate,
@@ -205,6 +221,18 @@ def train_model(model, state: TrainState, config,
             if verbose:
                 print(f"[early stop] epoch {epoch}")
             stop = True
+
+        # checkpoint AFTER the scheduler updates so the persisted patience
+        # counters (and a coincident LR drop) reflect this epoch's final
+        # scheduler state — exact resume. Note: a checkpoint improvement
+        # (strict <) is not always a plateau improvement (min_delta), so
+        # the counters at a best-epoch are NOT necessarily zero.
+        if improved:
+            ckpt.save(state, epoch=epoch + 1, best_val=best_val,
+                      sched={"plateau_best": plateau.best,
+                             "plateau_wait": plateau.wait,
+                             "early_best": early.best,
+                             "early_wait": early.wait})
         if stop:
             break
 

@@ -154,3 +154,153 @@ def test_detect_dice_collapse():
     assert detect_dice_collapse([0.9, 0.95, 0.002, 0.001, 0.003])
     # healthy run never fires
     assert not detect_dice_collapse([0.1, 0.5, 0.8, 0.9])
+
+
+def _scripted_training(monkeypatch, tmp_path, cfg, state, model,
+                       val_losses, start_losses_at=0):
+    """Run train_model with stubbed train/eval steps whose val losses follow
+    a script — isolates the callback/checkpoint logic from real training."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.training import loop as loop_mod
+
+    counter = itertools.count(start_losses_at)
+
+    def fake_make_train_step(model, config):
+        def step(state, x, y, k, n_valid):
+            return state, {"loss": jnp.float32(0.0),
+                           "dice": jnp.float32(0.5)}
+        return step
+
+    def fake_make_eval_step(model, config):
+        def step(state, x, y, n_valid):
+            return {"loss": jnp.float32(val_losses[next(counter)]),
+                    "dice": jnp.float32(0.5)}
+        return step
+
+    monkeypatch.setattr(loop_mod, "make_train_step", fake_make_train_step)
+    monkeypatch.setattr(loop_mod, "make_eval_step", fake_make_eval_step)
+
+    def gen():
+        x = np.zeros((1, 8, 8, 8, 1), np.float32)
+        y = np.zeros((1, 8, 8, 8, 1), np.float32)
+        while True:
+            yield x, y
+
+    return train_model(model, state, cfg, gen(), gen(), 1, 1, verbose=False)
+
+
+def test_exact_resume_drops_lr_at_same_epoch(tmp_path, monkeypatch):
+    """A run interrupted mid-plateau must drop the LR at the SAME epoch an
+    uninterrupted run does: the plateau patience counters are persisted in
+    the checkpoint, not rebuilt from zero on resume.
+
+    Script (patience=2, min_delta=1e-4): epoch 1 improves val_loss by LESS
+    than min_delta — a checkpoint is written (strict <) but the plateau
+    counter INCREMENTS (wait=1). An uninterrupted run then drops the LR at
+    epoch 2. A run killed after epoch 1 and resumed must too — with the old
+    rebuild-from-best_val behavior wait restarts at 0 and the drop lands an
+    epoch late."""
+    losses = [1.0, 1.0 - 5e-5, 1.5, 1.5]
+    lr0, drop = 1e-2, 0.5
+
+    def cfg_for(sub):
+        d = tmp_path / sub
+        d.mkdir(exist_ok=True)
+        return make_cfg(d, patience=2, early_stop=50, batch_size=1,
+                        validation_batch_size=1,
+                        initial_learning_rate=lr0, learning_rate_drop=drop,
+                        data_file="unused")
+
+    # uninterrupted: epochs 0..2 -> LR dropped at epoch 2
+    cfg_a = cfg_for("uninterrupted")
+    model = build_model(cfg_a)
+    st = create_train_state(model, cfg_a, jax.random.PRNGKey(0))
+    final_a = _scripted_training(monkeypatch, tmp_path, cfg_a, st, model,
+                                 losses, )
+    # n_epochs=2 in make_cfg -> run A only covered epochs 0..1; extend
+    cfg_a.n_epochs = 3
+    final_a = _scripted_training(monkeypatch, tmp_path, cfg_a, st, model,
+                                 losses)
+    assert abs(final_a.learning_rate - lr0 * drop) < 1e-8  # f32 storage
+
+    # interrupted after epoch 1, then resumed for exactly ONE epoch (2):
+    # the restored wait counter must make epoch 2 the drop epoch
+    cfg_b = cfg_for("interrupted")
+    cfg_b.n_epochs = 2
+    st_b = create_train_state(model, cfg_b, jax.random.PRNGKey(0))
+    _scripted_training(monkeypatch, tmp_path, cfg_b, st_b, model, losses)
+    cfg_b.n_epochs = 3
+    st_b2 = create_train_state(model, cfg_b, jax.random.PRNGKey(0))
+    final_b = _scripted_training(monkeypatch, tmp_path, cfg_b, st_b2, model,
+                                 losses[2:])
+    assert abs(final_b.learning_rate - lr0 * drop) < 1e-8  # f32 storage
+
+
+def test_resume_restores_early_stop_patience(tmp_path, monkeypatch):
+    """Early-stop patience must also survive a resume: with patience=3 and
+    a best at epoch 0, an interrupted+resumed run must stop at the same
+    epoch (3) as an uninterrupted one."""
+    losses = [1.0, 1.0 - 5e-5, 1.5, 1.5, 1.5, 1.5, 1.5]
+
+    d = tmp_path / "early"
+    d.mkdir()
+    cfg = make_cfg(d, patience=50, early_stop=3, batch_size=1,
+                   validation_batch_size=1, data_file="unused")
+    model = build_model(cfg)
+
+    # interrupted after epoch 1 (checkpoint at epoch 1 carries early.wait=1
+    # — the 5e-5 improvement is under EarlyStopping's min_delta=0.0? no:
+    # strict < counts as improvement there, so early.wait=0... use the
+    # plateau-identical script anyway and compare against an uninterrupted
+    # reference run rather than hardcoding the stop epoch)
+    def last_logged_epoch(path):
+        return int(float(open(path).read().splitlines()[-1].split(",")[0]))
+
+    cfg.n_epochs = 20
+    st = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _scripted_training(monkeypatch, tmp_path, cfg, st, model, losses)
+    # uninterrupted: best at epoch 1, then 3 bad epochs -> stops at epoch 4
+    uninterrupted_stop = last_logged_epoch(cfg.training_log)
+
+    d2 = tmp_path / "early2"
+    d2.mkdir()
+    cfg2 = make_cfg(d2, patience=50, early_stop=3, batch_size=1,
+                    validation_batch_size=1, data_file="unused")
+    cfg2.n_epochs = 3  # interrupt after epoch 2 (one bad epoch seen)
+    st2 = create_train_state(model, cfg2, jax.random.PRNGKey(0))
+    _scripted_training(monkeypatch, tmp_path, cfg2, st2, model, losses)
+    cfg2.n_epochs = 20  # resume (rewinds to the best checkpoint's epoch 2)
+    st3 = create_train_state(model, cfg2, jax.random.PRNGKey(0))
+    _scripted_training(monkeypatch, tmp_path, cfg2, st3, model, losses[2:])
+    assert last_logged_epoch(cfg2.training_log) == uninterrupted_stop
+
+
+def test_train_model_accepts_abstract_state_with_checkpoint(tmp_path,
+                                                            monkeypatch):
+    """train.py's compile-free resume: an abstract (eval_shape) state
+    template trains fine when a checkpoint exists, and fails loudly when
+    none does."""
+    from fetal_mri_segmentation_tpu.training.state import (
+        create_abstract_state)
+
+    d = tmp_path / "abs"
+    d.mkdir()
+    cfg = make_cfg(d, batch_size=1, validation_batch_size=1,
+                   data_file="unused")
+    model = build_model(cfg)
+    with pytest.raises(ValueError, match="abstract state"):
+        _scripted_training(monkeypatch, tmp_path, cfg,
+                           create_abstract_state(model, cfg), model,
+                           [1.0, 0.9])
+    st = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _scripted_training(monkeypatch, tmp_path, cfg, st, model, [1.0, 0.9])
+    cfg.n_epochs = 3
+    final = _scripted_training(monkeypatch, tmp_path, cfg,
+                               create_abstract_state(model, cfg), model,
+                               [0.8])
+    # restored concrete params trained one more epoch without model.init
+    assert all(not isinstance(leaf, jax.ShapeDtypeStruct)
+               for leaf in jax.tree_util.tree_leaves(final.params))

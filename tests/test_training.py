@@ -209,3 +209,39 @@ def test_csv_logger_widens_header_on_resume(tmp_path):
     assert rows[1]["label_0_dice_coef"] == "0.9"
     assert rows[2]["loss"] == "0.4" and rows[2]["label_0_dice_coef"] == ""
     assert [r["epoch"] for r in rows] == ["0", "1", "2"]
+
+
+def test_restore_legacy_checkpoint_without_sched(tmp_path):
+    """Checkpoints written before scheduler state was persisted (no 'sched'
+    subtree) must still restore — with an empty sched dict (the loop then
+    seeds schedulers from best_val as before)."""
+    import orbax.checkpoint as ocp
+
+    from fetal_mri_segmentation_tpu.training.checkpoint import CheckpointIO
+
+    cfg = tiny_config(model_file=str(tmp_path / "legacy.ckpt"))
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    # write the ROUND-2 payload layout directly (no "sched")
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "step": np.asarray(state.step),
+        "epoch": np.asarray(7),
+        "best_val": np.asarray(-0.5, np.float64),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(cfg.model_file, payload, force=True)
+    ckptr.wait_until_finished()
+
+    io = CheckpointIO(cfg.model_file)
+    restored, epoch, best_val, sched = io.restore(state)
+    assert epoch == 7 and best_val == -0.5 and sched == {}
+    # and a NEW save/restore round-trips the scheduler state
+    io.save(restored, epoch=8, best_val=-0.6,
+            sched={"plateau_best": -0.55, "plateau_wait": 2,
+                   "early_best": -0.6, "early_wait": 1})
+    _, _, _, sched2 = io.restore(state)
+    assert sched2 == {"plateau_best": -0.55, "plateau_wait": 2.0,
+                      "early_best": -0.6, "early_wait": 1.0}

@@ -79,9 +79,20 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
     data_file = open_data_file(config.data_file)
 
     try:
-        # 2. model + state (resume handled inside train_model via checkpoint)
+        # 2. model + state (resume handled inside train_model via checkpoint).
+        # When a checkpoint will be restored anyway, build the state as a
+        # compile-free abstract template (jax.eval_shape) — running the full
+        # model.init jit here would be a throwaway compile (~30 s on one CPU
+        # core) whose every leaf the restore overwrites. Same lever the
+        # serving cold-start path uses (training/state.py).
+        from fetal_mri_segmentation_tpu.training.checkpoint import CheckpointIO
         model = build_model(config)
-        state = create_train_state(model, config, jax.random.PRNGKey(seed))
+        if CheckpointIO(config.model_file).exists() and not overwrite:
+            from fetal_mri_segmentation_tpu.training.state import (
+                create_abstract_state)
+            state = create_abstract_state(model, config)
+        else:
+            state = create_train_state(model, config, jax.random.PRNGKey(seed))
 
         # 3. generators (reference: get_training_and_validation_generators)
         tg, n_train, vg, n_val = get_training_and_validation_generators(
