@@ -154,19 +154,22 @@ class BloscDataset:
         return np.frombuffer(buf, dtype=self.dtype).reshape(self.chunks)
 
     def __getitem__(self, key) -> np.ndarray:
-        full = self[...] if False else None  # (kept simple: assemble below)
         index = np.index_exp[key]
-        # materialize the requested region chunk-by-chunk
-        out = np.empty(self.shape, self.dtype) if self._needs_full(index) \
-            else None
-        if out is not None:
+        if self._needs_full(index):
+            # general case: materialize the whole array, then index it
+            out = np.empty(self.shape, self.dtype)
             self._fill(out, None)
             return out[key]
-        # fast path: leading-axis integer (the pipeline's per-case read)
-        i = index[0]
-        sub_shape = self.shape[1:]
-        out = np.empty((1,) + sub_shape, self.dtype)
-        self._fill(out, int(i))
+        # fast path: leading-axis integer (the pipeline's per-case read) —
+        # only the chunks containing that row are decompressed
+        i = int(index[0])
+        if i < 0:
+            i += self.shape[0]
+        if not 0 <= i < self.shape[0]:
+            raise IndexError(f"index {index[0]} out of range "
+                             f"for axis 0 of size {self.shape[0]}")
+        out = np.empty((1,) + self.shape[1:], self.dtype)
+        self._fill(out, i)
         rest = index[1:]
         return out[(0,) + rest] if rest else out[0]
 

@@ -34,16 +34,39 @@ from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
 
 
 class _Root:
-    """PyTables-style ``file.root.data`` facade over an h5py file."""
+    """PyTables-style ``file.root.data`` facade over an h5py file.
+
+    Datasets compressed with the blosc HDF5 filter (the REFERENCE's on-disk
+    format — PyTables blosc complevel-5) are wrapped transparently in a
+    chunk-decompressing view when the filter plugin is absent, so a
+    migrating user's existing dataset file trains/predicts directly (see
+    data/blosc_compat.py; tools/convert_reference_h5.py rewrites it into
+    the native layout for full-speed reads).
+    """
 
     def __init__(self, h5: h5py.File):
         self._h5 = h5
+        self._wrapped = {}
 
     def __getattr__(self, name: str):
         try:
-            return self._h5[name]
+            dset = self._h5[name]
         except KeyError as e:
             raise AttributeError(name) from e
+        if name not in self._wrapped:
+            from fetal_mri_segmentation_tpu.data.blosc_compat import (
+                BloscDataset, blosc_available, is_unreadable_blosc)
+            wrap = (isinstance(dset, h5py.Dataset)
+                    and is_unreadable_blosc(dset))
+            if wrap and not blosc_available():
+                raise RuntimeError(
+                    f"{self._h5.filename}:{name} is blosc-compressed "
+                    f"(PyTables reference format) and neither the HDF5 "
+                    f"blosc filter nor libblosc is available — convert "
+                    f"the file with tools/convert_reference_h5.py on a "
+                    f"machine that has libblosc")
+            self._wrapped[name] = BloscDataset(dset) if wrap else dset
+        return self._wrapped[name]
 
 
 class DataFile:

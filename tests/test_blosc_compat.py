@@ -1,0 +1,153 @@
+"""Reference-dataset interop: PyTables/blosc HDF5 files (SURVEY.md §2 row 1
+"blosc complevel-5" on-disk format) read without PyTables or the blosc
+HDF5 filter plugin, via raw-chunk decompression through libblosc.
+
+The test files are synthesized with h5py's allow_unknown_filter +
+write_direct_chunk using frames from the SAME system libblosc the reader
+uses — byte-compatible with what PyTables' blosc filter writes (the HDF5
+chunk payload is a plain blosc frame either way). PyTables itself is not
+in this image (skip-with-reason would apply only if libblosc were also
+missing)."""
+
+import os
+import sys
+
+import h5py
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fetal_mri_segmentation_tpu.data import open_data_file
+from fetal_mri_segmentation_tpu.data.blosc_compat import (
+    BLOSC_FILTER_ID, BloscDataset, blosc_available, blosc_compress,
+    blosc_decompress, is_unreadable_blosc)
+
+pytestmark = pytest.mark.skipif(
+    not blosc_available(),
+    reason="system libblosc not available — blosc interop is exercised "
+           "on hosts that have it")
+
+
+def _write_blosc_dataset(h5, name, arr, chunks, clevel=5):
+    """A blosc-filtered dataset the way PyTables lays it out: HDF5 filter
+    32001 on the chunk pipeline, each chunk payload one blosc frame."""
+    dset = h5.create_dataset(
+        name, shape=arr.shape, dtype=arr.dtype, chunks=chunks,
+        compression=BLOSC_FILTER_ID,
+        # PyTables cd_values: (filter ver, blosc ver, typesize, chunk bytes,
+        # complevel, shuffle, compressor code)
+        compression_opts=(2, 2, arr.dtype.itemsize,
+                          int(np.prod(chunks)) * arr.dtype.itemsize,
+                          clevel, 1, 0),
+        allow_unknown_filter=True)
+    for off in np.ndindex(*[int(np.ceil(s / c))
+                            for s, c in zip(arr.shape, chunks)]):
+        corner = tuple(o * c for o, c in zip(off, chunks))
+        block = np.zeros(chunks, arr.dtype)  # edge chunks zero-padded,
+        sl = tuple(slice(c0, min(c0 + c, s))  # stored FULL-SIZE (HDF5 rule)
+                   for c0, c, s in zip(corner, chunks, arr.shape))
+        valid = tuple(slice(0, s.stop - s.start) for s in sl)
+        block[valid] = arr[sl]
+        dset.id.write_direct_chunk(corner, blosc_compress(block, clevel))
+    return dset
+
+
+def test_blosc_frame_roundtrip():
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(4, 8, 8)).astype(np.float32)
+    frame = blosc_compress(arr)
+    assert len(frame) >= 16
+    out = np.frombuffer(blosc_decompress(frame), np.float32).reshape(arr.shape)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_blosc_dataset_reads_like_h5py(tmp_path):
+    rng = np.random.default_rng(1)
+    # deliberately awkward chunking: partial-volume chunks + edge chunks
+    arr = rng.normal(size=(5, 2, 12, 10, 7)).astype(np.float32)
+    p = str(tmp_path / "ref.h5")
+    with h5py.File(p, "w") as h5:
+        _write_blosc_dataset(h5, "data", arr, chunks=(2, 1, 5, 10, 7))
+    with h5py.File(p, "r") as h5:
+        assert is_unreadable_blosc(h5["data"])
+        with pytest.raises(OSError):
+            h5["data"][0]  # plain h5py cannot read it
+        view = BloscDataset(h5["data"])
+        assert view.shape == arr.shape and view.dtype == arr.dtype
+        np.testing.assert_array_equal(view[...], arr)
+        np.testing.assert_array_equal(view[3], arr[3])
+        np.testing.assert_array_equal(view[-1], arr[-1])
+        np.testing.assert_array_equal(view[2, 1], arr[2, 1])
+        np.testing.assert_array_equal(view[1:4], arr[1:4])
+        assert len(view) == 5
+
+
+def _write_reference_style_file(path, n=3, shape=(12, 12, 12), seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(size=(n, 1) + shape).astype(np.float32)
+    truth = (rng.random((n, 1) + shape) > 0.7).astype(np.uint8)
+    affine = np.stack([np.diag([1.0, 1.0, 2.0, 1.0])] * n)
+    with h5py.File(path, "w") as h5:
+        _write_blosc_dataset(h5, "data", data, chunks=(1, 1, 6, 12, 12))
+        _write_blosc_dataset(h5, "truth", truth, chunks=(1, 1, 12, 12, 12))
+        h5.create_dataset("affine", data=affine)
+        h5.create_dataset("subject_ids",
+                          data=np.asarray([f"sub_{i}" for i in range(n)],
+                                          dtype=object),
+                          dtype=h5py.string_dtype())
+        h5.attrs["normalization"] = "per_volume"
+    return data, truth, affine
+
+
+def test_open_data_file_reads_blosc_transparently(tmp_path):
+    p = str(tmp_path / "reference_data.h5")
+    data, truth, affine = _write_reference_style_file(p)
+    f = open_data_file(p)
+    try:
+        np.testing.assert_array_equal(f.root.data[1], data[1])
+        np.testing.assert_array_equal(f.root.truth[2], truth[2])
+        np.testing.assert_array_equal(f.root.affine[0], affine[0])
+        assert f.root.data.shape == data.shape
+        assert len(f) == 3
+    finally:
+        f.close()
+
+
+def test_generator_trains_from_blosc_file(tmp_path):
+    """The training generator runs straight off a reference blosc file —
+    a migrating user's fetal_data.h5 works without conversion."""
+    from fetal_mri_segmentation_tpu.pipeline import (
+        get_training_and_validation_generators)
+
+    p = str(tmp_path / "reference_data.h5")
+    _write_reference_style_file(p, n=4)
+    f = open_data_file(p)
+    try:
+        tg, n_t, vg, n_v = get_training_and_validation_generators(
+            f, batch_size=2, n_labels=1,
+            training_keys_file=str(tmp_path / "t.pkl"),
+            validation_keys_file=str(tmp_path / "v.pkl"),
+            data_split=0.75, overwrite=True, patch_shape=(8, 8, 8),
+            validation_patch_overlap=0, skip_blank=False, seed=0)
+        x, y = next(tg)  # reference contract: channels-first batches
+        assert x.shape[1:] == (1, 8, 8, 8) and y.shape[1:] == (1, 8, 8, 8)
+    finally:
+        f.close()
+
+
+def test_convert_reference_h5(tmp_path):
+    from tools.convert_reference_h5 import convert
+
+    src = str(tmp_path / "reference_data.h5")
+    dst = str(tmp_path / "native.h5")
+    data, truth, affine = _write_reference_style_file(src)
+    convert(src, dst, verbose=False)
+    with h5py.File(dst, "r") as h5:
+        np.testing.assert_array_equal(h5["data"][:], data)
+        np.testing.assert_array_equal(h5["truth"][:], truth)
+        np.testing.assert_array_equal(h5["affine"][:], affine)
+        assert [s.decode() for s in h5["subject_ids"][:]] == \
+            ["sub_0", "sub_1", "sub_2"]
+        assert h5.attrs["normalization"] == "per_volume"
+        assert h5["data"].compression == "gzip"  # native layout now
