@@ -48,14 +48,28 @@ class SlidingWindowPredictor:
     def __init__(self, model, config, image_shape: Sequence[int],
                  patch_shape: Optional[Sequence[int]] = None,
                  overlap: int = 16, patch_batch_size: int = 8,
-                 use_gaussian: bool = True, tta_permute: bool = False):
+                 use_gaussian: bool = True, tta_permute=False):
         self.model = model
         self.config = config
         self.image_shape = tuple(int(s) for s in image_shape)
         self.patch_shape = tuple(int(s) for s in
                                  (patch_shape or config.patch_shape))
         self.n_labels = config.n_labels
-        self.tta_permute = tta_permute
+        # ``tta_permute``: False | True/"permute" (all 48 cube symmetries,
+        # cubic patches only — reference predict(permute=True)) | "flips"
+        # (the 8-element axis-flip subgroup: ~6x cheaper, any patch shape).
+        self.tta_mode = (tta_permute if isinstance(tta_permute, str)
+                         else ("permute" if tta_permute else None))
+        if self.tta_mode not in (None, "permute", "flips"):
+            raise ValueError(f"unknown TTA mode {self.tta_mode!r} "
+                             f"(expected 'permute' or 'flips')")
+        if (self.tta_mode == "permute"
+                and len(set(self.patch_shape)) != 1):
+            raise ValueError(
+                f"48-symmetry TTA requires cubic patches, got "
+                f"{self.patch_shape} — use tta 'flips' (the 8-way flip "
+                f"subgroup works for any patch shape)")
+        self.tta_permute = self.tta_mode is not None  # legacy surface
 
         corners = compute_patch_indices(self.image_shape, self.patch_shape,
                                         overlap)
@@ -263,6 +277,29 @@ class SlidingWindowPredictor:
         acc, _ = jax.lax.scan(body, init, jnp.arange(48))
         return jnp.transpose(acc / 48.0, (0, 2, 3, 4, 1))
 
+    def _tta_flips_apply(self, variables, patches_dhwc):
+        """Average model outputs over the 8-element axis-flip subgroup.
+
+        ~6x cheaper than the full 48-symmetry average and valid for ANY
+        patch shape (flips never transpose axes, so nothing requires a
+        cube). Flips are involutions, so the inverse mapping is the same
+        flip. Scanned over the 3-bit flip index — one compile, 8 passes.
+        """
+        def body(acc, idx):
+            bits = [(idx >> 2) & 1, (idx >> 1) & 1, idx & 1]
+            xp = patches_dhwc
+            for ax, b in zip((1, 2, 3), bits):
+                xp = jnp.where(b, jnp.flip(xp, axis=ax), xp)
+            yp = self._apply_model(variables, xp)
+            for ax, b in zip((1, 2, 3), bits):
+                yp = jnp.where(b, jnp.flip(yp, axis=ax), yp)
+            return acc + yp.astype(jnp.float32), None
+
+        init = jnp.zeros(patches_dhwc.shape[:4] + (self.n_labels,),
+                         jnp.float32)
+        acc, _ = jax.lax.scan(body, init, jnp.arange(8))
+        return acc / 8.0
+
     def scan_accumulate(self, variables, vol_dhwc, corners, valid,
                         init=None):
         """Core on-device loop: scan corner batches, predict, overlap-add.
@@ -275,7 +312,8 @@ class SlidingWindowPredictor:
         pd, ph, pw = self.patch_shape
         C = vol_dhwc.shape[-1]
         L = self.n_labels
-        apply_fn = self._tta_apply if self.tta_permute else self._apply_model
+        apply_fn = {None: self._apply_model, "permute": self._tta_apply,
+                    "flips": self._tta_flips_apply}[self.tta_mode]
 
         def gather(corner):
             return jax.lax.dynamic_slice(
@@ -377,7 +415,8 @@ class SlidingWindowPredictor:
         (t0, t1, t2), (s0, s1, s2) = self._tile, self._spp
         L = self.n_labels
         C = vol_dhwc.shape[-1]
-        apply_fn = self._tta_apply if self.tta_permute else self._apply_model
+        apply_fn = {None: self._apply_model, "permute": self._tta_apply,
+                    "flips": self._tta_flips_apply}[self.tta_mode]
 
         def gather(corner):
             return jax.lax.dynamic_slice(
@@ -424,7 +463,8 @@ class SlidingWindowPredictor:
         """Static-unrolled gather → batched forward → in-place overlap-add."""
         pd, ph, pw = self.patch_shape
         L = self.n_labels
-        apply_fn = self._tta_apply if self.tta_permute else self._apply_model
+        apply_fn = {None: self._apply_model, "permute": self._tta_apply,
+                    "flips": self._tta_flips_apply}[self.tta_mode]
 
         acc = jnp.zeros(self.padded_shape + (L,), jnp.float32)
         for corners_b, valid_b in zip(self._corners_np, self._valid_np):

@@ -133,7 +133,12 @@ if __name__ == "__main__":
     ap.add_argument("--overlap", type=int, default=16)
     ap.add_argument("--patch-batch-size", type=int, default=8)
     ap.add_argument("--tta", action="store_true",
-                    help="48-symmetry test-time augmentation averaging")
+                    help="test-time augmentation averaging (see --tta-mode)")
+    ap.add_argument("--tta-mode", choices=["permute", "flips"],
+                    default="permute",
+                    help="permute = all 48 cube symmetries (cubic patches "
+                         "only, ~48x forward cost); flips = 8-way axis-flip "
+                         "subgroup (~6x cheaper, any patch shape)")
     ap.add_argument("--num-devices", type=int, default=1,
                     help="shard the patch grid over N devices")
     ap.add_argument("--export", metavar="PATH", default=None,
@@ -161,7 +166,7 @@ if __name__ == "__main__":
     from fetal_mri_segmentation_tpu.config import Config
 
     main(Config.load(args.config), output_dir=args.output_dir,
-         overlap=args.overlap, tta=args.tta,
+         overlap=args.overlap, tta=(args.tta_mode if args.tta else False),
          patch_batch_size=args.patch_batch_size,
          num_devices=args.num_devices,
          spatial_devices=args.spatial_devices, direct=args.direct,

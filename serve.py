@@ -69,7 +69,12 @@ if __name__ == "__main__":
                     help="whole-volume forward (no patch grid; ~2x less "
                          "device time; dims must divide 2^(depth-1))")
     ap.add_argument("--tta", action="store_true",
-                    help="48-symmetry test-time augmentation averaging")
+                    help="test-time augmentation averaging (see --tta-mode)")
+    ap.add_argument("--tta-mode", choices=["permute", "flips"],
+                    default="permute",
+                    help="permute = all 48 cube symmetries (cubic patches "
+                         "only); flips = 8-way axis-flip subgroup "
+                         "(~6x cheaper, any patch shape)")
     ap.add_argument("--poll", type=float, default=1.0,
                     help="poll interval in seconds")
     ap.add_argument("--once", action="store_true",
@@ -86,5 +91,6 @@ if __name__ == "__main__":
 
     main(Config.load(args.config), watch=args.watch, output=args.output,
          overlap=args.overlap, patch_batch_size=args.patch_batch_size,
-         direct=args.direct, tta=args.tta, poll=args.poll, once=args.once,
+         direct=args.direct, tta=(args.tta_mode if args.tta else False),
+         poll=args.poll, once=args.once,
          threshold=args.threshold, save_inputs=args.save_inputs)

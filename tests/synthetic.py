@@ -26,6 +26,54 @@ def make_ellipsoid_case(shape=(24, 24, 24), seed=0,
     return vol.astype(np.float32), truth
 
 
+def make_multiclass_case(shape=(36, 36, 36), seed=0, noise: float = 0.25
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Three disjoint structures with distinct intensities: outer shell
+    (label 1), inner core (label 2) and a separate nodule (label 4) —
+    non-contiguous label values exercise the argmax→labels[i] mapping
+    (reference: prediction.py::get_prediction_labels)."""
+    rng = np.random.default_rng(seed)
+    grids = np.mgrid[: shape[0], : shape[1], : shape[2]]
+
+    def ellipsoid(center, radii):
+        return sum(((g - c) / r) ** 2
+                   for g, c, r in zip(grids, center, radii)) < 1
+
+    center = np.array(shape) / 2 + rng.uniform(-2, 2, 3)
+    outer = ellipsoid(center, np.array(shape) * rng.uniform(0.28, 0.36, 3))
+    core = ellipsoid(center + rng.uniform(-1, 1, 3),
+                     np.array(shape) * rng.uniform(0.12, 0.16, 3))
+    # nodule in a corner octant, clear of the main body
+    nod_center = np.array(shape) * rng.uniform(0.12, 0.2, 3)
+    nodule = ellipsoid(nod_center, np.array(shape) * rng.uniform(0.07, 0.1, 3))
+    truth = np.zeros(shape, np.uint8)
+    truth[outer] = 1
+    truth[core] = 2        # nested: core overrides shell
+    truth[nodule & ~outer] = 4
+    vol = ((truth == 1) * 1.0 + (truth == 2) * 3.0 + (truth == 4) * 2.0
+           + rng.normal(0, noise, shape))
+    return vol.astype(np.float32), truth
+
+
+def write_multiclass_dataset(directory: str, n_cases: int = 24,
+                             shape=(36, 36, 36)) -> List[List[str]]:
+    """Per-case [volume, truth] NIfTIs with the 3-structure label maps."""
+    os.makedirs(directory, exist_ok=True)
+    training_files = []
+    for i in range(n_cases):
+        vol, truth = make_multiclass_case(shape=shape, seed=i)
+        case_dir = os.path.join(directory, f"case_{i}")
+        os.makedirs(case_dir, exist_ok=True)
+        affine = np.diag([1.0, 1.0, 2.0, 1.0])
+        affine[:3, 3] = (-12, -12, -24)
+        pv = os.path.join(case_dir, "volume.nii.gz")
+        pt = os.path.join(case_dir, "truth.nii.gz")
+        save_nifti(vol, pv, affine=affine)
+        save_nifti(truth, pt, affine=affine)
+        training_files.append([pv, pt])
+    return training_files
+
+
 def write_synthetic_dataset(directory: str, n_cases: int = 4,
                             shape=(24, 24, 24),
                             modalities: Sequence[str] = ("volume",)

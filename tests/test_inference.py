@@ -242,3 +242,59 @@ def test_tiled_reconstruction_multilabel():
     got_unrolled = pred({}, vol)
     assert got_tiled.shape == (2, 16, 16, 16)
     assert np.allclose(got_tiled, got_unrolled, atol=1e-6)
+
+
+def test_tta_flips_identity_model():
+    """Flips-TTA of an identity model == plain prediction (every flip is
+    inverted exactly)."""
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1)
+    vol = np.random.default_rng(4).random((1, 16, 16, 16)).astype(np.float32)
+    plain = SlidingWindowPredictor(IdentityModel(), cfg, (16, 16, 16),
+                                   (8, 8, 8), overlap=0, use_gaussian=False)
+    tta = SlidingWindowPredictor(IdentityModel(), cfg, (16, 16, 16),
+                                 (8, 8, 8), overlap=0, use_gaussian=False,
+                                 tta_permute="flips")
+    np.testing.assert_allclose(plain({}, vol), tta({}, vol), atol=1e-5)
+
+
+def test_tta_flips_matches_manual_average():
+    """Flips-TTA == the mean of the 8 manually flipped/unflipped plain
+    predictions of a REAL model (subgroup correctness oracle)."""
+    import itertools
+
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1, compute_dtype="float32")
+    model = UNet3D(n_labels=1, depth=2, n_base_filters=2, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 1)))
+    vol = np.random.default_rng(5).random((1, 8, 8, 8)).astype(np.float32)
+
+    plain = SlidingWindowPredictor(model, cfg, (8, 8, 8), (8, 8, 8),
+                                   overlap=0, use_gaussian=False,
+                                   patch_batch_size=1)
+    acc = np.zeros((1, 8, 8, 8), np.float64)
+    for fx, fy, fz in itertools.product((0, 1), repeat=3):
+        axes = [d + 1 for d, f in enumerate((fx, fy, fz)) if f]
+        out = plain(params, np.flip(vol, axes) if axes else vol)
+        acc += np.flip(out, axes) if axes else out
+    want = acc / 8.0
+
+    tta = SlidingWindowPredictor(model, cfg, (8, 8, 8), (8, 8, 8),
+                                 overlap=0, use_gaussian=False,
+                                 patch_batch_size=1, tta_permute="flips")
+    np.testing.assert_allclose(tta(params, vol), want, atol=1e-5)
+
+
+def test_tta_flips_supports_non_cubic_patches():
+    """The flip subgroup never transposes axes, so non-cubic patches are
+    legal — the 48-symmetry mode must reject them loudly instead."""
+    cfg = Config(patch_shape=(8, 8, 4), n_labels=1)
+    vol = np.random.default_rng(6).random((1, 16, 16, 8)).astype(np.float32)
+    tta = SlidingWindowPredictor(IdentityModel(), cfg, (16, 16, 8),
+                                 (8, 8, 4), overlap=0, use_gaussian=False,
+                                 tta_permute="flips")
+    np.testing.assert_allclose(tta({}, vol), vol, atol=1e-5)
+    with pytest.raises(ValueError, match="cubic"):
+        SlidingWindowPredictor(IdentityModel(), cfg, (16, 16, 8), (8, 8, 4),
+                               overlap=0, tta_permute=True)
+    with pytest.raises(ValueError, match="TTA mode"):
+        SlidingWindowPredictor(IdentityModel(), cfg, (16, 16, 8), (8, 8, 4),
+                               overlap=0, tta_permute="rotate")
