@@ -121,6 +121,143 @@ def _composite(model_name: str, augment: bool, n_reps: int = 5):
             "whole_volume_infer_sec": round(infer_sec, 5)}
 
 
+def _batched_train_steps():
+    """Throughput-shape train steps: B=8 and B=27 (BASELINE config #1 pins
+    the composite at B=1, but a real epoch batches — B=27 runs the forward
+    at ~33% MXU vs ~21% at B=1 per docs/PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.training import (create_train_state,
+                                                     make_train_step)
+
+    out = {}
+    rng = np.random.default_rng(0)
+    for B in (8, 27):
+        config = Config(model_name="unet", depth=3, n_base_filters=32,
+                        patch_shape=PATCH, batch_size=B,
+                        compute_dtype="bfloat16", initial_learning_rate=1e-5)
+        model = build_model(config)
+        state = create_train_state(model, config, jax.random.PRNGKey(0))
+        step = make_train_step(model, config)
+        y = (rng.random((B, 1) + PATCH) > 0.7).astype(np.float32)
+        x = (y * 2 + rng.normal(0, 0.3, y.shape)).astype(np.float32)
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        key = jax.random.PRNGKey(1)
+        state, m = step(state, x, y, key, None)   # compile (state evolves —
+        jax.block_until_ready(m["loss"])          # memoization-proof)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, m = step(state, x, y, key, None)
+        jax.block_until_ready(m["loss"])
+        dt = (time.perf_counter() - t0) / 10
+        out[f"train_step_b{B}_sec"] = round(dt, 5)
+        out[f"train_patches_per_sec_b{B}"] = round(B / dt, 2)
+    return out
+
+
+def _real_epoch_row():
+    """An ACTUAL train.py epoch (generator + prefetch + jitted steps +
+    checkpoint), not a microbench: patches/sec as logged to training.log.
+    The synthetic 128^3 dataset is built once and cached under /tmp."""
+    import shutil
+    import sys as _sys
+
+    import jax
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from synthetic import write_synthetic_dataset
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.data import (open_data_file,
+                                                 write_data_to_file)
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.pipeline import (
+        get_training_and_validation_generators)
+    from fetal_mri_segmentation_tpu.training import (create_train_state,
+                                                     train_model)
+
+    cache = "/tmp/fetal_bench_epoch"
+    h5_path = os.path.join(cache, "data.h5")
+    if not os.path.exists(h5_path):
+        os.makedirs(cache, exist_ok=True)
+        files = write_synthetic_dataset(os.path.join(cache, "cases"),
+                                        n_cases=24, shape=VOLUME)
+        write_data_to_file(files, h5_path, image_shape=VOLUME,
+                           normalize="per_volume", crop=False)
+    run_dir = os.path.join(cache, "run")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+    cfg = Config(model_name="unet", depth=3, n_base_filters=32,
+                 image_shape=VOLUME, patch_shape=PATCH, batch_size=8,
+                 validation_batch_size=8, n_epochs=1, compute_dtype="bfloat16",
+                 initial_learning_rate=1e-5, data_file=h5_path,
+                 model_file=os.path.join(run_dir, "model.ckpt"),
+                 training_file=os.path.join(run_dir, "t.pkl"),
+                 validation_file=os.path.join(run_dir, "v.pkl"),
+                 training_log=os.path.join(run_dir, "training.log"))
+    data_file = open_data_file(h5_path)
+    try:
+        tg, n_t, vg, n_v = get_training_and_validation_generators(
+            data_file, batch_size=cfg.batch_size, n_labels=1,
+            training_keys_file=cfg.training_file,
+            validation_keys_file=cfg.validation_file,
+            data_split=0.875, overwrite=True, patch_shape=cfg.patch_shape,
+            validation_batch_size=cfg.validation_batch_size,
+            training_patch_start_offset=(16, 16, 16), skip_blank=True,
+            seed=0)
+        model = build_model(cfg)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+        train_model(model, state, cfg, tg, vg, n_t, n_v, verbose=False)
+    finally:
+        data_file.close()
+    import csv
+
+    with open(cfg.training_log) as f:
+        row = list(csv.DictReader(f))[-1]
+    return {"epoch_patches_per_sec": round(float(row["patches_per_sec"]), 2),
+            "epoch_steps": n_t, "epoch_batch_size": cfg.batch_size,
+            "note": "full train.py epoch: HDF5 reads + generator + prefetch "
+                    "+ jitted steps + validation + checkpoint, 21 cases "
+                    "128^3, 64^3 patches"}
+
+
+def _tta_volume_secs():
+    """TTA cost per volume (single-shot wall, distinct volumes): the full
+    48-symmetry average (~48x forward) and the 8-way flips subgroup."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference import SlidingWindowPredictor
+    from fetal_mri_segmentation_tpu.models import build_model
+
+    config = Config(model_name="unet", depth=3, n_base_filters=32,
+                    patch_shape=PATCH, image_shape=VOLUME,
+                    compute_dtype="bfloat16")
+    model = build_model(config)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1,) + PATCH + (1,), jnp.float32))
+    rng = np.random.default_rng(0)
+    out = {}
+    for mode, key in (("flips", "tta_flips_volume_sec"),
+                      ("permute", "tta_permute_volume_sec")):
+        predictor = SlidingWindowPredictor(
+            model, config, image_shape=VOLUME, patch_shape=PATCH,
+            overlap=OVERLAP, patch_batch_size=27, tta_permute=mode)
+        vols = [rng.normal(0, 1, (1,) + VOLUME).astype(np.float32)
+                for _ in range(3)]
+        predictor.predict_labels(variables, vols[0])  # compile
+        t0 = time.perf_counter()
+        for v in vols[1:]:
+            predictor.predict_labels(variables, v)
+        out[key] = round((time.perf_counter() - t0) / (len(vols) - 1), 4)
+    return out
+
+
 def _serve_case_sec():
     """End-to-end serving wall per case (serve.py's unit of work): NIfTI
     read, builder-identical preprocessing, whole-volume direct forward,
@@ -294,6 +431,12 @@ def main():
         detail["direct_volume_infer_sec"] = _direct_volume_infer()
         # streaming-serving unit of work (serve.py): raw NIfTI -> label map
         detail["serve_case_sec"] = _serve_case_sec()
+        # throughput-shape training rows (BASELINE #1 pins B=1; these show
+        # the realistic epoch shape) + a REAL train.py epoch's logged rate
+        detail.update(_batched_train_steps())
+        detail["real_epoch"] = _real_epoch_row()
+        # TTA cost rows (48-symmetry ~48x forward; flips subgroup ~6x less)
+        detail.update(_tta_volume_secs())
 
     import jax
     detail["device"] = str(jax.devices()[0])

@@ -56,6 +56,7 @@ class Config:
     include_label_wise_dice_coefficients: bool = False  # per-label metrics
     compute_dtype: str = "bfloat16"  # TPU-native: bf16 compute, fp32 params
     use_pallas_conv: bool = False  # fused implicit-GEMM conv kernels (TPU)
+    use_pallas_dec0: bool = False  # one-Pallas-program decoder level (TPU)
     remat: bool = False  # rematerialize the forward in the backward pass
                          # (trade FLOPs for HBM -- enables bigger patches)
 

@@ -35,6 +35,7 @@ def build_model(config, bn_axis_name=None) -> Any:
             activation_name=config.activation_name,
             dtype=dtype,
             use_pallas=getattr(config, "use_pallas_conv", False),
+            use_pallas_dec0=getattr(config, "use_pallas_dec0", False),
             bn_axis_name=bn_axis_name,
         )
     if config.model_name == "isensee":
@@ -47,6 +48,7 @@ def build_model(config, bn_axis_name=None) -> Any:
             activation_name=config.activation_name,
             dtype=dtype,
             use_pallas=getattr(config, "use_pallas_conv", False),
+            use_pallas_dec0=getattr(config, "use_pallas_dec0", False),
         )
     raise ValueError(f"unknown model_name {config.model_name!r}")
 

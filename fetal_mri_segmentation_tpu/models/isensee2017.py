@@ -38,13 +38,16 @@ class Isensee2017(nn.Module):
     activation_name: str = "sigmoid"
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    use_pallas_dec0: bool = False  # one-program decoder level
     fuse_decoder: bool = True  # collapse upsample+conv in the up-sampling
                                # module (exact math; layers.up_concat_conv3x3)
 
     def _block(self, f, name, **kw):
         return ConvBlock(f, instance_normalization=True,
                          activation="leaky_relu", dtype=self.dtype,
-                         use_pallas=self.use_pallas, name=name, **kw)
+                         use_pallas=self.use_pallas,
+                         use_pallas_dec0=self.use_pallas_dec0,
+                         name=name, **kw)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,

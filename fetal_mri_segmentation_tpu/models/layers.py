@@ -79,6 +79,8 @@ class ConvBlock(nn.Module):
                                  # reference Isensee blocks use LeakyReLU())
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False  # fused implicit-GEMM conv (ops/pallas_conv.py)
+    use_pallas_dec0: bool = False  # single-program decoder level
+                                   # (ops/pallas_dec0.py)
     bn_axis_name: Optional[str] = None  # sync-BN: all-reduce the batch
                                         # moments over this mesh axis (DP)
 
@@ -92,6 +94,21 @@ class ConvBlock(nn.Module):
             cin = x_deep.shape[-1] + (skip.shape[-1] if skip is not None
                                       else 0)
             kernel, bias = _ConvParams(self.features, name="conv")(cin)
+            if skip is not None and self.use_pallas_dec0:
+                from fetal_mri_segmentation_tpu.ops.pallas_dec0 import (
+                    dec0_available, up_concat_conv3x3_pallas)
+                if dec0_available(x_deep.shape, x_deep.shape[-1],
+                                  skip.shape[-1], self.features,
+                                  jnp.dtype(self.dtype).itemsize):
+                    act_fused = not (self.batch_normalization
+                                     or self.instance_normalization)
+                    y = up_concat_conv3x3_pallas(
+                        x_deep.astype(self.dtype), skip.astype(self.dtype),
+                        kernel.astype(self.dtype), bias.astype(jnp.float32),
+                        self.activation if act_fused else "none",
+                        self.negative_slope)
+                    return self._epilogue(y.astype(self.dtype), train=train,
+                                          skip_activation=act_fused)
             y = up_concat_conv3x3(
                 x_deep.astype(self.dtype),
                 None if skip is None else skip.astype(self.dtype),

@@ -37,6 +37,7 @@ class UNet3D(nn.Module):
     activation_name: str = "sigmoid"
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    use_pallas_dec0: bool = False  # one-program decoder level (ops/pallas_dec0.py)
     bn_axis_name: Any = None  # sync-BN mesh axis under data parallelism
     fuse_decoder: bool = True  # collapse upsample+concat+conv (exact math,
                                # 27->8 taps on the up half; docs/PERF.md)
@@ -45,6 +46,7 @@ class UNet3D(nn.Module):
         return ConvBlock(f, batch_normalization=self.batch_normalization,
                          instance_normalization=self.instance_normalization,
                          dtype=self.dtype, use_pallas=self.use_pallas,
+                         use_pallas_dec0=self.use_pallas_dec0,
                          bn_axis_name=self.bn_axis_name, name=name)
 
     @nn.compact

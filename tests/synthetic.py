@@ -28,10 +28,19 @@ def make_ellipsoid_case(shape=(24, 24, 24), seed=0,
 
 def make_multiclass_case(shape=(36, 36, 36), seed=0, noise: float = 0.25
                          ) -> Tuple[np.ndarray, np.ndarray]:
-    """Three disjoint structures with distinct intensities: outer shell
-    (label 1), inner core (label 2) and a separate nodule (label 4) —
-    non-contiguous label values exercise the argmax→labels[i] mapping
-    (reference: prediction.py::get_prediction_labels)."""
+    """Three DISJOINT ellipsoid structures with distinct intensities along
+    the volume diagonal: labels 1, 2 and 4 — non-contiguous label values
+    exercise the argmax→labels[i] mapping (reference: prediction.py::
+    get_prediction_labels).
+
+    Why disjoint and ~1000+ voxels each: the reference's multi-class loss
+    (per-channel soft dice, sigmoid or softmax) has saturation pathologies
+    the synthetic task must not trip for an end-to-end quality demo —
+    a channel whose probability saturates early (a shell channel claiming
+    a nested bright core, or a softmax channel underflowing on a tiny
+    structure) gets ~zero dice gradient and never recovers. Measured in
+    round 3; see docs/PARITY.md "multi-class" notes.
+    """
     rng = np.random.default_rng(seed)
     grids = np.mgrid[: shape[0], : shape[1], : shape[2]]
 
@@ -39,24 +48,18 @@ def make_multiclass_case(shape=(36, 36, 36), seed=0, noise: float = 0.25
         return sum(((g - c) / r) ** 2
                    for g, c, r in zip(grids, center, radii)) < 1
 
-    center = np.array(shape) / 2 + rng.uniform(-2, 2, 3)
-    outer = ellipsoid(center, np.array(shape) * rng.uniform(0.28, 0.36, 3))
-    core = ellipsoid(center + rng.uniform(-1, 1, 3),
-                     np.array(shape) * rng.uniform(0.12, 0.16, 3))
-    # nodule in a corner octant, clear of the main body
-    nod_center = np.array(shape) * rng.uniform(0.12, 0.2, 3)
-    nodule = ellipsoid(nod_center, np.array(shape) * rng.uniform(0.07, 0.1, 3))
     truth = np.zeros(shape, np.uint8)
-    truth[outer] = 1
-    truth[core] = 2        # nested: core overrides shell
-    truth[nodule & ~outer] = 4
+    for lab, frac in ((1, 0.24), (2, 0.52), (4, 0.78)):
+        center = np.array(shape) * frac + rng.uniform(-1.5, 1.5, 3)
+        radii = np.array(shape) * rng.uniform(0.16, 0.20, 3)
+        truth[ellipsoid(center, radii) & (truth == 0)] = lab
     vol = ((truth == 1) * 1.0 + (truth == 2) * 3.0 + (truth == 4) * 2.0
            + rng.normal(0, noise, shape))
     return vol.astype(np.float32), truth
 
 
 def write_multiclass_dataset(directory: str, n_cases: int = 24,
-                             shape=(36, 36, 36)) -> List[List[str]]:
+                             shape=(40, 40, 40)) -> List[List[str]]:
     """Per-case [volume, truth] NIfTIs with the 3-structure label maps."""
     os.makedirs(directory, exist_ok=True)
     training_files = []

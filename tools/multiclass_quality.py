@@ -1,15 +1,18 @@
 #!/usr/bin/env python
 """Multi-class end-to-end quality loop: train → predict → evaluate.
 
-The reference's multi-class surface (one-hot labels → softmax + weighted
-dice → argmax → labels[i]; reference: generator.py::get_multi_class_labels,
-metrics.py::weighted_dice_coefficient_loss,
+The reference's multi-class surface (one-hot labels → per-label channels +
+weighted dice → argmax → labels[i]; reference: generator.py::
+get_multi_class_labels, metrics.py::weighted_dice_coefficient_loss,
 prediction.py::get_prediction_labels) demonstrated to convergence on
 synthetic 3-structure volumes: outer shell (label 1), core (label 2) and a
-disjoint nodule (label 4), plus an explicit background channel (label 0)
-so the softmax partition is well-posed. Runs the REAL CLIs (train.py /
-predict.py / evaluate.py mains) on a held-out split; the committed result
-table lives in docs/PARITY.md.
+disjoint nodule (label 4). Default mode is the reference's default
+activation (sigmoid — independent channels); --softmax runs the
+softmax+background variant, which reproducibly KILLS the smallest
+structure's channel (weighted dice through a softmax has zero gradient
+once a channel's probability underflows — a failure mode shared with the
+reference's loss; documented in docs/PARITY.md). Runs the REAL CLIs
+(train.py / predict.py / evaluate.py mains) on a held-out split.
 
     python tools/multiclass_quality.py [--out-dir /tmp/mc_quality]
                                        [--epochs 40]
@@ -28,24 +31,32 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
-IMAGE = (32, 32, 32)
+IMAGE = (40, 40, 40)
 N_CASES = 24
-LABELS = (0, 1, 2, 4)  # explicit background channel for softmax
+# Reference-default multi-class mode: one sigmoid channel per label +
+# weighted dice (unet_model_3d(activation_name="sigmoid") — channels are
+# independent, so no channel can die). The softmax+background variant
+# (labels (0,1,2,4)) is measured separately via --softmax: weighted dice
+# through a softmax PERMANENTLY kills any channel whose probability
+# underflows early (gradient ∝ p → 0) — a failure mode shared with the
+# reference's loss; see docs/PARITY.md.
+LABELS = (1, 2, 4)
 FOREGROUND = (1, 2, 4)
 
 
-def make_config(out_dir: str, epochs: int):
+def make_config(out_dir: str, epochs: int, softmax: bool = False):
     from fetal_mri_segmentation_tpu.config import Config
 
+    labels = (0,) + LABELS if softmax else LABELS
     return Config(model_name="unet", depth=3, n_base_filters=8,
                   image_shape=IMAGE, patch_shape=IMAGE,  # whole-volume
-                  n_labels=len(LABELS), labels=LABELS,
-                  activation_name="softmax",
+                  n_labels=len(labels), labels=labels,
+                  activation_name="softmax" if softmax else "sigmoid",
                   include_label_wise_dice_coefficients=True,
                   batch_size=3, validation_batch_size=3,
                   n_epochs=epochs, early_stop=0, patience=epochs,
                   initial_learning_rate=5e-4, validation_split=0.75,
-                  skip_blank=False,
+                  skip_blank=False, validation_patch_overlap=0,
                   data_file=os.path.join(out_dir, "data.h5"),
                   model_file=os.path.join(out_dir, "model.ckpt"),
                   training_file=os.path.join(out_dir, "training_ids.pkl"),
@@ -53,13 +64,13 @@ def make_config(out_dir: str, epochs: int):
                   training_log=os.path.join(out_dir, "training.log"))
 
 
-def main(out_dir: str, epochs: int):
+def main(out_dir: str, epochs: int, softmax: bool = False):
     from synthetic import write_multiclass_dataset
 
     os.makedirs(out_dir, exist_ok=True)
     cases_dir = os.path.join(out_dir, "cases")
-    write_multiclass_dataset(cases_dir, n_cases=N_CASES, shape=(36, 36, 36))
-    cfg = make_config(out_dir, epochs)
+    write_multiclass_dataset(cases_dir, n_cases=N_CASES, shape=(40, 40, 40))
+    cfg = make_config(out_dir, epochs, softmax=softmax)
     cfg.save(os.path.join(out_dir, "config.json"))
 
     import train as train_cli
@@ -67,7 +78,11 @@ def main(out_dir: str, epochs: int):
 
     import predict as predict_cli
     pred_dir = os.path.join(out_dir, "prediction")
-    predict_cli.main(cfg, output_dir=pred_dir)
+    # patch_shape == image_shape: a nonzero overlap would predict through
+    # 8 shifted, half-out-of-volume patches (distribution shift at the
+    # zero-padded borders); one centered whole-volume patch is the match
+    # for how the model trained
+    predict_cli.main(cfg, output_dir=pred_dir, overlap=0)
 
     import evaluate as evaluate_cli
     scores_csv = os.path.join(out_dir, "scores.csv")
@@ -97,5 +112,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out-dir", default="/tmp/mc_quality")
     ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--softmax", action="store_true",
+                    help="softmax + explicit background channel variant "
+                         "(demonstrates the dead-channel failure mode)")
     args = ap.parse_args()
-    main(args.out_dir, args.epochs)
+    main(args.out_dir, args.epochs, softmax=args.softmax)
