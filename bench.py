@@ -89,7 +89,8 @@ def _composite(model_name: str, augment: bool, n_reps: int = 5):
     # CURRENT state object; inference produces the reference's artifact — the
     # uint8 label map — computed on device)
     state, m = train_step(state, x, y, key, None)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # forced readback (block_until_ready does not truly
+    #                   block on this tunneled runtime build; docs/PERF.md)
     predictor.predict_labels({"params": state.params}, vol)
 
     # ---- timed pipelined stream ----
@@ -110,7 +111,7 @@ def _composite(model_name: str, augment: bool, n_reps: int = 5):
     t0 = time.perf_counter()
     for _ in range(20):
         state, m = train_step(state, x, y, key, None)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # forced readback
     train_step_sec = (time.perf_counter() - t0) / 20
     t0 = time.perf_counter()
     predictor.predict_labels({"params": state.params}, vol)
@@ -147,11 +148,11 @@ def _batched_train_steps():
         x, y = jnp.asarray(x), jnp.asarray(y)
         key = jax.random.PRNGKey(1)
         state, m = step(state, x, y, key, None)   # compile (state evolves —
-        jax.block_until_ready(m["loss"])          # memoization-proof)
+        float(m["loss"])                          # memoization-proof)
         t0 = time.perf_counter()
         for _ in range(10):
             state, m = step(state, x, y, key, None)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # forced readback
         dt = (time.perf_counter() - t0) / 10
         out[f"train_step_b{B}_sec"] = round(dt, 5)
         out[f"train_patches_per_sec_b{B}"] = round(B / dt, 2)
@@ -334,11 +335,11 @@ def _direct_volume_infer():
     vol = jnp.asarray(np.random.default_rng(0).normal(
         0, 1, (1,) + VOLUME).astype(np.float32))
     v, r = loop(variables, vol)
-    jax.block_until_ready((v, r))
+    np.asarray(r)  # forced readback
     t0 = time.perf_counter()
     for _ in range(3):
         v, r = loop(variables, v)
-    jax.block_until_ready((v, r))
+    np.asarray(r)  # forced readback
     return round((time.perf_counter() - t0) / (3 * N), 5)
 
 

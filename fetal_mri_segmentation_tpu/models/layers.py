@@ -109,7 +109,15 @@ class ConvBlock(nn.Module):
                         self.negative_slope)
                     return self._epilogue(y.astype(self.dtype), train=train,
                                           skip_activation=act_fused)
-            y = up_concat_conv3x3(
+            # Two exact-math formulations of the same op (same params, same
+            # result up to fp reassociation); measured on v5e (docs/PERF.md
+            # round-3 addendum): the input-dilated single conv wins whenever
+            # the MXU has batch to chew on or a backward pass follows
+            # (B=27 fwd −6.9%, B=1/8 fwd+bwd −2..3%); the 8-parity decomposed
+            # form only wins the B=1 forward-only case (direct/serving path).
+            impl = (up_concat_conv3x3_dilated if train or x_deep.shape[0] > 1
+                    else up_concat_conv3x3)
+            y = impl(
                 x_deep.astype(self.dtype),
                 None if skip is None else skip.astype(self.dtype),
                 kernel.astype(self.dtype), bias.astype(jnp.float32))
@@ -234,6 +242,48 @@ def up_concat_conv3x3(x_deep: jnp.ndarray, skip: jnp.ndarray,
     if y_skip is not None:
         y_up = y_up + y_skip
     return y_up + bias.astype(y_up.dtype)
+
+
+# Per-axis tap-spread matrix for the input-dilated formulation:
+# M[a, j] = 1 iff 3³-kernel tap j contributes to 4³-kernel tap a when the
+# nearest-×2 upsample is absorbed into the kernel. Row a covers output
+# offset a−1 relative to 2·(source index); taps {0},{0,1},{1,2},{2} —
+# exactly the transpose-expansion of up_concat_conv3x3's S matrices
+# (S[0] = rows {0,2} of M, S[1] = rows {1,3}).
+_DILATE_M = ((1, 0, 0), (1, 1, 0), (0, 1, 1), (0, 0, 1))
+
+
+def up_concat_conv3x3_dilated(x_deep: jnp.ndarray, skip: jnp.ndarray,
+                              kernel: jnp.ndarray,
+                              bias: jnp.ndarray) -> jnp.ndarray:
+    """Same op as :func:`up_concat_conv3x3`, as ONE input-dilated conv.
+
+    conv3³(up_nearest2(x)) == conv4³(x, M⊗M⊗M·W, lhs_dilation=2, pad 2) —
+    the upsample is absorbed into a 4³ kernel over the ×2-dilated input.
+    Identical math and FLOPs (the dilated input's zeros are skipped by
+    XLA's lowering, which performs the same parity split internally), but
+    a 2-op graph instead of the 9-op slice/stack/transpose graph, so XLA
+    schedules it better whenever the MXU is busy: measured −6.9% model
+    forward at B=27 and −2..3% fwd+bwd at B=1/8 on v5e; the decomposed
+    form retains a small edge only for B=1 forward-only (docs/PERF.md
+    round-3 addendum). Param layout identical (concat order
+    ``[upsampled, skip]``): checkpoints, Keras import, and the Pallas
+    dec0 kernel all interoperate unchanged.
+    """
+    up_ch = x_deep.shape[-1]
+    M = jnp.asarray(_DILATE_M, jnp.float32)
+    w_up = kernel[:, :, :, :up_ch, :].astype(jnp.float32)
+    k4 = jnp.einsum("aj,bk,cl,jklio->abcio", M, M, M,
+                    w_up).astype(x_deep.dtype)
+    y = jax.lax.conv_general_dilated(
+        x_deep, k4, (1, 1, 1), [(2, 2)] * 3, lhs_dilation=(2, 2, 2),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if skip is not None:  # Isensee's up-sampling module has no concat
+        w_skip = kernel[:, :, :, up_ch:, :]
+        y = y + jax.lax.conv_general_dilated(
+            skip, w_skip.astype(skip.dtype), (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y + bias.astype(y.dtype)
 
 
 class UpConv(nn.Module):

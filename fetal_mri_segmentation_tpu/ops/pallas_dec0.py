@@ -153,14 +153,17 @@ def _dec0_kernel(x_hbm, s_hbm, wu_ref, ws_ref, b_ref, mask_ref, out_ref,
 
     for blk in range(8):
         r1, r2, r3 = (blk >> 2) & 1, (blk >> 1) & 1, blk & 1
-        # --- up half: one GEMM, K = 8*CU ---
-        a_up = jnp.concatenate(
-            [rolled(x_slab[r1 + j1], r2 + j2 - 1, r3 + j3 - 1)
-             for j1 in range(2) for j2 in range(2) for j3 in range(2)],
-            axis=0)                                        # (8*CU, Pc)
-        acc = jax.lax.dot_general(
-            wu_ref[blk], a_up, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (CO, Pc)
+        # --- up half: one GEMM per j1 (K = 4*CU — bounds the A buffer) ---
+        acc = jnp.zeros((CO, Pc), jnp.float32)
+        for j1 in range(2):
+            a_up = jnp.concatenate(
+                [rolled(x_slab[r1 + j1], r2 + j2 - 1, r3 + j3 - 1)
+                 for j2 in range(2) for j3 in range(2)],
+                axis=0)                                    # (4*CU, Pc)
+            acc += jax.lax.dot_general(
+                wu_ref[blk, :, j1 * 4 * CU:(j1 + 1) * 4 * CU], a_up,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (CO, Pc)
         # --- skip half: one GEMM per k1, K = 9*CS (bounds the A buffer) ---
         for k1 in range(3):
             p1, d1 = skip_src(r1, k1)
@@ -223,6 +226,11 @@ def _dec0_call(xf, sf, w_up, w_skip, bias, mask, *, W2c, activation,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        # the 8-block output window (2.6 MB at 64^3) plus the A/roll
+        # transients legitimately exceed Mosaic's conservative 16 MB scoped
+        # default; v5e has headroom above it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xf, sf, w_up, w_skip, bias, mask)
 

@@ -156,8 +156,13 @@ def train_model(model, state: TrainState, config,
             train_metrics.append(metrics)
             weights.append(n_valid)
             meter.add(n_valid)
-        jax.block_until_ready(train_metrics[-1]["loss"] if train_metrics
-                              else state.params)
+        # forced host readback: on some remote runtimes block_until_ready
+        # returns before execution completes, which would inflate the
+        # logged throughput columns (measured round 3; docs/PERF.md)
+        if train_metrics:
+            float(train_metrics[-1]["loss"])
+        else:
+            jax.block_until_ready(state.params)
         train_time = time.perf_counter() - t0
         # capture throughput BEFORE validation runs: the meter counts only
         # training patches, so including validation wall time in the

@@ -33,24 +33,36 @@ import numpy as np
 
 def scan_time(fn, args, iters=30, warmup=2):
     """Wall time per iteration of fn inside one jitted lax.scan, with the
-    output coupled into the next input (docs/PERF.md methodology)."""
+    output coupled into the next input (docs/PERF.md methodology).
+
+    Round-3 measurement gotchas on the tunneled runtime (both produce
+    microsecond-scale fantasy numbers if violated):
+    - the carry-coupling coefficients must be LARGE enough to actually
+      change bf16 values (eps ~0.8%; a 1e-6 nudge underflows, the carry
+      never changes, and the runtime memoizes every later execution);
+    - ``block_until_ready`` no longer blocks for real on this runtime
+      build — completion must be forced by a host readback (``float()``
+      of a scalar output).
+    """
 
     @jax.jit
     def run(x0, rest):
         def body(x, _):
             y = fn(x, *rest)
-            # couple: fold the output back into the carry, keep shape
-            x = x + 1e-6 * jnp.mean(y).astype(x.dtype)
+            x = x * 0.99 + 0.05 * jnp.mean(y).astype(x.dtype)
             return x, ()
         x, _ = jax.lax.scan(body, x0, None, length=iters)
-        return x
+        return x, jnp.sum(x).astype(jnp.float32)
 
     x0, *rest = args
-    run(x0, rest).block_until_ready()  # compile + warm
+    x0, s = run(x0, rest)
+    float(s)  # compile + warm; host readback forces completion
     for _ in range(warmup - 1):
-        run(x0, rest).block_until_ready()
+        x0, s = run(x0, rest)
+        float(s)
     t0 = time.perf_counter()
-    run(x0, rest).block_until_ready()
+    x0, s = run(x0, rest)
+    float(s)
     return (time.perf_counter() - t0) / iters
 
 
@@ -91,6 +103,28 @@ def main(batch: int):
                   (x_deep, skip, kernel, bias))
     print(f"up_concat_conv3x3 (XLA, ships):  {t*1e3:8.2f} ms  "
           f"{gflop_fused/t/1e3:6.1f} TFLOP/s eff")
+
+    # 2b. input-dilated single-conv formulation (models/layers.py)
+    from fetal_mri_segmentation_tpu.models.layers import (
+        up_concat_conv3x3_dilated)
+    t = scan_time(lambda x, s, w, b: up_concat_conv3x3_dilated(x, s, w, b),
+                  (x_deep, skip, kernel, bias))
+    print(f"up_concat_conv3x3_dilated (XLA): {t*1e3:8.2f} ms  "
+          f"{gflop_fused/t/1e3:6.1f} TFLOP/s eff")
+
+    # 2c. fwd+bwd for both exact-math formulations (training dispatch)
+    def fb(impl):
+        def f(x, s, w, b):
+            def loss(args):
+                xx, ss, ww = args
+                return jnp.sum(impl(xx, ss, ww, b).astype(jnp.float32)) * 1e-6
+            l, g = jax.value_and_grad(loss)((x, s, w))
+            return l + jnp.mean(g[2])
+        return f
+    t = scan_time(fb(up_concat_conv3x3), (x_deep, skip, kernel, bias))
+    print(f"  fwd+bwd parity form:           {t*1e3:8.2f} ms")
+    t = scan_time(fb(up_concat_conv3x3_dilated), (x_deep, skip, kernel, bias))
+    print(f"  fwd+bwd dilated form:          {t*1e3:8.2f} ms")
 
     # 3a. skip half only
     def skip_half(s, w, b):
@@ -147,12 +181,19 @@ def main(batch: int):
             (x_deep, skip, kernel, bias))
         print(f"fused parity-block Pallas:       {t*1e3:8.2f} ms  "
               f"{gflop_fused/t/1e3:6.1f} TFLOP/s eff")
-        # correctness spot check vs the XLA path
-        a = up_concat_conv3x3(x_deep, skip, kernel, bias)
-        bres = up_concat_conv3x3_pallas(x_deep, skip, kernel, bias)
-        err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                    - bres.astype(jnp.float32))))
-        print(f"  max |pallas - xla| = {err:.4e}")
+        # correctness: both bf16 paths vs the fp32 oracle (reduction-order
+        # noise shows up as comparable oracle distance, not path skew)
+        oracle = up_concat_conv3x3(
+            x_deep.astype(jnp.float32), skip.astype(jnp.float32),
+            kernel, bias).astype(jnp.float32)
+        a = up_concat_conv3x3(x_deep, skip, kernel, bias).astype(jnp.float32)
+        bres = up_concat_conv3x3_pallas(x_deep, skip, kernel,
+                                        bias).astype(jnp.float32)
+        scale = float(jnp.std(oracle))
+        print(f"  rel err vs fp32 oracle: xla "
+              f"{float(jnp.max(jnp.abs(a - oracle)))/scale:.4f}  pallas "
+              f"{float(jnp.max(jnp.abs(bres - oracle)))/scale:.4f}  "
+              f"(xla-vs-pallas {float(jnp.max(jnp.abs(a - bres)))/scale:.4f})")
     else:
         print("(pallas_dec0 not eligible for this shape)")
 
