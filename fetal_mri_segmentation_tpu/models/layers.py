@@ -115,7 +115,12 @@ class ConvBlock(nn.Module):
             # the MXU has batch to chew on or a backward pass follows
             # (B=27 fwd −6.9%, B=1/8 fwd+bwd −2..3%); the 8-parity decomposed
             # form only wins the B=1 forward-only case (direct/serving path).
-            impl = (up_concat_conv3x3_dilated if train or x_deep.shape[0] > 1
+            # TPU only: XLA:CPU lowers lhs-dilated convs poorly (measured
+            # 2.7× slower DP step on the virtual mesh), so other backends
+            # keep the parity form everywhere.
+            impl = (up_concat_conv3x3_dilated
+                    if (train or x_deep.shape[0] > 1)
+                    and jax.default_backend() == "tpu"
                     else up_concat_conv3x3)
             y = impl(
                 x_deep.astype(self.dtype),
