@@ -259,11 +259,19 @@ def _tta_volume_secs():
     return out
 
 
-def _serve_case_sec():
+def _serve_case_sec(raw_shape=None, device_preprocess=False, n_cases=4,
+                    croppable=False):
     """End-to-end serving wall per case (serve.py's unit of work): NIfTI
     read, builder-identical preprocessing, whole-volume direct forward,
     bit-packed D2H, label-map NIfTI write. Median of the post-compile
-    cases; each case is a DIFFERENT random volume (memoization guard)."""
+    cases; each case is a DIFFERENT random volume (memoization guard).
+
+    ``raw_shape``: on-disk volume shape; when != VOLUME the ingest zoom
+    actually runs (scanner-resolution serving shape). ``device_preprocess``
+    moves zoom+normalize onto the TPU (ops/resample.py). ``croppable``
+    embeds the foreground in a zero background (the reference's data
+    shape: fetal brains are cropped to their bounding box on ingest), so
+    the shared-crop stage actually shrinks the volume."""
     import tempfile
 
     import jax
@@ -276,6 +284,7 @@ def _serve_case_sec():
         make_direct_predictor)
     from fetal_mri_segmentation_tpu.utils.nifti import save_nifti
 
+    raw_shape = raw_shape or VOLUME
     config = Config(model_name="unet", depth=4, n_base_filters=32,
                     image_shape=VOLUME, patch_shape=PATCH,
                     compute_dtype="bfloat16")
@@ -283,19 +292,34 @@ def _serve_case_sec():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1,) + PATCH + (1,), jnp.float32))
     predictor = make_direct_predictor(model, config)
+    device_pre = None
+    if device_preprocess:
+        from fetal_mri_segmentation_tpu.ops.resample import (
+            DevicePreprocessor)
+        device_pre = DevicePreprocessor(config.image_shape,
+                                        config.normalization,
+                                        transfer_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     times = []
     with tempfile.TemporaryDirectory() as d:
-        for i in range(4):
+        for i in range(n_cases):
             case = os.path.join(d, f"case_{i}")
             os.makedirs(case)
-            save_nifti(rng.normal(0, 1, VOLUME).astype(np.float32),
-                       os.path.join(case, "volume.nii.gz"))
+            if croppable:
+                vol = np.zeros(raw_shape, np.float32)
+                box = tuple(slice(int(0.17 * n), int(0.80 * n))
+                            for n in raw_shape)
+                vol[box] = rng.normal(
+                    200, 50, [s.stop - s.start for s in box]
+                ).astype(np.float32)
+            else:
+                vol = rng.normal(0, 1, raw_shape).astype(np.float32)
+            save_nifti(vol, os.path.join(case, "volume.nii.gz"))
             t0 = time.perf_counter()
             # full serve-path semantics: shared-crop + resample + normalize
             predict_case(case, os.path.join(d, "out", f"case_{i}"), model,
                          variables, config, predictor=predictor,
-                         save_inputs=False)
+                         save_inputs=False, device_pre=device_pre)
             times.append(time.perf_counter() - t0)
     return round(float(np.median(times[1:])), 5)
 
@@ -432,6 +456,13 @@ def main():
         detail["direct_volume_infer_sec"] = _direct_volume_infer()
         # streaming-serving unit of work (serve.py): raw NIfTI -> label map
         detail["serve_case_sec"] = _serve_case_sec()
+        # scanner-resolution ingest (crop + zoom actually run): host path
+        # vs zoom+normalize on the TPU (ops/resample.py)
+        raw = (170, 170, 110)
+        detail["serve_case_resample_sec"] = _serve_case_sec(
+            raw_shape=raw, croppable=True)
+        detail["serve_case_resample_device_sec"] = _serve_case_sec(
+            raw_shape=raw, device_preprocess=True, croppable=True)
         # throughput-shape training rows (BASELINE #1 pins B=1; these show
         # the realistic epoch shape) + a REAL train.py epoch's logged rate
         detail.update(_batched_train_steps())

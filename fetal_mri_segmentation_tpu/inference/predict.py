@@ -202,7 +202,7 @@ def load_global_moments(data_file_path: str):
 
 
 def preprocess_case(input_path: str, config, *, crop: bool = True,
-                    global_moments=None):
+                    global_moments=None, device_pre=None):
     """Builder-identical preprocessing of an ad-hoc NIfTI case.
 
     Runs the SAME pipeline the dataset builder applies (shared background
@@ -215,9 +215,17 @@ def preprocess_case(input_path: str, config, *, crop: bool = True,
     Split out of `predict_case` so a streaming server can pipeline: case
     *i+1*'s host preprocessing runs while case *i*'s device predict is in
     flight (serve.py::watch_and_predict).
+
+    ``device_pre`` (an ops/resample.py::DevicePreprocessor) moves the zoom
+    + normalization onto the TPU: the host only reads + crops, and the
+    returned ``data`` is a DEVICE array the predictor consumes without a
+    host round-trip (fp-level, not bit-level, parity with the host path —
+    both are pinned to the scipy oracle in tests). Truth resampling stays
+    host-side (order-0 is cheap and keeps evaluate-path bytes identical).
     """
     from fetal_mri_segmentation_tpu.data.normalize import normalize_case
-    from fetal_mri_segmentation_tpu.utils.geometry import process_case_images
+    from fetal_mri_segmentation_tpu.utils.geometry import (
+        process_case_images, zoomed_affine)
     from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
 
     files, truth_file = resolve_case_files(input_path, config)
@@ -226,10 +234,34 @@ def preprocess_case(input_path: str, config, *, crop: bool = True,
     # label_indices MUST be explicit: without a truth file the default
     # ("last file is the label") would nearest-neighbor-resample the last
     # MODALITY, silently breaking ingest parity.
+    label_indices = [len(all_files) - 1] if truth_file else []
+    loaded = [load_nifti(f) for f in all_files]
+
+    if device_pre is not None:
+        from fetal_mri_segmentation_tpu.utils.geometry import (
+            resample_to_shape)
+
+        # host: crop only (image_shape=None skips the host zoom)
+        cropped = process_case_images(loaded, image_shape=None, crop=crop,
+                                      label_indices=label_indices)
+        old_shape = tuple(cropped[0].shape[:3])
+        affine = (zoomed_affine(cropped[0].affine, old_shape,
+                                config.image_shape)
+                  if old_shape != tuple(config.image_shape)
+                  else cropped[0].affine)
+        data = device_pre([img.get_fdata(dtype=np.float32)
+                           for img in cropped[:len(files)]])
+        truth_image = None
+        if truth_file:
+            truth_image = cropped[-1]
+            if tuple(truth_image.shape[:3]) != tuple(config.image_shape):
+                truth_image = resample_to_shape(
+                    truth_image, config.image_shape, "nearest")
+        return data, affine, truth_image
+
     images = process_case_images(
-        [load_nifti(f) for f in all_files],
-        image_shape=config.image_shape, crop=crop,
-        label_indices=[len(all_files) - 1] if truth_file else [])
+        loaded, image_shape=config.image_shape, crop=crop,
+        label_indices=label_indices)
     affine = images[0].affine
     data = np.stack([img.get_fdata(dtype=np.float32)
                      for img in images[:len(files)]], axis=0)
@@ -241,14 +273,20 @@ def preprocess_case(input_path: str, config, *, crop: bool = True,
     return data, affine, (images[-1] if truth_file else None)
 
 
+def _save_modality_f32(arr, path, affine):
+    """Write one modality as float32 — converts INSIDE the IO worker so a
+    device array (device-preprocess path) pays its D2H off the hot loop."""
+    save_nifti(np.asarray(arr, dtype=np.float32), path, affine=affine)
+
+
 def queue_input_writes(data, truth_image, config, out_dir, affine, submit):
     """Queue the per-case ``data_<modality>`` / ``truth`` NIfTI writes —
     shared by the per-case API and the pipelined stream so the output tree
     cannot diverge between them."""
     for i, modality in enumerate(config.training_modalities):
-        submit(save_nifti, data[i],
+        submit(_save_modality_f32, data[i],
                os.path.join(out_dir, f"data_{modality}.nii.gz"),
-               affine=affine)
+               affine)
     if truth_image is not None:
         submit(save_nifti,
                truth_image.get_fdata(dtype=np.float32).astype(np.uint8),
@@ -260,7 +298,8 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
                  overlap: int = 16, threshold: float = 0.5,
                  permute: bool = False, patch_batch_size: int = 8,
                  save_inputs: bool = True, crop: bool = True,
-                 global_moments=None, io_submit=None) -> np.ndarray:
+                 global_moments=None, io_submit=None,
+                 device_pre=None) -> np.ndarray:
     """Predict a case straight from NIfTI files — no HDF5 ingest required.
 
     The reference can only predict cases already written into its HDF5
@@ -279,7 +318,8 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
     serve.py::watch_and_predict).
     """
     data, affine, truth_image = preprocess_case(
-        input_path, config, crop=crop, global_moments=global_moments)
+        input_path, config, crop=crop, global_moments=global_moments,
+        device_pre=device_pre)
 
     os.makedirs(out_dir, exist_ok=True)
     submit = io_submit if io_submit is not None else (

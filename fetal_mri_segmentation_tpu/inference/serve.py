@@ -94,7 +94,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                       retry_backoff: float = 60.0,
                       stop: Optional[object] = None,
                       stats: Optional[dict] = None,
-                      verbose: bool = True) -> int:
+                      verbose: bool = True,
+                      device_pre=None) -> int:
     """Serve until ``stop.is_set()`` (or forever; one pass with ``once``).
 
     Returns the number of cases predicted AND durably written. ``predictor``
@@ -247,7 +248,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                     predict_case(path, out_dir, model, variables, config,
                                  predictor=predictor, overlap=overlap,
                                  threshold=threshold, global_moments=moments,
-                                 save_inputs=save_inputs, io_submit=submit)
+                                 save_inputs=save_inputs, io_submit=submit,
+                                 device_pre=device_pre)
                 except Exception as e:  # one bad case must not kill the
                     quarantine(name, sig, e, case_futs)  # server
                     continue
@@ -261,7 +263,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
             # next case's dispatch is in flight (or at sweep end)
             try:
                 data, affine, truth_image = preprocess_case(
-                    path, config, global_moments=moments)
+                    path, config, global_moments=moments,
+                    device_pre=device_pre)
                 os.makedirs(out_dir, exist_ok=True)
                 if save_inputs:
                     queue_input_writes(data, truth_image, config, out_dir,

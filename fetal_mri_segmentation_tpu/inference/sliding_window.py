@@ -209,6 +209,11 @@ class SlidingWindowPredictor:
         the 8 MB fp32 volume H2D dominates single-volume wall time over
         this box's tunneled device link (docs/PERF.md).
         """
+        if isinstance(data_cdhw, jax.Array):
+            # already on device (ops/resample.py device-preprocess path):
+            # no H2D, no host cast — the model's own input cast handles
+            # dtype, and the labels program consumes it in place.
+            return data_cdhw
         arr = np.asarray(data_cdhw, np.float32)
         # key on the MODEL's compute dtype (not the config): only a model
         # that casts its input to bf16 makes the rounding a no-op.

@@ -213,7 +213,13 @@ class SpatialPredictor:
     def _stage(self, data_cdhw):
         """Host→device staging; rounds to bf16 ON HOST for bf16 models —
         half the H2D bytes, bit-identical results (the model's first op is
-        the same cast; see SlidingWindowPredictor._stage_volume)."""
+        the same cast; see SlidingWindowPredictor._stage_volume). A device
+        array (ops/resample.py device-preprocess path) skips the host hop
+        and is only re-laid-out onto the mesh sharding."""
+        if isinstance(data_cdhw, jax.Array):
+            self._check_shape(data_cdhw.shape[1:])
+            self._last_shape = tuple(data_cdhw.shape[1:])
+            return jax.device_put(data_cdhw, self._vol_spec)
         arr = np.asarray(data_cdhw, np.float32)
         self._check_shape(arr.shape[1:])
         self._last_shape = tuple(arr.shape[1:])

@@ -53,6 +53,22 @@ def crop_affine(affine: np.ndarray, slices: Sequence[slice]) -> np.ndarray:
     return out
 
 
+def zoomed_affine(affine: np.ndarray, old_shape: Sequence[int],
+                  new_shape: Sequence[int]) -> np.ndarray:
+    """Affine after a grid_mode=True zoom old_shape→new_shape: spacing
+    scaled, origin shifted by half the voxel-size change (world coords
+    preserved). Shared by the host resample below and the device-resample
+    ingest path (ops/resample.py), which must stamp identical affines."""
+    old = np.asarray(old_shape, dtype=np.float64)
+    new = np.asarray(new_shape, dtype=np.float64)
+    scale = old / new
+    out = affine.copy()
+    out[:3, :3] = affine[:3, :3] * scale[None, :]
+    half_shift = (scale - 1.0) / 2.0
+    out[:3, 3] = affine[:3, :3] @ half_shift + affine[:3, 3]
+    return out
+
+
 def resample_to_shape(image: NiftiImage, new_shape: Sequence[int],
                       interpolation: str = "linear") -> NiftiImage:
     """Zoom a volume to `new_shape`, updating the affine (spacing + origin).
@@ -61,20 +77,14 @@ def resample_to_shape(image: NiftiImage, new_shape: Sequence[int],
     the new shape; "linear" for images, "nearest" for truth).
     """
     data = image.get_fdata(dtype=np.float32)
-    old_shape = np.asarray(data.shape[:3], dtype=np.float64)
-    new_shape = np.asarray(new_shape, dtype=np.int64)
-    zoom = new_shape / old_shape
+    old_shape = data.shape[:3]
+    zoom = (np.asarray(new_shape, dtype=np.int64)
+            / np.asarray(old_shape, dtype=np.float64))
     order = {"linear": 1, "nearest": 0, "cubic": 3}[interpolation]
     out = ndimage.zoom(data, zoom, order=order, mode="nearest",
                        grid_mode=True, prefilter=(order > 1))
-    affine = image.affine.copy()
-    scale = old_shape / new_shape
-    affine[:3, :3] = image.affine[:3, :3] * scale[None, :]
-    # grid_mode=True matches "resampled pixel edges align with original edges";
-    # origin shifts by half the voxel-size change along each axis.
-    half_shift = (scale - 1.0) / 2.0
-    affine[:3, 3] = image.affine[:3, :3] @ half_shift + image.affine[:3, 3]
-    return NiftiImage(out.astype(np.float32), affine)
+    return NiftiImage(out.astype(np.float32),
+                      zoomed_affine(image.affine, old_shape, new_shape))
 
 
 def read_image(path: str, image_shape: Optional[Sequence[int]] = None,

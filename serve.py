@@ -23,7 +23,7 @@ import threading
 def main(config, watch: str, output: str = "served", overlap: int = 16,
          patch_batch_size: int = 8, direct: bool = False, tta: bool = False,
          poll: float = 1.0, once: bool = False, threshold: float = 0.5,
-         save_inputs: bool = False):
+         save_inputs: bool = False, device_preprocess: bool = False):
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
@@ -36,6 +36,26 @@ def main(config, watch: str, output: str = "served", overlap: int = 16,
         model, config, direct=direct, tta=tta, overlap=overlap,
         patch_batch_size=patch_batch_size)
 
+    device_pre = None
+    if device_preprocess:
+        import jax.numpy as jnp
+
+        from fetal_mri_segmentation_tpu.inference.predict import (
+            load_global_moments)
+        from fetal_mri_segmentation_tpu.ops.resample import (
+            DevicePreprocessor)
+        # bf16 raw-volume staging halves the H2D bytes (the win on thin
+        # links; measured serve 0.52 -> 0.28 s/case on croppable volumes,
+        # docs/PERF.md round-3 addendum 8); f32 for f32 models keeps
+        # fp-level parity with the host path.
+        transfer = (jnp.bfloat16 if getattr(model, "dtype", None)
+                    == jnp.bfloat16 else jnp.float32)
+        device_pre = DevicePreprocessor(
+            config.image_shape, config.normalization,
+            moments=(load_global_moments(config.data_file)
+                     if config.normalization == "global" else None),
+            transfer_dtype=transfer)
+
     stop = threading.Event()
     signal.signal(signal.SIGINT, lambda *_: stop.set())
     signal.signal(signal.SIGTERM, lambda *_: stop.set())
@@ -47,7 +67,8 @@ def main(config, watch: str, output: str = "served", overlap: int = 16,
     n = watch_and_predict(watch, output, model, variables, config, predictor,
                           poll_interval=poll, once=once, stop=stop,
                           threshold=threshold, overlap=overlap,
-                          save_inputs=save_inputs, stats=stats)
+                          save_inputs=save_inputs, stats=stats,
+                          device_pre=device_pre)
     print(f"[serve] done: {n} case(s) predicted")
     if once and stats.get("write_failures"):
         # a --once run that lost outputs (e.g. disk full) must not exit 0
@@ -85,6 +106,10 @@ if __name__ == "__main__":
                          "truth NIfTIs per case (the full evaluate.py-ready "
                          "output tree; off by default to keep the hot path "
                          "to one write)")
+    ap.add_argument("--device-preprocess", action="store_true",
+                    help="run the ingest zoom + normalization on the TPU "
+                         "(host does read + crop only; shape-bucketed "
+                         "compiles, fp-level parity with the host path)")
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config
@@ -93,4 +118,5 @@ if __name__ == "__main__":
          overlap=args.overlap, patch_batch_size=args.patch_batch_size,
          direct=args.direct, tta=(args.tta_mode if args.tta else False),
          poll=args.poll, once=args.once,
-         threshold=args.threshold, save_inputs=args.save_inputs)
+         threshold=args.threshold, save_inputs=args.save_inputs,
+         device_preprocess=args.device_preprocess)

@@ -58,7 +58,7 @@ def test_serve_cli_once(experiment):
               "--config", str(d / "exp.json"),
               "--watch", str(d / "watch"),
               "--output", str(d / "served"),
-              "--overlap", "4", "--once"])
+              "--overlap", "4", "--once", "--device-preprocess"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "1 case(s) predicted" in r.stdout
     assert os.path.exists(str(d / "served" / "case_0" / "prediction.nii.gz"))

@@ -321,3 +321,48 @@ def test_serve_prunes_state_for_deleted_cases(tmp_path, capsys):
                       require_stable=False, retry_backoff=3600.0)
     failures = capsys.readouterr().out.count("FAILED bad")
     assert failures == 2
+
+
+def test_serve_device_preprocess_matches_serial(tmp_path):
+    """Serving with ops/resample.py::DevicePreprocessor (zoom+normalize on
+    device) must produce byte-identical predictions to predict_case with
+    the same preprocessor, and the full --save-inputs tree must land (the
+    data_<modality> write D2Hs the device array in the IO worker)."""
+    from fetal_mri_segmentation_tpu.inference import predict_case
+    from fetal_mri_segmentation_tpu.ops.resample import DevicePreprocessor
+    from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
+
+    # raw cases NOT at image_shape so the device zoom actually runs
+    write_synthetic_dataset(str(tmp_path / "watch"), n_cases=3,
+                            shape=(30, 26, 28))
+    cfg = Config(image_shape=(24, 24, 24), patch_shape=(16, 16, 16),
+                 model_name="unet", depth=3, n_base_filters=4,
+                 compute_dtype="float32",
+                 data_file=str(tmp_path / "none.h5"))
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    variables = {"params": state.params}
+    predictor = SlidingWindowPredictor(model, cfg,
+                                       image_shape=cfg.image_shape,
+                                       overlap=4)
+    pre = DevicePreprocessor(cfg.image_shape, cfg.normalization)
+    out = str(tmp_path / "served")
+    n = watch_and_predict(str(tmp_path / "watch"), out, model, variables,
+                          cfg, predictor, once=True, overlap=4,
+                          verbose=False, device_pre=pre, save_inputs=True)
+    assert n == 3
+    for i in range(3):
+        serial_dir = str(tmp_path / "serial" / f"case_{i}")
+        predict_case(str(tmp_path / "watch" / f"case_{i}"), serial_dir,
+                     model, variables, cfg, predictor=predictor, overlap=4,
+                     save_inputs=False, device_pre=pre)
+        a = load_nifti(os.path.join(out, f"case_{i}", "prediction.nii.gz"))
+        b = load_nifti(os.path.join(serial_dir, "prediction.nii.gz"))
+        np.testing.assert_array_equal(np.asarray(a.get_fdata()),
+                                      np.asarray(b.get_fdata()))
+        # --save-inputs wrote the preprocessed modality from the device
+        mod = cfg.training_modalities[0]
+        d = load_nifti(os.path.join(out, f"case_{i}", f"data_{mod}.nii.gz"))
+        assert d.shape[:3] == cfg.image_shape
+        arr = d.get_fdata(dtype=np.float32)
+        assert abs(float(arr.mean())) < 0.1  # per-volume z-scored
