@@ -17,6 +17,7 @@ import time
 from typing import Callable, Dict, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fetal_mri_segmentation_tpu.pipeline.prefetch import prefetch
@@ -131,12 +132,34 @@ def train_model(model, state: TrainState, config,
 
     rng = jax.random.PRNGKey(seed)
 
+    # Compressed batch staging: the per-step H2D of FRESH patches is the
+    # real-epoch bottleneck on thin device links (docs/PERF.md round-3
+    # addendum 9) — the composite microbench reuses one device-resident
+    # batch and never sees it. x rides as bf16 for bf16 models (bit-exact:
+    # the model's first op is the same cast; augmentation then runs on the
+    # identically-rounded values) and the one-hot/binary y as uint8
+    # (exact), cutting 16 MB/step to ~4.25 MB. The train/eval steps cast
+    # back on device (train_step.py). Non-integral y (never produced by
+    # the generator contract) falls back to f32 per batch.
+    x_bf16 = getattr(model, "dtype", None) == jnp.bfloat16
+
+    def _compress(x, y):
+        if x_bf16:
+            import ml_dtypes
+
+            x = x.astype(ml_dtypes.bfloat16)
+        yb = y.astype(np.uint8)
+        if np.array_equal(y, yb):
+            y = yb
+        return x, y
+
     def _batches(gen, n_steps, bs):
         """Pad + device_put in the prefetch thread so H2D overlaps compute."""
         def producer():
             for _ in range(n_steps):
                 x, y = next(gen)
                 x, y, n_valid = pad_batch(x, y, bs)
+                x, y = _compress(x, y)
                 yield x, y, n_valid
         return prefetch(producer(), size=2,
                         device_put=lambda b: (*put(b[:2]), b[2]))

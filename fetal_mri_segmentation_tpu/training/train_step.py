@@ -95,6 +95,12 @@ def make_train_step(model, config, *, axis_name: Optional[str] = None,
     use_remat = bool(getattr(config, "remat", False))
 
     def step(state, x, y, rng, n_valid=None):
+        # compressed-staging entry cast (training/loop.py::_compress): x may
+        # arrive bf16 (half the H2D bytes; lossless for bf16 models — the
+        # model's own input cast produces the same rounding) and y uint8
+        # (one-hot/binary labels are integral; exact). f32 inputs unchanged.
+        x = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+        y = y.astype(jnp.float32) if y.dtype != jnp.float32 else y
         aug_rng, drop_rng = jax.random.split(rng)
         if do_augment:
             x, y = augment_batch(aug_rng, x, y, **aug_kw)
@@ -160,6 +166,8 @@ def make_eval_step(model, config, *, jit: bool = True) -> Callable:
     loss_fn_inner = get_loss_fn(config)
 
     def step(state, x, y, n_valid=None, axis_name=None):
+        x = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+        y = y.astype(jnp.float32) if y.dtype != jnp.float32 else y
         pred, _ = _forward(model, state.params, state.batch_stats, x,
                            train=False)
         sample_mask = _sample_mask(x, n_valid)
