@@ -85,6 +85,11 @@ class Config:
     skip_blank: bool = True
     gaussian_recon_sigma_scale: float = 0.125  # Gaussian importance-map sigma
                                                # as a fraction of patch size
+    device_case_cache: str = "auto"  # "auto" | "on" | "off": keep all cases
+                                     # HBM-resident and gather patches on
+                                     # device (single-device training); auto
+                                     # falls back to host staging when the
+                                     # padded stacks exceed the HBM budget
 
     # --- normalization ------------------------------------------------------
     normalization: str = "per_volume"  # "per_volume" | "global" | "windowed"

@@ -1,0 +1,501 @@
+"""Device-resident case cache: patches are GATHERED on device, not uploaded.
+
+The per-step H2D of fresh patches is the real-epoch bottleneck on thin
+device links (docs/PERF.md round-3 addendum 9): even with compressed
+staging (bf16 x + uint8 one-hot y) a B=8 64-cube step uploads ~4.25 MB,
+and the measured epoch rate sat at ~35 patches/s against a 77/s
+device-step ceiling. This module is the logical endpoint of that
+progression: every training/validation case is uploaded to HBM ONCE
+(data in the model's compute dtype, truth as uint8, zero-padded by the
+exact worst-case grid margins), and each step's input shrinks to
+``(case_row[B] int32, patch_corner[B,3] int32)`` — ~100 bytes. Patch
+extraction (`lax.dynamic_slice` under vmap), label conversion
+(binarize / one-hot) and augmentation all run inside the jitted step.
+
+Bit-parity with the host staging path (training/loop.py::_compress):
+
+- data rides bf16 for bf16 models — identical rounding, because the
+  model's first device op is the same cast; zero padding is exact in
+  either dtype;
+- truth rides uint8 — one-hot/binary labels are integral by the
+  reference generator contract (generator.py::get_multi_class_labels);
+- padding margins are computed from the exact reference grid math
+  (ops/patches.py::compute_patch_indices centered negative-start
+  corners + the per-epoch random negative training offset), so the
+  device gather reproduces ``get_patch_from_3d_data``'s zero-padded
+  out-of-bounds reads without any masking;
+- the index stream consumes the SAME numpy rng sequence as
+  pipeline/generator.py::data_generator (same epoch grids, same
+  shuffle, same blank-skip, same partial-batch boundaries), so for a
+  given seed the cached step trains on bitwise-identical batches in the
+  identical order. tests/test_device_cache.py pins all of this.
+
+Reference: the reference has no analogue — its generator re-read and
+re-sliced every patch on host (SURVEY.md section 3.1 hot loop); this is
+the TPU-native replacement the survey's build plan step 5 points at.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fetal_mri_segmentation_tpu.ops.patches import (
+    compute_patch_indices, get_patch_from_3d_data)
+
+# jax imported lazily inside functions so host-only tooling can import the
+# module (matches the package convention elsewhere).
+
+
+# ---------------------------------------------------------------------------
+# Exact worst-case grid margins
+# ---------------------------------------------------------------------------
+
+def plan_margins(image_shape: Sequence[int], patch_shape: Sequence[int],
+                 validation_patch_overlap: int = 0,
+                 training_patch_start_offset: Optional[Sequence[int]] = None
+                 ) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Per-axis zero-pad margins covering EVERY corner either generator can
+    emit: the centered validation grid (negative-start overflow) and all
+    training grids (random start offset in [-offset, 0], inclusive).
+
+    Returns ``(margin_lo, margin_hi)`` such that for any emitted corner c:
+    ``0 <= c + margin_lo`` and ``c + patch <= shape + margin_hi``.
+    """
+    image_shape = tuple(int(v) for v in image_shape)
+    patch_shape = tuple(int(v) for v in patch_shape)
+    lo: List[int] = []
+    hi: List[int] = []
+    for ax in range(3):
+        shape, patch = image_shape[ax], patch_shape[ax]
+        starts = []
+        # validation: centered grid, overlap=validation_patch_overlap
+        step = patch - validation_patch_overlap
+        n = int(np.ceil(shape / step))
+        overflow = step * n - shape + validation_patch_overlap
+        starts.append((-int(np.ceil(overflow / 2.0)), step))
+        # training: start = -offset for every offset in [0, max_offset]
+        if training_patch_start_offset is not None:
+            for off in range(int(training_patch_start_offset[ax]) + 1):
+                starts.append((-off, patch))
+        else:
+            step_t = patch
+            n_t = int(np.ceil(shape / step_t))
+            overflow_t = step_t * n_t - shape
+            starts.append((-int(np.ceil(overflow_t / 2.0)), step_t))
+        min_corner = 0
+        max_end = shape
+        for start, stp in starts:
+            corners = np.arange(start, shape + start, stp, dtype=np.int64)
+            min_corner = min(min_corner, int(corners.min()))
+            max_end = max(max_end, int(corners.max()) + patch)
+        lo.append(max(0, -min_corner))
+        hi.append(max(0, max_end - shape))
+    return tuple(lo), tuple(hi)
+
+
+# ---------------------------------------------------------------------------
+# The cache itself
+# ---------------------------------------------------------------------------
+
+class DeviceCaseCache:
+    """HBM-resident, zero-padded stacks of every case the run touches.
+
+    ``data_stack``: (n_cases, n_channels, D+lo+hi, ...) in ``dtype``;
+    ``truth_stack``: (n_cases, 1, same spatial) uint8;
+    ``row_of``: original HDF5 case index -> stack row.
+    """
+
+    def __init__(self, data_stack, truth_stack, row_of, margin_lo,
+                 patch_shape):
+        self.data_stack = data_stack
+        self.truth_stack = truth_stack
+        self.row_of = dict(row_of)
+        self.margin_lo = tuple(int(m) for m in margin_lo)
+        self.patch_shape = tuple(int(p) for p in patch_shape)
+
+    @property
+    def nbytes(self) -> int:
+        return self.data_stack.nbytes + self.truth_stack.nbytes
+
+    @classmethod
+    def build(cls, data_file, case_indices: Sequence[int], *,
+              patch_shape: Sequence[int],
+              margin_lo: Sequence[int], margin_hi: Sequence[int],
+              dtype=None, device=None) -> "DeviceCaseCache":
+        import jax
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        dtype = dtype or jnp.bfloat16
+        np_dtype = (ml_dtypes.bfloat16 if dtype == jnp.bfloat16
+                    else np.dtype(dtype))
+        case_indices = [int(i) for i in case_indices]
+        c = int(data_file.root.data.shape[1])
+        spatial = tuple(int(s) for s in data_file.root.data.shape[-3:])
+        padded = tuple(s + lo + hi for s, lo, hi
+                       in zip(spatial, margin_lo, margin_hi))
+        n = len(case_indices)
+        data = np.zeros((n, c) + padded, dtype=np_dtype)
+        truth = np.zeros((n, 1) + padded, dtype=np.uint8)
+        sl = tuple(slice(lo, lo + s) for lo, s in zip(margin_lo, spatial))
+        for row, idx in enumerate(case_indices):
+            data[(row, slice(None)) + sl] = np.asarray(
+                data_file.root.data[idx]).astype(np_dtype)
+            t = np.asarray(data_file.root.truth[idx])
+            t8 = t.astype(np.uint8)
+            if not np.array_equal(t, t8):
+                raise ValueError(
+                    f"case {idx}: truth values are not integral uint8 "
+                    "(reference truth_dtype contract) — device case cache "
+                    "cannot represent them; use the host pipeline")
+            truth[(row, slice(None)) + sl] = t8.reshape((1,) + spatial)
+        return cls(jax.device_put(data, device), jax.device_put(truth, device),
+                   {idx: row for row, idx in enumerate(case_indices)},
+                   margin_lo, patch_shape)
+
+
+def estimate_cache_bytes(data_file, n_cases: int, margin_lo, margin_hi,
+                         dtype_bytes: int = 2) -> int:
+    c = int(data_file.root.data.shape[1])
+    spatial = tuple(int(s) for s in data_file.root.data.shape[-3:])
+    padded_voxels = int(np.prod([s + lo + hi for s, lo, hi
+                                 in zip(spatial, margin_lo, margin_hi)]))
+    return n_cases * padded_voxels * (c * dtype_bytes + 1)
+
+
+# ---------------------------------------------------------------------------
+# Device-side patch gather + label conversion
+# ---------------------------------------------------------------------------
+
+def make_gather(patch_shape: Sequence[int], margin_lo: Sequence[int]):
+    """(stack, rows[B], corners[B,3]) -> (B, C, *patch_shape) patches.
+
+    One ``dynamic_slice`` per batch element (vmapped -> a single XLA gather
+    of contiguous blocks); margins make every slice in-bounds, reproducing
+    the host path's zero-padded out-of-bounds reads.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    patch = tuple(int(p) for p in patch_shape)
+    m = tuple(int(v) for v in margin_lo)
+
+    def gather(stack, rows, corners):
+        sizes = (1, stack.shape[1]) + patch
+
+        def one(row, c):
+            start = (row, 0, c[0] + m[0], c[1] + m[1], c[2] + m[2])
+            return jax.lax.dynamic_slice(stack, start, sizes)[0]
+
+        return jax.vmap(one)(rows.astype(jnp.int32),
+                             corners.astype(jnp.int32))
+
+    return gather
+
+
+def convert_labels_device(truth, n_labels: int,
+                          labels: Optional[Sequence[int]] = None):
+    """(B, 1, *patch) integer truth -> float32 binary / one-hot target.
+
+    Device twin of generator.py::convert_data + get_multi_class_labels
+    (reference: unet3d/generator.py) — exact: labels are integral.
+    """
+    import jax.numpy as jnp
+
+    if n_labels == 1:
+        return (truth > 0).astype(jnp.float32)
+    labs = (tuple(labels) if labels is not None
+            else tuple(range(1, n_labels + 1)))
+    return jnp.concatenate(
+        [(truth == lab).astype(jnp.float32) for lab in labs], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Cached train / eval steps
+# ---------------------------------------------------------------------------
+
+def _make_gather_convert(config, margin_lo):
+    """(stacks, rows, corners, n_valid) -> (x, y) exactly as the host
+    staging path would deliver them: gathered patches with padded batch
+    slots ZEROED (the host path zero-pads before upload — parity matters
+    beyond the masked loss, e.g. BatchNorm batch statistics see the
+    padding)."""
+    import jax.numpy as jnp
+
+    gather = make_gather(config.patch_shape, margin_lo)
+    n_labels, labels = config.n_labels, config.labels
+
+    def gather_convert(data_stack, truth_stack, rows, corners, n_valid):
+        x = gather(data_stack, rows, corners)
+        y = convert_labels_device(gather(truth_stack, rows, corners),
+                                  n_labels, labels)
+        if n_valid is not None:
+            m = (jnp.arange(x.shape[0]) < n_valid).reshape(
+                (-1,) + (1,) * (x.ndim - 1))
+            x = x * m.astype(x.dtype)
+            y = y * m.astype(y.dtype)
+        return x, y
+
+    return gather_convert
+
+
+def make_cached_train_step(model, config, margin_lo):
+    """``step(state, data_stack, truth_stack, rows, corners, rng, n_valid)``
+    — the full train step (training/train_step.py) with the patch gather,
+    label conversion and augmentation fused into the same XLA program.
+    Stacks are passed as (non-donated) arguments, not closure constants, so
+    they stay device-resident across steps without bloating the jaxpr."""
+    import jax
+
+    from fetal_mri_segmentation_tpu.training.train_step import make_train_step
+
+    base = make_train_step(model, config, jit=False)
+    gather_convert = _make_gather_convert(config, margin_lo)
+
+    def step(state, data_stack, truth_stack, rows, corners, rng,
+             n_valid=None):
+        x, y = gather_convert(data_stack, truth_stack, rows, corners, n_valid)
+        return base(state, x, y, rng, n_valid)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_cached_eval_step(model, config, margin_lo):
+    import jax
+
+    from fetal_mri_segmentation_tpu.training.train_step import make_eval_step
+
+    base = make_eval_step(model, config, jit=False)
+    gather_convert = _make_gather_convert(config, margin_lo)
+
+    def step(state, data_stack, truth_stack, rows, corners, n_valid=None):
+        x, y = gather_convert(data_stack, truth_stack, rows, corners, n_valid)
+        return base(state, x, y, n_valid)
+
+    return jax.jit(step)
+
+
+def make_cached_dp_train_step(model, config, mesh, margin_lo):
+    """Data-parallel cached step: stacks replicated over the mesh, index
+    arrays sharded on "data" — the per-shard gather reads only its own
+    sub-batch's patches. Exact twin of parallel/data_parallel.py::
+    make_dp_train_step (same per-shard RNG fold, same local-valid math,
+    sync-BN rebuild)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from fetal_mri_segmentation_tpu.training.train_step import make_train_step
+
+    if getattr(config, "batch_normalization", False):
+        from fetal_mri_segmentation_tpu.models import build_model
+        model = build_model(config, bn_axis_name="data")
+    inner = make_train_step(model, config, axis_name="data", jit=False)
+    gather_convert = _make_gather_convert(config, margin_lo)
+
+    def shard_fn(state, data_stack, truth_stack, rows, corners, rng, n_valid):
+        i = jax.lax.axis_index("data")
+        rng = jax.random.fold_in(rng, i)
+        local_b = rows.shape[0]
+        local_valid = jnp.clip(n_valid - i * local_b, 0, local_b)
+        x, y = gather_convert(data_stack, truth_stack, rows, corners,
+                              local_valid)
+        return inner(state, x, y, rng, local_valid)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data"), P(), P()),
+        out_specs=(P(), P()))
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_cached_dp_eval_step(model, config, mesh, margin_lo):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from fetal_mri_segmentation_tpu.training.train_step import make_eval_step
+
+    inner = make_eval_step(model, config, jit=False)
+    gather_convert = _make_gather_convert(config, margin_lo)
+
+    def shard_fn(state, data_stack, truth_stack, rows, corners, n_valid):
+        i = jax.lax.axis_index("data")
+        local_b = rows.shape[0]
+        local_valid = jnp.clip(n_valid - i * local_b, 0, local_b)
+        x, y = gather_convert(data_stack, truth_stack, rows, corners,
+                              local_valid)
+        return inner(state, x, y, local_valid, axis_name="data")
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data"), P()),
+        out_specs=P())
+    return jax.jit(mapped)
+
+
+# ---------------------------------------------------------------------------
+# Host index stream (rng-parity twin of generator.py::data_generator)
+# ---------------------------------------------------------------------------
+
+class _TruthCache:
+    """LRU of truth volumes only (uint8-sized) for host blank-skip checks."""
+
+    def __init__(self, data_file, max_cases: int = 64):
+        self._file = data_file
+        self._max = max_cases
+        self._cache: "collections.OrderedDict[int, np.ndarray]" = (
+            collections.OrderedDict())
+
+    def get(self, index: int) -> np.ndarray:
+        if index in self._cache:
+            self._cache.move_to_end(index)
+            return self._cache[index]
+        truth = np.asarray(self._file.root.truth[index])
+        self._cache[index] = truth
+        if len(self._cache) > self._max:
+            self._cache.popitem(last=False)
+        return truth
+
+
+def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
+                          patch_shape=None, patch_overlap: int = 0,
+                          patch_start_offset=None,
+                          shuffle_index_list: bool = True,
+                          skip_blank: bool = True,
+                          seed: Optional[int] = None,
+                          cache_cases: int = 64
+                          ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+    """Infinite generator of ``(rows[B] int32, corners[B,3] int32, n_valid)``.
+
+    Mirrors generator.py::data_generator line for line — same rng
+    construction and consumption order (epoch grid offsets, shuffle), same
+    blank-skip decisions (truth sliced on host from an LRU), same
+    partial-batch boundaries — so the cached pipeline trains on the exact
+    sequence the host pipeline would. Partial batches are padded by
+    repeating the first entry; ``n_valid`` masks the padding in the step.
+    """
+    from fetal_mri_segmentation_tpu.pipeline.generator import (
+        create_patch_index_list)
+
+    if patch_shape is None:
+        raise ValueError("device case cache requires patch_shape training")
+    rng = np.random.default_rng(seed)
+    cache = _TruthCache(data_file, max_cases=cache_cases)
+    base_list = list(index_list)
+    image_shape = tuple(data_file.root.data.shape[-3:])
+
+    def emit(pairs):
+        n_valid = len(pairs)
+        while len(pairs) < batch_size:
+            pairs.append(pairs[0])
+        rows = np.asarray([row_of[c] for c, _ in pairs], dtype=np.int32)
+        corners = np.asarray([corner for _, corner in pairs],
+                             dtype=np.int32).reshape(batch_size, 3)
+        return rows, corners, n_valid
+
+    while True:
+        pairs: List[Tuple[int, np.ndarray]] = []
+        epoch_list = create_patch_index_list(
+            base_list, image_shape, patch_shape, patch_overlap,
+            patch_start_offset, rng)
+        if shuffle_index_list:
+            rng.shuffle(epoch_list)
+        yielded = False
+        while epoch_list:
+            case_index, corner = epoch_list.pop()
+            if skip_blank:
+                truth = cache.get(case_index)
+                y = get_patch_from_3d_data(truth, patch_shape, corner)
+                if not np.any(y):
+                    continue
+            pairs.append((case_index, corner))
+            if len(pairs) == batch_size or (not epoch_list and pairs):
+                yield emit(pairs)
+                yielded = True
+                pairs = []
+        if not yielded:
+            raise RuntimeError(
+                "index_batch_generator produced no batches for an entire "
+                f"epoch (skip_blank={skip_blank}, {len(base_list)} cases) — "
+                "truth volumes appear to be empty")
+
+
+# ---------------------------------------------------------------------------
+# The auto decision
+# ---------------------------------------------------------------------------
+
+#: "auto" keeps the cache within this HBM budget (v5e has 16 GB; the model,
+#: optimizer and step working set need the rest).
+AUTO_BUDGET_BYTES = 4 << 30
+
+
+def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
+                             verbose: bool = False):
+    """Returns ``(cache, train_index_gen, val_index_gen)`` when the device
+    case cache applies, else None (host staging path).
+
+    Applies when: config.device_case_cache != "off", patch training, a
+    single device or a pure data-parallel mesh (stacks replicated per
+    device; the spatial/hybrid paths keep host staging), the split pickles
+    exist, the truth is integral uint8, and ("auto") the padded stacks fit
+    AUTO_BUDGET_BYTES per device. "on" skips only the budget check.
+    """
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.utils.io_utils import pickle_load
+
+    knob = getattr(config, "device_case_cache", "auto")
+    if knob == "off" or config.patch_shape is None:
+        return None
+    if (mesh is not None and len(mesh.devices.flat) > 1
+            and "spatial" in mesh.axis_names):
+        if verbose and knob == "on":
+            print("[device-cache] spatial/hybrid mesh — keeping host staging")
+        return None
+    training_list = [int(i) for i in pickle_load(config.training_file)]
+    validation_list = [int(i) for i in pickle_load(config.validation_file)]
+    all_cases = sorted(set(training_list) | set(validation_list))
+    margin_lo, margin_hi = plan_margins(
+        tuple(data_file.root.data.shape[-3:]), config.patch_shape,
+        config.validation_patch_overlap, config.training_patch_start_offset)
+    dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+             else jnp.float32)
+    est = estimate_cache_bytes(data_file, len(all_cases), margin_lo,
+                               margin_hi,
+                               dtype_bytes=2 if dtype == jnp.bfloat16 else 4)
+    if knob == "auto" and est > AUTO_BUDGET_BYTES:
+        if verbose:
+            print(f"[device-cache] dataset would need {est / 2**30:.1f} GiB "
+                  f"HBM (> {AUTO_BUDGET_BYTES / 2**30:.0f} GiB budget) — "
+                  "keeping host staging")
+        return None
+    try:
+        cache = DeviceCaseCache.build(
+            data_file, all_cases, patch_shape=config.patch_shape,
+            margin_lo=margin_lo, margin_hi=margin_hi, dtype=dtype)
+    except ValueError as e:
+        if knob == "on":
+            raise
+        if verbose:
+            print(f"[device-cache] {e} — keeping host staging")
+        return None
+    if verbose:
+        print(f"[device-cache] {len(all_cases)} cases resident on device "
+              f"({cache.nbytes / 2**20:.0f} MiB); steps feed int32 indices")
+    train_gen = index_batch_generator(
+        data_file, training_list, cache.row_of,
+        batch_size=config.batch_size, patch_shape=config.patch_shape,
+        patch_overlap=0,
+        patch_start_offset=config.training_patch_start_offset,
+        skip_blank=config.skip_blank, seed=seed)
+    val_gen = index_batch_generator(
+        data_file, validation_list, cache.row_of,
+        batch_size=config.validation_batch_size or config.batch_size,
+        patch_shape=config.patch_shape,
+        patch_overlap=config.validation_patch_overlap,
+        shuffle_index_list=False, skip_blank=config.skip_blank, seed=seed)
+    return cache, train_gen, val_gen

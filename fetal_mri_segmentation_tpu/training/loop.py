@@ -58,6 +58,7 @@ def train_model(model, state: TrainState, config,
                 steps_per_epoch: int, validation_steps: int,
                 *, mesh=None, seed: int = 0,
                 n_epochs: Optional[int] = None,
+                device_cache=None,
                 verbose: bool = True) -> TrainState:
     """Train until n_epochs or early stopping; returns the final state.
 
@@ -66,6 +67,12 @@ def train_model(model, state: TrainState, config,
     steps_per_epoch, validation_steps, initial_learning_rate,
     learning_rate_drop, learning_rate_epochs, n_epochs, learning_rate_patience,
     early_stopping_patience)) with config carrying the scalar knobs.
+
+    ``device_cache``: a pipeline/device_cache.py::DeviceCaseCache — the
+    generators must then be index generators yielding
+    ``(rows, corners, n_valid)``; patch gather, label conversion and
+    augmentation run inside the jitted step and the per-step H2D shrinks
+    to ~100 bytes (single-device path only).
     """
     n_epochs = n_epochs if n_epochs is not None else config.n_epochs
     batch_size = config.batch_size
@@ -90,7 +97,44 @@ def train_model(model, state: TrainState, config,
             "to restore from — pass a concrete create_train_state result "
             "(or build the dataset/checkpoint first)")
 
-    if (mesh is not None and len(mesh.devices.flat) > 1
+    use_cache = (device_cache is not None
+                 and not (mesh is not None and len(mesh.devices.flat) > 1
+                          and "spatial" in mesh.axis_names))
+    if use_cache and mesh is not None and len(mesh.devices.flat) > 1:
+        # data-parallel cached path: stacks replicated over the mesh once,
+        # per-step index arrays sharded on "data"
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fetal_mri_segmentation_tpu.parallel.data_parallel import (
+            replicate_state, shard_batch)
+        from fetal_mri_segmentation_tpu.pipeline.device_cache import (
+            make_cached_dp_eval_step, make_cached_dp_train_step)
+        _cts = make_cached_dp_train_step(model, config, mesh,
+                                         device_cache.margin_lo)
+        _ces = make_cached_dp_eval_step(model, config, mesh,
+                                        device_cache.margin_lo)
+        state = replicate_state(mesh, state)
+        repl = NamedSharding(mesh, P())
+        _ds = jax.device_put(device_cache.data_stack, repl)
+        _ts = jax.device_put(device_cache.truth_stack, repl)
+        train_step = lambda st, rows, corners, rng, n_valid: _cts(
+            st, _ds, _ts, rows, corners, rng, n_valid)
+        eval_step = lambda st, rows, corners, n_valid: _ces(
+            st, _ds, _ts, rows, corners, n_valid)
+        put = lambda arrs: shard_batch(mesh, *arrs)
+    elif use_cache:
+        from fetal_mri_segmentation_tpu.pipeline.device_cache import (
+            make_cached_eval_step, make_cached_train_step)
+        _cts = make_cached_train_step(model, config, device_cache.margin_lo)
+        _ces = make_cached_eval_step(model, config, device_cache.margin_lo)
+        _ds, _ts = device_cache.data_stack, device_cache.truth_stack
+        # stacks ride as explicit (already-device-resident) args each call
+        train_step = lambda st, rows, corners, rng, n_valid: _cts(
+            st, _ds, _ts, rows, corners, rng, n_valid)
+        eval_step = lambda st, rows, corners, n_valid: _ces(
+            st, _ds, _ts, rows, corners, n_valid)
+        put = lambda arrs: tuple(jax.device_put(a) for a in arrs)
+    elif (mesh is not None and len(mesh.devices.flat) > 1
             and "spatial" in mesh.axis_names):
         # hybrid data x spatial GSPMD path (parallel/spatial.py): batch on
         # "data", volume depth on "spatial"; XLA inserts halo exchanges +
@@ -157,6 +201,10 @@ def train_model(model, state: TrainState, config,
         """Pad + device_put in the prefetch thread so H2D overlaps compute."""
         def producer():
             for _ in range(n_steps):
+                if use_cache:
+                    # index generator: already (rows, corners, n_valid)
+                    yield next(gen)
+                    continue
                 x, y = next(gen)
                 x, y, n_valid = pad_batch(x, y, bs)
                 x, y = _compress(x, y)

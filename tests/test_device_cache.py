@@ -1,0 +1,474 @@
+"""Device-resident case cache: exact parity with the host staging path.
+
+The cached pipeline (pipeline/device_cache.py) must train on bitwise the
+same batches in the same order as the host pipeline (generator.py +
+training/loop.py::_compress) — these tests pin every link of that claim:
+grid margins, the device gather's zero-pad semantics, label conversion,
+the rng-parity index stream, and full-step equality (f32 and bf16).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fetal_mri_segmentation_tpu.config import Config
+from fetal_mri_segmentation_tpu.data import open_data_file, write_data_to_file
+from fetal_mri_segmentation_tpu.ops.patches import (
+    compute_patch_indices, get_patch_from_3d_data)
+from fetal_mri_segmentation_tpu.pipeline import data_generator
+from fetal_mri_segmentation_tpu.pipeline.device_cache import (
+    DeviceCaseCache, convert_labels_device, estimate_cache_bytes,
+    index_batch_generator, make_cached_eval_step, make_cached_train_step,
+    make_gather, maybe_build_device_cache, plan_margins)
+from fetal_mri_segmentation_tpu.pipeline.generator import (
+    convert_data, create_patch_index_list, get_validation_split)
+from tests.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def data_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("devcache")
+    files = write_synthetic_dataset(str(d / "nii"), n_cases=5,
+                                    shape=(20, 20, 20))
+    out = str(d / "data.h5")
+    write_data_to_file(files, out, image_shape=(16, 16, 16),
+                       normalize="per_volume", crop=False)
+    f = open_data_file(out)
+    yield f
+    f.close()
+
+
+# ---------------------------------------------------------------------------
+# Margins
+# ---------------------------------------------------------------------------
+
+def test_margins_cover_all_grids():
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        shape = tuple(int(rng.integers(9, 40)) for _ in range(3))
+        patch = tuple(int(rng.integers(4, min(12, min(shape)))) for _ in range(3))
+        overlap = int(rng.integers(0, min(patch) - 1))
+        offset = tuple(int(rng.integers(0, p)) for p in patch)
+        lo, hi = plan_margins(shape, patch, overlap, offset)
+        # validation grid
+        corners = [compute_patch_indices(shape, patch, overlap=overlap)]
+        # training grids across many random offsets
+        r = np.random.default_rng(1)
+        for _ in range(20):
+            idx = create_patch_index_list([0], shape, patch, 0, offset, r)
+            corners.append(np.array([c for _, c in idx]))
+        corners = np.concatenate(corners)
+        assert (corners + lo >= 0).all(), (shape, patch, overlap, offset)
+        ends = corners + np.array(patch)
+        assert (ends <= np.array(shape) + hi).all()
+
+
+def test_margins_no_offset_uses_centered_grid():
+    lo, hi = plan_margins((15, 15, 15), (8, 8, 8), 0, None)
+    # centered training grid: overflow 1 -> start -1
+    assert all(l >= 1 for l in lo)
+
+
+# ---------------------------------------------------------------------------
+# Gather + label conversion
+# ---------------------------------------------------------------------------
+
+def test_gather_matches_host_patch_extraction():
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(2, 1, 10, 12, 9)).astype(np.float32)
+    patch = (6, 6, 6)
+    lo, hi = (6, 6, 6), (6, 6, 6)
+    padded = np.pad(vol, [(0, 0), (0, 0)] + [(l, h) for l, h in zip(lo, hi)])
+    stack = jnp.asarray(padded)
+    gather = make_gather(patch, lo)
+    corners = np.array([[-3, 0, 2], [0, 8, -1], [5, 7, 4], [-6, -6, -6]],
+                       dtype=np.int32)
+    rows = np.array([0, 1, 1, 0], dtype=np.int32)
+    got = np.asarray(gather(stack, jnp.asarray(rows), jnp.asarray(corners)))
+    for b in range(len(rows)):
+        want = get_patch_from_3d_data(vol[rows[b]], patch, corners[b])
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_convert_labels_device_matches_host():
+    rng = np.random.default_rng(4)
+    truth = rng.integers(0, 6, size=(3, 1, 4, 4, 4)).astype(np.uint8)
+    # binary
+    y_dev = np.asarray(convert_labels_device(jnp.asarray(truth), 1, None))
+    _, y_host = convert_data([np.zeros_like(truth[0], np.float32)] * 3,
+                             [t.astype(np.float32) for t in truth], n_labels=1)
+    np.testing.assert_array_equal(y_dev, y_host)
+    # multi-class with explicit labels
+    labels = (2, 5, 1)
+    y_dev = np.asarray(convert_labels_device(jnp.asarray(truth), 3, labels))
+    _, y_host = convert_data([np.zeros_like(truth[0], np.float32)] * 3,
+                             [t.astype(np.float32) for t in truth],
+                             n_labels=3, labels=labels)
+    np.testing.assert_array_equal(y_dev, y_host)
+
+
+# ---------------------------------------------------------------------------
+# Index stream parity with data_generator
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shuffle,offset,overlap", [
+    (True, (4, 4, 4), 0),   # training shape
+    (False, None, 2),       # validation shape
+])
+def test_index_stream_matches_data_generator(data_file, shuffle, offset,
+                                             overlap):
+    ids = [0, 1, 2, 3]
+    row_of = {i: r for r, i in enumerate(ids)}
+    cases = {i: (np.asarray(data_file.root.data[i], np.float32),
+                 np.asarray(data_file.root.truth[i], np.float32))
+             for i in ids}
+    kw = dict(batch_size=3, patch_shape=(8, 8, 8), patch_overlap=overlap,
+              patch_start_offset=offset, shuffle_index_list=shuffle,
+              skip_blank=True, seed=7)
+    host = data_generator(data_file, ids, n_labels=1, **kw)
+    idx = index_batch_generator(data_file, ids, row_of, **kw)
+    inv = {r: i for i, r in row_of.items()}
+    for _ in range(9):  # crosses epoch boundaries incl. partial batches
+        xh, yh = next(host)
+        rows, corners, n_valid = next(idx)
+        assert n_valid == xh.shape[0]
+        for b in range(n_valid):
+            case = inv[int(rows[b])]
+            x = get_patch_from_3d_data(cases[case][0], (8, 8, 8), corners[b])
+            y = get_patch_from_3d_data(cases[case][1], (8, 8, 8), corners[b])
+            np.testing.assert_array_equal(xh[b], x)
+            np.testing.assert_array_equal(yh[b], (y > 0).astype(np.float32))
+
+
+def test_index_stream_all_blank_raises(data_file):
+    # a synthetic data_file whose truth is all zeros must raise, not hang
+    class _Root:
+        pass
+
+    class _File:
+        root = _Root()
+
+    f = _File()
+    f.root.data = np.zeros((2, 1, 8, 8, 8), np.float32)
+    f.root.truth = np.zeros((2, 1, 8, 8, 8), np.uint8)
+    gen = index_batch_generator(f, [0, 1], {0: 0, 1: 1}, batch_size=2,
+                                patch_shape=(4, 4, 4), skip_blank=True)
+    with pytest.raises(RuntimeError, match="no batches"):
+        next(gen)
+
+
+# ---------------------------------------------------------------------------
+# Full-step equality vs the host staging path
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_cached_step_equals_host_step(data_file, tmp_path, compute_dtype):
+    import ml_dtypes
+
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.training import create_train_state
+    from fetal_mri_segmentation_tpu.training.train_step import (
+        make_eval_step, make_train_step, pad_batch)
+
+    config = Config(model_name="unet", depth=2, n_base_filters=2,
+                    image_shape=(16, 16, 16), patch_shape=(8, 8, 8),
+                    batch_size=3, compute_dtype=compute_dtype,
+                    training_patch_start_offset=(4, 4, 4),
+                    augment=True, flip=True, permute=True, contrast=0.1)
+    model = build_model(config)
+    state_h = create_train_state(model, config, jax.random.PRNGKey(0))
+    state_c = create_train_state(model, config, jax.random.PRNGKey(0))
+
+    ids = [0, 1, 2]
+    row_of = {i: r for r, i in enumerate(ids)}
+    lo, hi = plan_margins((16, 16, 16), (8, 8, 8), 0, (4, 4, 4))
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    cache = DeviceCaseCache.build(data_file, ids, patch_shape=(8, 8, 8),
+                                  margin_lo=lo, margin_hi=hi, dtype=dtype)
+
+    kw = dict(batch_size=3, patch_shape=(8, 8, 8), patch_overlap=0,
+              patch_start_offset=(4, 4, 4), shuffle_index_list=True,
+              skip_blank=True, seed=11)
+    host = data_generator(data_file, ids, n_labels=1, **kw)
+    idx = index_batch_generator(data_file, ids, row_of, **kw)
+
+    step_h = make_train_step(model, config)
+    step_c = make_cached_train_step(model, config, cache.margin_lo)
+    rng = jax.random.PRNGKey(5)
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        x, y = next(host)
+        x, y, n_valid = pad_batch(x, y, 3)
+        if compute_dtype == "bfloat16":
+            x = x.astype(ml_dtypes.bfloat16)  # loop.py::_compress parity
+        y = y.astype(np.uint8)
+        state_h, mh = step_h(state_h, jnp.asarray(x), jnp.asarray(y), k,
+                             n_valid)
+        rows, corners, n_valid_c = next(idx)
+        assert n_valid_c == n_valid
+        state_c, mc = step_c(state_c, cache.data_stack, cache.truth_stack,
+                             jnp.asarray(rows), jnp.asarray(corners), k,
+                             n_valid_c)
+        assert float(mh["loss"]) == float(mc["loss"])
+    for lh, lc in zip(jax.tree_util.tree_leaves(state_h.params),
+                      jax.tree_util.tree_leaves(state_c.params)):
+        np.testing.assert_array_equal(np.asarray(lh), np.asarray(lc))
+
+    # eval step parity too
+    ev_h = make_eval_step(model, config)
+    ev_c = make_cached_eval_step(model, config, cache.margin_lo)
+    x, y = next(host)
+    x, y, n_valid = pad_batch(x, y, 3)
+    rows, corners, n_valid_c = next(idx)
+    mh = ev_h(state_h, jnp.asarray(x), jnp.asarray(y), n_valid)
+    mc = ev_c(state_c, cache.data_stack, cache.truth_stack,
+              jnp.asarray(rows), jnp.asarray(corners), n_valid_c)
+    assert float(mh["loss"]) == pytest.approx(float(mc["loss"]), rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# The auto decision + end-to-end loop
+# ---------------------------------------------------------------------------
+
+def _cfg(data_file, tmp_path, **kw):
+    base = dict(model_name="unet", depth=2, n_base_filters=2,
+                image_shape=(16, 16, 16), patch_shape=(8, 8, 8),
+                batch_size=3, validation_batch_size=3, n_epochs=1,
+                compute_dtype="float32",
+                training_patch_start_offset=(4, 4, 4),
+                validation_patch_overlap=2,
+                training_file=str(tmp_path / "t.pkl"),
+                validation_file=str(tmp_path / "v.pkl"),
+                model_file=str(tmp_path / "model.ckpt"),
+                training_log=str(tmp_path / "training.log"))
+    base.update(kw)
+    return Config(**base)
+
+
+def test_maybe_build_gating(data_file, tmp_path, monkeypatch):
+    config = _cfg(data_file, tmp_path)
+    get_validation_split(data_file, config.training_file,
+                         config.validation_file, overwrite=True, seed=0)
+    # off knob
+    config.device_case_cache = "off"
+    assert maybe_build_device_cache(data_file, config) is None
+    # spatial/hybrid mesh -> host staging (DP meshes DO use the cache)
+    config.device_case_cache = "auto"
+    from fetal_mri_segmentation_tpu.parallel import make_hybrid_mesh
+    mesh = make_hybrid_mesh(2, 4)
+    assert maybe_build_device_cache(data_file, config, mesh=mesh) is None
+    # budget exceeded in auto -> None
+    import fetal_mri_segmentation_tpu.pipeline.device_cache as dc_mod
+    monkeypatch.setattr(dc_mod, "AUTO_BUDGET_BYTES", 10)
+    assert maybe_build_device_cache(data_file, config) is None
+    monkeypatch.undo()
+    # normal auto -> builds
+    out = maybe_build_device_cache(data_file, config, verbose=True)
+    assert out is not None
+    cache, tg, vg = out
+    assert estimate_cache_bytes(data_file, 5, cache.margin_lo,
+                                (0, 0, 0), 4) > 0
+    rows, corners, n_valid = next(tg)
+    assert rows.shape == (3,) and corners.shape == (3, 3)
+
+
+def test_train_model_with_device_cache(data_file, tmp_path):
+    """End-to-end epoch through training/loop.py with the cached pipeline
+    equals the host-pipeline epoch exactly (same seed, same final params)."""
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.pipeline import (
+        get_training_and_validation_generators)
+    from fetal_mri_segmentation_tpu.training import (create_train_state,
+                                                     train_model)
+
+    results = {}
+    for mode in ("host", "cache"):
+        sub = tmp_path / mode
+        sub.mkdir()
+        config = _cfg(data_file, sub, n_epochs=2)
+        tg, n_t, vg, n_v = get_training_and_validation_generators(
+            data_file, batch_size=config.batch_size, n_labels=1,
+            training_keys_file=config.training_file,
+            validation_keys_file=config.validation_file,
+            data_split=0.8, overwrite=True,
+            patch_shape=config.patch_shape,
+            validation_batch_size=config.validation_batch_size,
+            validation_patch_overlap=config.validation_patch_overlap,
+            training_patch_start_offset=config.training_patch_start_offset,
+            skip_blank=True, seed=3)
+        model = build_model(config)
+        state = create_train_state(model, config, jax.random.PRNGKey(0))
+        device_cache = None
+        if mode == "cache":
+            device_cache, tg, vg = maybe_build_device_cache(
+                data_file, config, seed=3)
+        state = train_model(model, state, config, tg, vg, n_t, n_v,
+                            seed=3, device_cache=device_cache, verbose=False)
+        results[mode] = jax.tree_util.tree_leaves(state.params)
+        assert (sub / "training.log").exists()
+    for lh, lc in zip(results["host"], results["cache"]):
+        np.testing.assert_array_equal(np.asarray(lh), np.asarray(lc))
+
+
+def test_cached_dp_step_equals_host_dp_step(data_file):
+    """8-shard CPU mesh: the cached DP step (replicated stacks, sharded
+    index arrays) must match the host DP step bitwise — incl. a padded
+    partial batch and BatchNorm's sync-BN statistics."""
+    import ml_dtypes
+
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.parallel import make_mesh
+    from fetal_mri_segmentation_tpu.parallel.data_parallel import (
+        make_dp_eval_step, make_dp_train_step, replicate_state, shard_batch)
+    from fetal_mri_segmentation_tpu.pipeline.device_cache import (
+        make_cached_dp_eval_step, make_cached_dp_train_step)
+    from fetal_mri_segmentation_tpu.training import create_train_state
+    from fetal_mri_segmentation_tpu.training.train_step import pad_batch
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    config = Config(model_name="unet", depth=2, n_base_filters=2,
+                    image_shape=(16, 16, 16), patch_shape=(8, 8, 8),
+                    batch_size=8, compute_dtype="bfloat16",
+                    batch_normalization=True,
+                    training_patch_start_offset=(4, 4, 4),
+                    augment=True, flip=True, permute=True, contrast=0.1)
+    model = build_model(config)
+    state_h = replicate_state(mesh, create_train_state(
+        model, config, jax.random.PRNGKey(0)))
+    state_c = replicate_state(mesh, create_train_state(
+        model, config, jax.random.PRNGKey(0)))
+
+    ids = [0, 1, 2, 3]
+    row_of = {i: r for r, i in enumerate(ids)}
+    lo, hi = plan_margins((16, 16, 16), (8, 8, 8), 0, (4, 4, 4))
+    cache = DeviceCaseCache.build(data_file, ids, patch_shape=(8, 8, 8),
+                                  margin_lo=lo, margin_hi=hi,
+                                  dtype=jnp.bfloat16)
+    repl = NamedSharding(mesh, P())
+    ds = jax.device_put(cache.data_stack, repl)
+    ts = jax.device_put(cache.truth_stack, repl)
+
+    kw = dict(batch_size=8, patch_shape=(8, 8, 8), patch_overlap=0,
+              patch_start_offset=(4, 4, 4), shuffle_index_list=True,
+              skip_blank=True, seed=13)
+    host = data_generator(data_file, ids, n_labels=1, **kw)
+    idx = index_batch_generator(data_file, ids, row_of, **kw)
+
+    step_h = make_dp_train_step(model, config, mesh)
+    step_c = make_cached_dp_train_step(model, config, mesh, cache.margin_lo)
+    rng = jax.random.PRNGKey(5)
+    for _ in range(4):
+        rng, k = jax.random.split(rng)
+        x, y = next(host)
+        x, y, n_valid = pad_batch(x, y, 8)
+        x = x.astype(ml_dtypes.bfloat16)
+        y = y.astype(np.uint8)
+        xs, ys = shard_batch(mesh, jnp.asarray(x), jnp.asarray(y))
+        state_h, mh = step_h(state_h, xs, ys, k, n_valid)
+        rows, corners, n_valid_c = next(idx)
+        assert n_valid_c == n_valid
+        rs, cs = shard_batch(mesh, jnp.asarray(rows), jnp.asarray(corners))
+        state_c, mc = step_c(state_c, ds, ts, rs, cs, k, n_valid_c)
+        assert float(mh["loss"]) == float(mc["loss"])
+
+    # hand-crafted PARTIAL batch (n_valid=5 of 8): exercises the zero-pad
+    # parity — host pads x/y with zeros, the cached step must zero the
+    # repeated-index padding slots before BN sees them
+    pairs = [(0, (-2, 0, 3)), (1, (4, 4, 4)), (2, (0, 0, 0)),
+             (3, (5, -1, 2)), (0, (8, 8, 8))]
+    xs_np, ys_np = [], []
+    for case, corner in pairs:
+        d = np.asarray(data_file.root.data[case], np.float32)
+        t = np.asarray(data_file.root.truth[case], np.float32)
+        xs_np.append(get_patch_from_3d_data(d, (8, 8, 8), np.array(corner)))
+        ys_np.append(get_patch_from_3d_data(t, (8, 8, 8), np.array(corner)))
+    x, y = convert_data(xs_np, ys_np, n_labels=1)
+    x, y, n_valid = pad_batch(x, y, 8)
+    rng, k = jax.random.split(rng)
+    xs, ys = shard_batch(mesh, jnp.asarray(x.astype(ml_dtypes.bfloat16)),
+                         jnp.asarray(y.astype(np.uint8)))
+    state_h, mh = step_h(state_h, xs, ys, k, n_valid)
+    rows = np.asarray([row_of[c] for c, _ in pairs]
+                      + [row_of[pairs[0][0]]] * 3, np.int32)
+    corners = np.asarray([c for _, c in pairs]
+                         + [pairs[0][1]] * 3, np.int32)
+    rs, cs = shard_batch(mesh, jnp.asarray(rows), jnp.asarray(corners))
+    state_c, mc = step_c(state_c, ds, ts, rs, cs, k, n_valid)
+    assert float(mh["loss"]) == float(mc["loss"])
+    for lh, lc in zip(jax.tree_util.tree_leaves(state_h.params)
+                      + jax.tree_util.tree_leaves(state_h.batch_stats),
+                      jax.tree_util.tree_leaves(state_c.params)
+                      + jax.tree_util.tree_leaves(state_c.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(lh), np.asarray(lc))
+
+    ev_h = make_dp_eval_step(model, config, mesh)
+    ev_c = make_cached_dp_eval_step(model, config, mesh, cache.margin_lo)
+    x, y = next(host)
+    x, y, n_valid = pad_batch(x, y, 8)
+    rows, corners, n_valid_c = next(idx)
+    xs, ys = shard_batch(mesh, jnp.asarray(x.astype(ml_dtypes.bfloat16)),
+                         jnp.asarray(y.astype(np.uint8)))
+    rs, cs = shard_batch(mesh, jnp.asarray(rows), jnp.asarray(corners))
+    mh = ev_h(state_h, xs, ys, n_valid)
+    mc = ev_c(state_c, ds, ts, rs, cs, n_valid_c)
+    assert float(mh["loss"]) == pytest.approx(float(mc["loss"]), rel=1e-6)
+
+
+def test_train_model_dp_with_device_cache(data_file, tmp_path):
+    """Loop-level DP: train_model on the 8-device mesh with the cached
+    pipeline equals the host-pipeline DP run exactly."""
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.parallel import make_mesh
+    from fetal_mri_segmentation_tpu.pipeline import (
+        get_training_and_validation_generators)
+    from fetal_mri_segmentation_tpu.training import (create_train_state,
+                                                     train_model)
+
+    mesh = make_mesh(8)
+    results = {}
+    for mode in ("host", "cache"):
+        sub = tmp_path / mode
+        sub.mkdir()
+        config = _cfg(data_file, sub, batch_size=8, validation_batch_size=8)
+        tg, n_t, vg, n_v = get_training_and_validation_generators(
+            data_file, batch_size=config.batch_size, n_labels=1,
+            training_keys_file=config.training_file,
+            validation_keys_file=config.validation_file,
+            data_split=0.8, overwrite=True,
+            patch_shape=config.patch_shape,
+            validation_batch_size=config.validation_batch_size,
+            validation_patch_overlap=config.validation_patch_overlap,
+            training_patch_start_offset=config.training_patch_start_offset,
+            skip_blank=True, seed=3)
+        model = build_model(config)
+        state = create_train_state(model, config, jax.random.PRNGKey(0))
+        device_cache = None
+        if mode == "cache":
+            device_cache, tg, vg = maybe_build_device_cache(
+                data_file, config, mesh=mesh, seed=3)
+            assert device_cache is not None
+        state = train_model(model, state, config, tg, vg, n_t, n_v,
+                            mesh=mesh, seed=3, device_cache=device_cache,
+                            verbose=False)
+        results[mode] = jax.tree_util.tree_leaves(state.params)
+    for lh, lc in zip(results["host"], results["cache"]):
+        np.testing.assert_array_equal(np.asarray(lh), np.asarray(lc))
+
+
+def test_non_integral_truth_rejected():
+    class _Root:
+        pass
+
+    class _File:
+        root = _Root()
+
+    f = _File()
+    f.root.data = np.zeros((1, 1, 8, 8, 8), np.float32)
+    f.root.truth = np.full((1, 1, 8, 8, 8), 0.5, np.float32)
+    with pytest.raises(ValueError, match="integral"):
+        DeviceCaseCache.build(f, [0], patch_shape=(4, 4, 4),
+                              margin_lo=(2, 2, 2), margin_hi=(2, 2, 2))

@@ -123,16 +123,30 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
                     if mesh is not None else "1 device")
             print(f"training on {desc}; "
                   f"{n_train} steps/epoch, {n_val} val steps")
+
+        # device-resident case cache (single-device): cases live in HBM,
+        # steps feed int32 patch indices instead of uploaded patch arrays
+        # (pipeline/device_cache.py; exact-parity with the host staging path)
+        device_cache = None
+        from fetal_mri_segmentation_tpu.pipeline.device_cache import (
+            maybe_build_device_cache)
+        dc = maybe_build_device_cache(data_file, config, mesh=mesh,
+                                      seed=seed, verbose=verbose)
+        if dc is not None:
+            device_cache, tg, vg = dc
+
         if profile_dir:
             # device-timeline trace (tensorboard-loadable) around training —
             # observability the reference lacked (SURVEY.md section 5.1)
             from fetal_mri_segmentation_tpu.utils.profiling import trace
             with trace(profile_dir):
                 train_model(model, state, config, tg, vg, n_train, n_val,
-                            mesh=mesh, seed=seed, verbose=verbose)
+                            mesh=mesh, seed=seed, verbose=verbose,
+                            device_cache=device_cache)
         else:
             train_model(model, state, config, tg, vg, n_train, n_val,
-                        mesh=mesh, seed=seed, verbose=verbose)
+                        mesh=mesh, seed=seed, verbose=verbose,
+                        device_cache=device_cache)
     finally:
         data_file.close()
 
