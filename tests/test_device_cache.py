@@ -312,6 +312,71 @@ def test_train_model_with_device_cache(data_file, tmp_path):
         np.testing.assert_array_equal(np.asarray(lh), np.asarray(lc))
 
 
+def test_cached_step_multiclass_parity(tmp_path):
+    """n_labels=3 with explicit non-contiguous labels: the on-device one-hot
+    must match the host get_multi_class_labels path through a full step."""
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.training import create_train_state
+    from fetal_mri_segmentation_tpu.training.train_step import (
+        make_train_step, pad_batch)
+
+    class _Root:
+        pass
+
+    class _File:
+        root = _Root()
+
+    rng = np.random.default_rng(8)
+    f = _File()
+    f.root.data = rng.normal(size=(3, 1, 16, 16, 16)).astype(np.float32)
+    f.root.truth = rng.choice([0, 2, 5, 7], size=(3, 1, 16, 16, 16),
+                              p=[0.7, 0.1, 0.1, 0.1]).astype(np.uint8)
+
+    config = Config(model_name="unet", depth=2, n_base_filters=2,
+                    image_shape=(16, 16, 16), patch_shape=(8, 8, 8),
+                    batch_size=3, compute_dtype="float32",
+                    n_labels=3, labels=(2, 5, 7), activation_name="softmax",
+                    training_patch_start_offset=(4, 4, 4),
+                    include_label_wise_dice_coefficients=True,
+                    augment=True, flip=True, permute=True, contrast=0.1)
+    model = build_model(config)
+    state_h = create_train_state(model, config, jax.random.PRNGKey(0))
+    state_c = create_train_state(model, config, jax.random.PRNGKey(0))
+
+    ids = [0, 1, 2]
+    row_of = {i: r for r, i in enumerate(ids)}
+    lo, hi = plan_margins((16, 16, 16), (8, 8, 8), 0, (4, 4, 4))
+    cache = DeviceCaseCache.build(f, ids, patch_shape=(8, 8, 8),
+                                  margin_lo=lo, margin_hi=hi,
+                                  dtype=jnp.float32)
+    kw = dict(batch_size=3, patch_shape=(8, 8, 8), patch_overlap=0,
+              patch_start_offset=(4, 4, 4), shuffle_index_list=True,
+              skip_blank=True, seed=2)
+    host = data_generator(f, ids, n_labels=3, labels=(2, 5, 7), **kw)
+    idx = index_batch_generator(f, ids, row_of, **kw)
+
+    step_h = make_train_step(model, config)
+    step_c = make_cached_train_step(model, config, cache.margin_lo)
+    rng_j = jax.random.PRNGKey(5)
+    for _ in range(2):
+        rng_j, k = jax.random.split(rng_j)
+        x, y = next(host)
+        x, y, n_valid = pad_batch(x, y, 3)
+        state_h, mh = step_h(state_h, jnp.asarray(x), jnp.asarray(y), k,
+                             n_valid)
+        rows, corners, n_valid_c = next(idx)
+        assert n_valid_c == n_valid
+        state_c, mc = step_c(state_c, cache.data_stack, cache.truth_stack,
+                             jnp.asarray(rows), jnp.asarray(corners), k,
+                             n_valid_c)
+        assert float(mh["loss"]) == float(mc["loss"])
+        for key in mh:
+            assert float(mh[key]) == pytest.approx(float(mc[key]), rel=1e-6)
+    for lh, lc in zip(jax.tree_util.tree_leaves(state_h.params),
+                      jax.tree_util.tree_leaves(state_c.params)):
+        np.testing.assert_array_equal(np.asarray(lh), np.asarray(lc))
+
+
 def test_cached_dp_step_equals_host_dp_step(data_file):
     """8-shard CPU mesh: the cached DP step (replicated stacks, sharded
     index arrays) must match the host DP step bitwise — incl. a padded
