@@ -87,9 +87,11 @@ class Config:
                                                # as a fraction of patch size
     device_case_cache: str = "auto"  # "auto" | "on" | "off": keep all cases
                                      # HBM-resident and gather patches on
-                                     # device (single-device training); auto
-                                     # falls back to host staging when the
-                                     # padded stacks exceed the HBM budget
+                                     # device (single-device and pure-DP
+                                     # training); auto falls back to host
+                                     # staging when the padded stacks exceed
+                                     # the HBM budget or the mesh is
+                                     # spatial/hybrid
 
     # --- normalization ------------------------------------------------------
     normalization: str = "per_volume"  # "per_volume" | "global" | "windowed"
@@ -131,6 +133,13 @@ class Config:
             self.training_modalities = tuple(self.training_modalities)
         if self.training_patch_start_offset is not None:
             self.training_patch_start_offset = _tup(self.training_patch_start_offset)
+        if self.device_case_cache not in ("auto", "on", "off"):
+            # a typo like "On"/"true" would otherwise behave as an
+            # undocumented fourth mode (cache attempted, budget check AND
+            # auto-fallback both skipped)
+            raise ValueError(
+                f"device_case_cache={self.device_case_cache!r} — must be "
+                "'auto', 'on' or 'off'")
 
     @property
     def nb_channels(self) -> int:

@@ -115,6 +115,7 @@ class DeviceCaseCache:
         self.row_of = dict(row_of)
         self.margin_lo = tuple(int(m) for m in margin_lo)
         self.patch_shape = tuple(int(p) for p in patch_shape)
+        self.host_truth = None  # optional {case_idx: uint8 array}, see build
 
     @property
     def nbytes(self) -> int:
@@ -124,7 +125,14 @@ class DeviceCaseCache:
     def build(cls, data_file, case_indices: Sequence[int], *,
               patch_shape: Sequence[int],
               margin_lo: Sequence[int], margin_hi: Sequence[int],
-              dtype=None, device=None) -> "DeviceCaseCache":
+              dtype=None, device=None,
+              keep_host_truth: bool = False) -> "DeviceCaseCache":
+        """``device`` may be a Device or a Sharding (e.g. a replicated
+        NamedSharding for DP training — building straight into the final
+        placement avoids a second full copy living on device 0).
+        ``keep_host_truth`` retains the unpadded uint8 truth volumes in
+        ``self.host_truth`` so blank-skip generators can share them instead
+        of re-reading the HDF5 file."""
         import jax
         import jax.numpy as jnp
         import ml_dtypes
@@ -140,6 +148,7 @@ class DeviceCaseCache:
         n = len(case_indices)
         data = np.zeros((n, c) + padded, dtype=np_dtype)
         truth = np.zeros((n, 1) + padded, dtype=np.uint8)
+        host_truth = {}
         sl = tuple(slice(lo, lo + s) for lo, s in zip(margin_lo, spatial))
         for row, idx in enumerate(case_indices):
             data[(row, slice(None)) + sl] = np.asarray(
@@ -152,9 +161,13 @@ class DeviceCaseCache:
                     "(reference truth_dtype contract) — device case cache "
                     "cannot represent them; use the host pipeline")
             truth[(row, slice(None)) + sl] = t8.reshape((1,) + spatial)
-        return cls(jax.device_put(data, device), jax.device_put(truth, device),
-                   {idx: row for row, idx in enumerate(case_indices)},
-                   margin_lo, patch_shape)
+            if keep_host_truth:
+                host_truth[idx] = t8.reshape((1,) + spatial)
+        out = cls(jax.device_put(data, device), jax.device_put(truth, device),
+                  {idx: row for row, idx in enumerate(case_indices)},
+                  margin_lo, patch_shape)
+        out.host_truth = host_truth if keep_host_truth else None
+        return out
 
 
 def estimate_cache_bytes(data_file, n_cases: int, margin_lo, margin_hi,
@@ -341,6 +354,17 @@ def make_cached_dp_eval_step(model, config, mesh, margin_lo):
 # Host index stream (rng-parity twin of generator.py::data_generator)
 # ---------------------------------------------------------------------------
 
+class _DictTruth:
+    """Truth lookup over the host copies retained by ``DeviceCaseCache.build``
+    (shared by the train and validation generators — no HDF5 re-reads)."""
+
+    def __init__(self, host_truth):
+        self._d = host_truth
+
+    def get(self, index: int) -> np.ndarray:
+        return self._d[index]
+
+
 class _TruthCache:
     """LRU of truth volumes only (uint8-sized) for host blank-skip checks."""
 
@@ -367,7 +391,8 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
                           shuffle_index_list: bool = True,
                           skip_blank: bool = True,
                           seed: Optional[int] = None,
-                          cache_cases: int = 64
+                          cache_cases: int = 64,
+                          truth_cache=None
                           ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
     """Infinite generator of ``(rows[B] int32, corners[B,3] int32, n_valid)``.
 
@@ -377,6 +402,10 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
     partial-batch boundaries — so the cached pipeline trains on the exact
     sequence the host pipeline would. Partial batches are padded by
     repeating the first entry; ``n_valid`` masks the padding in the step.
+
+    ``truth_cache``: optional shared ``.get(case_idx) -> truth array``
+    lookup (e.g. ``DeviceCaseCache.host_truth`` wrapped) so several
+    generators avoid re-reading the HDF5 truth already loaded at build.
     """
     from fetal_mri_segmentation_tpu.pipeline.generator import (
         create_patch_index_list)
@@ -384,7 +413,7 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
     if patch_shape is None:
         raise ValueError("device case cache requires patch_shape training")
     rng = np.random.default_rng(seed)
-    cache = _TruthCache(data_file, max_cases=cache_cases)
+    cache = truth_cache or _TruthCache(data_file, max_cases=cache_cases)
     base_list = list(index_list)
     image_shape = tuple(data_file.root.data.shape[-3:])
 
@@ -439,23 +468,43 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
     case cache applies, else None (host staging path).
 
     Applies when: config.device_case_cache != "off", patch training, a
-    single device or a pure data-parallel mesh (stacks replicated per
-    device; the spatial/hybrid paths keep host staging), the split pickles
-    exist, the truth is integral uint8, and ("auto") the padded stacks fit
-    AUTO_BUDGET_BYTES per device. "on" skips only the budget check.
+    single device or a pure data-parallel mesh (stacks built directly into
+    the replicated sharding; the spatial/hybrid paths keep host staging),
+    the split pickles exist, the truth is integral uint8, and ("auto") the
+    padded stacks fit AUTO_BUDGET_BYTES per device. "on" raises instead of
+    falling back for everything except the mesh check, and skips the
+    budget check.
     """
+    import os
+
     import jax.numpy as jnp
 
     from fetal_mri_segmentation_tpu.utils.io_utils import pickle_load
 
     knob = getattr(config, "device_case_cache", "auto")
+    if knob not in ("auto", "on", "off"):
+        raise ValueError(
+            f"device_case_cache={knob!r} — must be 'auto', 'on' or 'off'")
     if knob == "off" or config.patch_shape is None:
         return None
-    if (mesh is not None and len(mesh.devices.flat) > 1
-            and "spatial" in mesh.axis_names):
-        if verbose and knob == "on":
+
+    def skip(reason):
+        if knob == "on":
+            raise ValueError(f"device_case_cache='on' but {reason}")
+        if verbose:
+            print(f"[device-cache] {reason} — keeping host staging")
+        return None
+
+    dp_mesh = mesh is not None and len(mesh.devices.flat) > 1
+    if dp_mesh and "spatial" in mesh.axis_names:
+        # patch gathers are per-sample; a depth-sharded volume axis would
+        # need halo-aware gathers — host staging stays correct there
+        if verbose:
             print("[device-cache] spatial/hybrid mesh — keeping host staging")
         return None
+    if not (os.path.exists(config.training_file)
+            and os.path.exists(config.validation_file)):
+        return skip("split pickles not found (build the generators first)")
     training_list = [int(i) for i in pickle_load(config.training_file)]
     validation_list = [int(i) for i in pickle_load(config.validation_file)]
     all_cases = sorted(set(training_list) | set(validation_list))
@@ -473,29 +522,44 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
                   f"HBM (> {AUTO_BUDGET_BYTES / 2**30:.0f} GiB budget) — "
                   "keeping host staging")
         return None
+    device = None
+    if dp_mesh:
+        # build straight into the replicated placement — a plain device_put
+        # then replicate would leave a dead full copy on device 0
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        device = NamedSharding(mesh, P())
     try:
         cache = DeviceCaseCache.build(
             data_file, all_cases, patch_shape=config.patch_shape,
-            margin_lo=margin_lo, margin_hi=margin_hi, dtype=dtype)
+            margin_lo=margin_lo, margin_hi=margin_hi, dtype=dtype,
+            device=device, keep_host_truth=config.skip_blank)
     except ValueError as e:
-        if knob == "on":
-            raise
-        if verbose:
-            print(f"[device-cache] {e} — keeping host staging")
-        return None
+        # non-integral truth etc. — a representation problem, not a bug
+        return skip(str(e))
+    except (RuntimeError, MemoryError) as e:
+        # the 4 GiB budget is a static estimate: a device whose HBM is
+        # already busy can still fail the upload (XlaRuntimeError is a
+        # RuntimeError). The documented auto contract is host-staging
+        # fallback, not a crash.
+        return skip(f"cache upload failed ({type(e).__name__}: {e})")
     if verbose:
         print(f"[device-cache] {len(all_cases)} cases resident on device "
-              f"({cache.nbytes / 2**20:.0f} MiB); steps feed int32 indices")
+              f"({cache.nbytes / 2**20:.0f} MiB"
+              f"{' per device, replicated' if dp_mesh else ''}); "
+              "steps feed int32 indices")
+    truth_lookup = (_DictTruth(cache.host_truth)
+                    if cache.host_truth is not None else None)
     train_gen = index_batch_generator(
         data_file, training_list, cache.row_of,
         batch_size=config.batch_size, patch_shape=config.patch_shape,
         patch_overlap=0,
         patch_start_offset=config.training_patch_start_offset,
-        skip_blank=config.skip_blank, seed=seed)
+        skip_blank=config.skip_blank, seed=seed, truth_cache=truth_lookup)
     val_gen = index_batch_generator(
         data_file, validation_list, cache.row_of,
         batch_size=config.validation_batch_size or config.batch_size,
         patch_shape=config.patch_shape,
         patch_overlap=config.validation_patch_overlap,
-        shuffle_index_list=False, skip_blank=config.skip_blank, seed=seed)
+        shuffle_index_list=False, skip_blank=config.skip_blank, seed=seed,
+        truth_cache=truth_lookup)
     return cache, train_gen, val_gen

@@ -72,7 +72,9 @@ def train_model(model, state: TrainState, config,
     generators must then be index generators yielding
     ``(rows, corners, n_valid)``; patch gather, label conversion and
     augmentation run inside the jitted step and the per-step H2D shrinks
-    to ~100 bytes (single-device path only).
+    to ~100 bytes. Supported for single-device and pure data-parallel
+    meshes (stacks replicated per shard); spatial/hybrid meshes are not
+    (a depth-sharded volume axis would need halo-aware gathers).
     """
     n_epochs = n_epochs if n_epochs is not None else config.n_epochs
     batch_size = config.batch_size
@@ -97,9 +99,14 @@ def train_model(model, state: TrainState, config,
             "to restore from — pass a concrete create_train_state result "
             "(or build the dataset/checkpoint first)")
 
-    use_cache = (device_cache is not None
-                 and not (mesh is not None and len(mesh.devices.flat) > 1
-                          and "spatial" in mesh.axis_names))
+    if (device_cache is not None and mesh is not None
+            and len(mesh.devices.flat) > 1 and "spatial" in mesh.axis_names):
+        raise ValueError(
+            "device_cache is not supported on spatial/hybrid meshes (a "
+            "depth-sharded volume axis would need halo-aware gathers) — "
+            "pass device_cache=None and (x, y) generators; "
+            "maybe_build_device_cache makes this decision automatically")
+    use_cache = device_cache is not None
     if use_cache and mesh is not None and len(mesh.devices.flat) > 1:
         # data-parallel cached path: stacks replicated over the mesh once,
         # per-step index arrays sharded on "data"

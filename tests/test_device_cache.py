@@ -7,6 +7,8 @@ grid margins, the device gather's zero-pad semantics, label conversion,
 the rng-parity index stream, and full-step equality (f32 and bf16).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -522,6 +524,78 @@ def test_train_model_dp_with_device_cache(data_file, tmp_path):
         results[mode] = jax.tree_util.tree_leaves(state.params)
     for lh, lc in zip(results["host"], results["cache"]):
         np.testing.assert_array_equal(np.asarray(lh), np.asarray(lc))
+
+
+def test_knob_validation_and_skip_reasons(data_file, tmp_path):
+    # bad knob value rejected at config construction
+    with pytest.raises(ValueError, match="device_case_cache"):
+        _cfg(data_file, tmp_path, device_case_cache="On")
+    # missing split pickles: auto -> None, on -> clear error
+    config = _cfg(data_file, tmp_path)
+    assert not os.path.exists(config.training_file)
+    assert maybe_build_device_cache(data_file, config) is None
+    config.device_case_cache = "on"
+    with pytest.raises(ValueError, match="split pickles"):
+        maybe_build_device_cache(data_file, config)
+    # upload/build failure in auto mode falls back instead of crashing
+    config = _cfg(data_file, tmp_path)
+    get_validation_split(data_file, config.training_file,
+                         config.validation_file, overwrite=True, seed=0)
+    import fetal_mri_segmentation_tpu.pipeline.device_cache as dc_mod
+
+    class _Boom(dc_mod.DeviceCaseCache):
+        @classmethod
+        def build(cls, *a, **kw):
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    orig = dc_mod.DeviceCaseCache
+    dc_mod.DeviceCaseCache = _Boom
+    try:
+        assert maybe_build_device_cache(data_file, config) is None
+        config.device_case_cache = "on"
+        with pytest.raises(ValueError, match="RESOURCE_EXHAUSTED"):
+            maybe_build_device_cache(data_file, config)
+    finally:
+        dc_mod.DeviceCaseCache = orig
+
+
+def test_spatial_mesh_with_cache_raises(data_file, tmp_path):
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.parallel import make_hybrid_mesh
+    from fetal_mri_segmentation_tpu.training import (create_train_state,
+                                                     train_model)
+
+    config = _cfg(data_file, tmp_path)
+    get_validation_split(data_file, config.training_file,
+                         config.validation_file, overwrite=True, seed=0)
+    cache_tuple = maybe_build_device_cache(data_file, config, seed=0)
+    assert cache_tuple is not None
+    cache, tg, vg = cache_tuple
+    model = build_model(config)
+    state = create_train_state(model, config, jax.random.PRNGKey(0))
+    mesh = make_hybrid_mesh(2, 4)
+    with pytest.raises(ValueError, match="spatial"):
+        train_model(model, state, config, tg, vg, 1, 1, mesh=mesh,
+                    device_cache=cache, verbose=False)
+
+
+def test_dp_build_replicates_without_extra_copy(data_file, tmp_path):
+    """DP meshes build the stacks straight into the replicated sharding —
+    no second full copy parked on device 0."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fetal_mri_segmentation_tpu.parallel import make_mesh
+
+    config = _cfg(data_file, tmp_path, batch_size=8, validation_batch_size=8)
+    get_validation_split(data_file, config.training_file,
+                         config.validation_file, overwrite=True, seed=0)
+    mesh = make_mesh(8)
+    cache, tg, vg = maybe_build_device_cache(data_file, config, mesh=mesh,
+                                             seed=0)
+    assert cache.data_stack.sharding == NamedSharding(mesh, P())
+    assert cache.truth_stack.sharding == NamedSharding(mesh, P())
+    # shared truth lookup: generators reuse the build's host copies
+    assert cache.host_truth is not None and len(cache.host_truth) == 5
 
 
 def test_non_integral_truth_rejected():

@@ -124,9 +124,10 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
             print(f"training on {desc}; "
                   f"{n_train} steps/epoch, {n_val} val steps")
 
-        # device-resident case cache (single-device): cases live in HBM,
-        # steps feed int32 patch indices instead of uploaded patch arrays
-        # (pipeline/device_cache.py; exact-parity with the host staging path)
+        # device-resident case cache (single-device or pure-DP mesh): cases
+        # live in HBM, steps feed int32 patch indices instead of uploaded
+        # patch arrays (pipeline/device_cache.py; exact-parity with the
+        # host staging path; spatial/hybrid meshes keep host staging)
         device_cache = None
         from fetal_mri_segmentation_tpu.pipeline.device_cache import (
             maybe_build_device_cache)
