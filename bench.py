@@ -181,7 +181,10 @@ def _real_epoch_row():
     from fetal_mri_segmentation_tpu.training import (create_train_state,
                                                      train_model)
 
-    cache = "/tmp/fetal_bench_epoch"
+    # cache keyed on the dataset-defining parameters so a stale HDF5 from a
+    # run with different VOLUME / builder semantics is never silently reused
+    cache = (f"/tmp/fetal_bench_epoch_{'x'.join(map(str, VOLUME))}"
+             f"_n24_pervol_nocrop")
     h5_path = os.path.join(cache, "data.h5")
     if not os.path.exists(h5_path):
         os.makedirs(cache, exist_ok=True)

@@ -241,6 +241,25 @@ def preprocess_case(input_path: str, config, *, crop: bool = True,
         from fetal_mri_segmentation_tpu.utils.geometry import (
             resample_to_shape)
 
+        # the device path normalizes with device_pre's OWN settings — a
+        # mismatch with the config would silently return data normalized
+        # into a different distribution than training
+        if device_pre.normalization != config.normalization:
+            raise ValueError(
+                f"device_pre was built with normalization="
+                f"{device_pre.normalization!r} but config.normalization="
+                f"{config.normalization!r} — predictions would be shifted "
+                "into a different intensity distribution than training")
+        if (global_moments is not None
+                and getattr(device_pre, "_mean", None) is not None
+                and not (np.allclose(global_moments[0],
+                                     np.asarray(device_pre._mean))
+                         and np.allclose(global_moments[1],
+                                         np.asarray(device_pre._std)))):
+            raise ValueError(
+                "device_pre's global normalization moments differ from the "
+                "global_moments passed to preprocess_case — build the "
+                "DevicePreprocessor with the same training moments")
         # host: crop only (image_shape=None skips the host zoom)
         cropped = process_case_images(loaded, image_shape=None, crop=crop,
                                       label_indices=label_indices)

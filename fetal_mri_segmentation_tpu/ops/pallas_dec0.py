@@ -236,14 +236,21 @@ def _dec0_call(xf, sf, w_up, w_skip, bias, mask, *, W2c, activation,
 
 
 def dec0_available(x_shape: Tuple[int, ...], up_ch: int, skip_ch: int,
-                   co: int, itemsize: int = 2) -> bool:
-    """Eligibility: TPU (or interpret mode), even fine dims, VMEM fit."""
+                   co: int, itemsize: int = 2,
+                   skip_shape: Tuple[int, ...] = None) -> bool:
+    """Eligibility: TPU (or interpret mode), skip spatial dims exactly 2x
+    the coarse grid (pass ``skip_shape`` to check — odd dims surviving a
+    pooling level would otherwise fail inside jit with an opaque reshape
+    error instead of falling back to the XLA path), VMEM fit."""
     if os.environ.get("FETAL_TPU_NO_PALLAS", "0") == "1":
         return False
     if (jax.default_backend() != "tpu"
             and os.environ.get("FETAL_TPU_PALLAS_INTERPRET", "0") != "1"):
         return False
     if up_ch % 8 or skip_ch % 8 or co % 8:
+        return False
+    if skip_shape is not None and tuple(skip_shape[1:4]) != tuple(
+            2 * int(s) for s in x_shape[1:4]):
         return False
     hc, wc = int(x_shape[2]), int(x_shape[3])
     Pc = _round_up((hc + 2) * (wc + 2), 128)

@@ -186,12 +186,16 @@ def train_model(model, state: TrainState, config,
     # Compressed batch staging: the per-step H2D of FRESH patches is the
     # real-epoch bottleneck on thin device links (docs/PERF.md round-3
     # addendum 9) — the composite microbench reuses one device-resident
-    # batch and never sees it. x rides as bf16 for bf16 models (bit-exact:
-    # the model's first op is the same cast; augmentation then runs on the
-    # identically-rounded values) and the one-hot/binary y as uint8
-    # (exact), cutting 16 MB/step to ~4.25 MB. The train/eval steps cast
-    # back on device (train_step.py). Non-integral y (never produced by
-    # the generator contract) falls back to f32 per batch.
+    # batch and never sees it. x rides as bf16 for bf16 models: with
+    # augmentation OFF this is bit-exact (the model's first device op is
+    # the same cast); with augmentation ON the interpolation operates on
+    # bf16-rounded intensities (the ±0.4% quantization the model applies
+    # anyway) instead of f32 — a deliberate, quality-neutral trade shared
+    # with the device-cache path, NOT bit-identical to f32 staging. y
+    # rides as uint8 (one-hot/binary labels are integral; exact), cutting
+    # 16 MB/step to ~4.25 MB. The train/eval steps cast back on device
+    # (train_step.py). Non-integral y (never produced by the generator
+    # contract) falls back to f32 per batch.
     x_bf16 = getattr(model, "dtype", None) == jnp.bfloat16
 
     def _compress(x, y):

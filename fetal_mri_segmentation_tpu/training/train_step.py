@@ -96,9 +96,10 @@ def make_train_step(model, config, *, axis_name: Optional[str] = None,
 
     def step(state, x, y, rng, n_valid=None):
         # compressed-staging entry cast (training/loop.py::_compress): x may
-        # arrive bf16 (half the H2D bytes; lossless for bf16 models — the
-        # model's own input cast produces the same rounding) and y uint8
-        # (one-hot/binary labels are integral; exact). f32 inputs unchanged.
+        # arrive bf16 (half the H2D bytes; matches the model's own input
+        # rounding — note augmentation then interpolates the bf16-rounded
+        # values, see the _compress comment) and y uint8 (one-hot/binary
+        # labels are integral; exact). f32 inputs unchanged.
         x = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
         y = y.astype(jnp.float32) if y.dtype != jnp.float32 else y
         aug_rng, drop_rng = jax.random.split(rng)

@@ -50,11 +50,15 @@ def main(config, watch: str, output: str = "served", overlap: int = 16,
         # fp-level parity with the host path.
         transfer = (jnp.bfloat16 if getattr(model, "dtype", None)
                     == jnp.bfloat16 else jnp.float32)
+        # compute_dtype must match the model so the preprocessor's output
+        # enters the predictor pre-cast: otherwise a bf16 model's label
+        # program compiles a SECOND signature for the f32 input and every
+        # case pays an extra on-device cast program
         device_pre = DevicePreprocessor(
             config.image_shape, config.normalization,
             moments=(load_global_moments(config.data_file)
                      if config.normalization == "global" else None),
-            transfer_dtype=transfer)
+            compute_dtype=transfer, transfer_dtype=transfer)
 
     stop = threading.Event()
     signal.signal(signal.SIGINT, lambda *_: stop.set())

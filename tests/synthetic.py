@@ -100,3 +100,19 @@ def write_synthetic_dataset(directory: str, n_cases: int = 4,
         files.append(pt)
         training_files.append(files)
     return training_files
+
+
+def decoder_level_case(B=2, d=4, CU=16, CS=8, CO=8, seed=0):
+    """Random (x_deep, skip, kernel, bias) for the fused decoder-level ops
+    (shared by test_dilated_decoder.py and test_pallas_dec0.py so the two
+    suites always exercise the same shape contract)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, d, d, d, CU)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(B, 2 * d, 2 * d, 2 * d, CS)),
+                    jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, CU + CS, CO)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.normal(size=(CO,)), jnp.float32)
+    return x, s, k, b

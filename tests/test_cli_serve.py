@@ -52,16 +52,22 @@ def _run(args, timeout=240):
                           text=True, timeout=timeout, env=env, cwd=REPO)
 
 
-def test_serve_cli_once(experiment):
+@pytest.mark.parametrize("device_preprocess", [False, True],
+                         ids=["host-preprocess", "device-preprocess"])
+def test_serve_cli_once(experiment, device_preprocess):
     d = experiment
-    r = _run([os.path.join(REPO, "serve.py"),
-              "--config", str(d / "exp.json"),
-              "--watch", str(d / "watch"),
-              "--output", str(d / "served"),
-              "--overlap", "4", "--once", "--device-preprocess"])
+    out = str(d / ("served_dev" if device_preprocess else "served"))
+    args = [os.path.join(REPO, "serve.py"),
+            "--config", str(d / "exp.json"),
+            "--watch", str(d / "watch"),
+            "--output", out,
+            "--overlap", "4", "--once"]
+    if device_preprocess:
+        args.append("--device-preprocess")
+    r = _run(args)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "1 case(s) predicted" in r.stdout
-    assert os.path.exists(str(d / "served" / "case_0" / "prediction.nii.gz"))
+    assert os.path.exists(os.path.join(out, "case_0", "prediction.nii.gz"))
 
 
 def test_predict_cli_input(experiment):

@@ -21,15 +21,7 @@ from fetal_mri_segmentation_tpu.models.layers import (
     up_concat_conv3x3, up_concat_conv3x3_dilated)
 
 
-def _case(B=2, d=4, CU=16, CS=8, CO=8, seed=0):
-    rng = np.random.default_rng(seed)
-    x = jnp.asarray(rng.normal(size=(B, d, d, d, CU)), jnp.float32)
-    s = jnp.asarray(rng.normal(size=(B, 2 * d, 2 * d, 2 * d, CS)),
-                    jnp.float32)
-    k = jnp.asarray(rng.normal(size=(3, 3, 3, CU + CS, CO)) * 0.1,
-                    jnp.float32)
-    b = jnp.asarray(rng.normal(size=(CO,)), jnp.float32)
-    return x, s, k, b
+from tests.synthetic import decoder_level_case as _case
 
 
 def test_matches_parity_form():
@@ -93,11 +85,16 @@ def test_gradients_match():
                                    atol=2e-4, rtol=2e-4)
 
 
-def test_convblock_dispatch_train_eval_agree():
+def test_convblock_dispatch_train_eval_agree(monkeypatch):
     """ConvBlock routes train -> dilated, eval/B=1 -> parity; both must give
-    the same output for the same params (exact-math twins)."""
+    the same output for the same params (exact-math twins). The backend
+    gate is forced open so the dilated branch is actually exercised on the
+    CPU test mesh (without this, both sides take the parity form off-TPU
+    and the comparison is vacuous)."""
     from fetal_mri_segmentation_tpu.models import UNet3D
+    from fetal_mri_segmentation_tpu.models import layers
 
+    monkeypatch.setattr(layers, "_dilated_backend_ok", lambda: True)
     model = UNet3D(n_labels=1, depth=3, n_base_filters=8, dtype=jnp.float32)
     x = jnp.asarray(np.random.default_rng(5).normal(
         size=(1, 16, 16, 16, 1)), jnp.float32)
@@ -109,15 +106,18 @@ def test_convblock_dispatch_train_eval_agree():
                                atol=2e-4)
 
 
-def test_convblock_batched_dispatch():
-    """B>1 eval routes to dilated; must equal per-sample B=1 (parity) rows."""
+def test_convblock_batched_dispatch(monkeypatch):
+    """B>1 eval routes to dilated (gate forced open off-TPU); must equal
+    per-sample B=1 (parity) rows."""
     from fetal_mri_segmentation_tpu.models import UNet3D
+    from fetal_mri_segmentation_tpu.models import layers
 
+    monkeypatch.setattr(layers, "_dilated_backend_ok", lambda: True)
     model = UNet3D(n_labels=1, depth=3, n_base_filters=8, dtype=jnp.float32)
     x = jnp.asarray(np.random.default_rng(6).normal(
         size=(3, 16, 16, 16, 1)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x[:1])
-    y_b = model.apply(params, x)
-    y_1 = jnp.concatenate([model.apply(params, x[i:i + 1])
+    y_b = model.apply(params, x)  # dilated (B>1)
+    y_1 = jnp.concatenate([model.apply(params, x[i:i + 1])  # parity (B=1)
                            for i in range(3)], axis=0)
     np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_1), atol=2e-4)

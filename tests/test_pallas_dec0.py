@@ -20,15 +20,7 @@ from fetal_mri_segmentation_tpu.ops.pallas_dec0 import (
     dec0_available, up_concat_conv3x3_pallas)
 
 
-def _case(B=2, d=4, CU=16, CS=8, CO=8, seed=0):
-    rng = np.random.default_rng(seed)
-    x = jnp.asarray(rng.normal(size=(B, d, d, d, CU)), jnp.float32)
-    s = jnp.asarray(rng.normal(size=(B, 2 * d, 2 * d, 2 * d, CS)),
-                    jnp.float32)
-    k = jnp.asarray(rng.normal(size=(3, 3, 3, CU + CS, CO)) * 0.1,
-                    jnp.float32)
-    b = jnp.asarray(rng.normal(size=(CO,)), jnp.float32)
-    return x, s, k, b
+from tests.synthetic import decoder_level_case as _case
 
 
 def test_matches_xla_reference():
@@ -87,6 +79,12 @@ def test_availability_gates():
     assert not dec0_available((1, 4, 4, 4, 12), 12, 8, 8, 4)  # ch % 8
     # VMEM blowout: enormous plane
     assert not dec0_available((1, 128, 128, 128, 128), 128, 64, 64, 2)
+    # skip dims not exactly 2x the coarse grid (odd dim survived a pooling
+    # level): must decline here, not die in a reshape inside jit
+    assert not dec0_available((1, 4, 4, 4, 16), 16, 8, 8, 4,
+                              skip_shape=(1, 8, 8, 7, 8))
+    assert dec0_available((1, 4, 4, 4, 16), 16, 8, 8, 4,
+                          skip_shape=(1, 8, 8, 8, 8))
 
 
 def test_unet_forward_matches_with_dec0_kernel():
