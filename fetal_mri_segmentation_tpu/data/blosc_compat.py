@@ -148,16 +148,29 @@ class BloscDataset:
         return self.shape[0]
 
     def _chunk_array(self, chunk_offset: Tuple[int, ...]) -> np.ndarray:
-        _, raw = self._dset.id.read_direct_chunk(chunk_offset)
+        filter_mask, raw = self._dset.id.read_direct_chunk(chunk_offset)
         nbytes = int(np.prod(self.chunks)) * self.dtype.itemsize
-        buf = blosc_decompress(bytes(raw), nbytes)
+        if filter_mask & 1:
+            # filter skipped for this chunk: the c-blosc HDF5 filter calls
+            # blosc_compress with destsize == nbytes, so an incompressible
+            # chunk is stored RAW with the filter-mask bit set — the bytes
+            # must not be fed to the decompressor
+            buf = bytes(raw)
+            if len(buf) != nbytes:
+                raise ValueError(
+                    f"chunk at {chunk_offset}: filter-skipped chunk has "
+                    f"{len(buf)} bytes, expected {nbytes}")
+        else:
+            buf = blosc_decompress(bytes(raw), nbytes)
         return np.frombuffer(buf, dtype=self.dtype).reshape(self.chunks)
 
     def __getitem__(self, key) -> np.ndarray:
         index = np.index_exp[key]
         if self._needs_full(index):
             # general case: materialize the whole array, then index it
-            out = np.empty(self.shape, self.dtype)
+            # (zeros = the HDF5 fill value, in case a chunk was never
+            # allocated)
+            out = np.zeros(self.shape, self.dtype)
             self._fill(out, None)
             return out[key]
         # fast path: leading-axis integer (the pipeline's per-case read) —
@@ -168,7 +181,7 @@ class BloscDataset:
         if not 0 <= i < self.shape[0]:
             raise IndexError(f"index {index[0]} out of range "
                              f"for axis 0 of size {self.shape[0]}")
-        out = np.empty((1,) + self.shape[1:], self.dtype)
+        out = np.zeros((1,) + self.shape[1:], self.dtype)
         self._fill(out, i)
         rest = index[1:]
         return out[(0,) + rest] if rest else out[0]
@@ -178,15 +191,26 @@ class BloscDataset:
 
     def _fill(self, out: np.ndarray, only_row: Optional[int]) -> None:
         """Decompress every chunk overlapping the request into ``out``
-        (``out`` covers the full array, or one leading-axis row)."""
+        (``out`` covers the full array, or one leading-axis row).
+
+        Chunk offsets lie on the regular chunk grid, so they are computed
+        directly — enumerating the chunk index (get_num_chunks +
+        get_chunk_info) walked EVERY chunk's B-tree entry per read, an
+        O(total-chunks) metadata scan for a single-case access."""
+        import itertools
+
         c0 = self.chunks[0]
-        n_chunks = self._dset.id.get_num_chunks()
-        for j in range(n_chunks):
-            info = self._dset.id.get_chunk_info(j)
-            off = tuple(info.chunk_offset)
-            if only_row is not None and not (off[0] <= only_row < off[0] + c0):
-                continue
-            arr = self._chunk_array(off)
+        if only_row is not None:
+            lead = [(only_row // c0) * c0]
+        else:
+            lead = range(0, self.shape[0], c0)
+        rest_grid = [range(0, s, c)
+                     for s, c in zip(self.shape[1:], self.chunks[1:])]
+        for off in itertools.product(lead, *rest_grid):
+            try:
+                arr = self._chunk_array(off)
+            except (KeyError, OSError):
+                continue  # never-written chunk -> HDF5 fill value (0)
             # trim to array bounds (edge chunks are stored full-size)
             slices_src, slices_dst = [], []
             for d, (o, c, s) in enumerate(zip(off, self.chunks, self.shape)):

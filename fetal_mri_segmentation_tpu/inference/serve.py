@@ -34,6 +34,17 @@ from fetal_mri_segmentation_tpu.inference.predict import (
     queue_input_writes)
 
 
+def _write_target(args, kwargs) -> str:
+    """The output path of a queued NIfTI write (first .nii[.gz] string arg)
+    — lets drain_writes distinguish a lost prediction (case not served)
+    from a lost --save-inputs copy (case served, artifact missing)."""
+    for v in tuple(args) + tuple(kwargs.values()):
+        if isinstance(v, str) and (v.endswith(".nii.gz")
+                                   or v.endswith(".nii")):
+            return v
+    return "?"
+
+
 def _case_name(path: str) -> str:
     name = os.path.basename(os.path.normpath(path))
     return name.replace(".nii.gz", "").replace(".nii", "")
@@ -143,11 +154,13 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     def drain_writes():
         nonlocal n_done, n_write_failed
         for name, odir, dt, futs, sig in inflight:
-            errs = [e for e in (f.exception() for f in futs)
-                    if e is not None]
-            if errs:
-                e = errs[0]
-                # the case was NOT served: no durable artifact exists.
+            errs = [(path, f.exception()) for f, path in futs]
+            errs = [(p, e) for p, e in errs if e is not None]
+            pred_errs = [(p, e) for p, e in errs
+                         if os.path.basename(p) == "prediction.nii.gz"]
+            if pred_errs:
+                e = pred_errs[0][1]
+                # the case was NOT served: no durable prediction exists.
                 # Un-count it and quarantine (same backoff as a predict
                 # failure) so e.g. a full disk doesn't recompute the same
                 # prediction every poll.
@@ -158,13 +171,23 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                       f"{type(e).__name__}: {e} (atomic writes leave no "
                       f"partial artifact; retried when the files change "
                       f"or after {retry_backoff:.0f}s)", flush=True)
+            elif errs:
+                # only auxiliary --save-inputs artifacts were lost; the
+                # prediction landed, so the case IS served (and won't be
+                # recomputed) — report the loss truthfully instead of
+                # un-counting a served case and quarantining it forever
+                n_write_failed += 1
+                lost = ", ".join(os.path.basename(p) for p, _ in errs)
+                e = errs[0][1]
+                print(f"[serve] {name} served, but input copies lost "
+                      f"({lost}): {type(e).__name__}: {e}", flush=True)
             elif verbose:
                 print(f"[serve] {name} -> {odir}/prediction.nii.gz "
                       f"({dt:.2f}s)", flush=True)
         inflight.clear()
 
     def quarantine(name, sig, exc, case_futs):
-        for f in case_futs:  # settle any already-queued writes
+        for f, _ in case_futs:  # settle any already-queued writes
             f.exception()
         failed[name] = (sig, time.monotonic())
         pending_sigs.pop(name, None)
@@ -210,7 +233,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                 return
             _write_prediction(
                 label_map, config, odir, affine,
-                lambda fn, *a, **kw: futs.append(pool.submit(fn, *a, **kw)))
+                lambda fn, *a, **kw: futs.append(
+                    (pool.submit(fn, *a, **kw), _write_target(a, kw))))
             n_done += 1
             pending_sigs.pop(name, None)
             inflight.append((name, odir, time.perf_counter() - t0, futs,
@@ -241,7 +265,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
             case_futs: list = []
 
             def submit(fn, *a, _futs=case_futs, **kw):
-                _futs.append(pool.submit(fn, *a, **kw))
+                _futs.append((pool.submit(fn, *a, **kw),
+                              _write_target(a, kw)))
 
             if not pipelined:
                 try:

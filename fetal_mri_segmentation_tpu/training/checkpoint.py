@@ -44,7 +44,13 @@ class CheckpointIO:
 
     def save(self, state: TrainState, *, epoch: int, best_val: float,
              sched: Optional[dict] = None) -> None:
-        sched = sched or {}
+        # a caller omitting sched (external tooling, tests) must not persist
+        # plateau/early "best" of 0.0 — restore would seed the schedulers
+        # with an unbeatable best and the LR would drop every `patience`
+        # epochs regardless of improvement; default the bests to best_val
+        # (the pre-scheduler-state semantics) and the waits to 0
+        sched = sched or {"plateau_best": best_val, "plateau_wait": 0,
+                          "early_best": best_val, "early_wait": 0}
         payload = {
             "params": jax.device_get(state.params),
             "opt_state": jax.device_get(state.opt_state),
@@ -82,15 +88,24 @@ class CheckpointIO:
             "best_val": np.asarray(0.0, np.float64),
             "sched": {k: np.asarray(0.0, np.float64) for k in _SCHED_KEYS},
         }
+        # probe the checkpoint's metadata for the "sched" subtree instead of
+        # restore-and-retry: a blanket retry would swallow real failures
+        # (shape mismatch, corrupt checkpoint, even Ctrl-C) into a second
+        # multi-second restore that then fails with a misleading error
+        has_sched = True
         try:
-            restored = self._ckptr.restore(self.path, template)
-            sched = {k: float(v) for k, v in restored["sched"].items()}
-        except BaseException:
+            meta = self._ckptr.metadata(self.path)
+            tree = getattr(meta, "item_metadata", meta)
+            has_sched = "sched" in tree
+        except Exception:
+            pass  # metadata probing is best-effort; assume current layout
+        if not has_sched:
             # legacy checkpoint (no "sched" subtree): restore without it;
             # the caller rebuilds schedulers from best_val as before
             del template["sched"]
-            restored = self._ckptr.restore(self.path, template)
-            sched = {}
+        restored = self._ckptr.restore(self.path, template)
+        sched = ({k: float(v) for k, v in restored["sched"].items()}
+                 if has_sched else {})
         new_state = state.replace(params=restored["params"],
                                   opt_state=restored["opt_state"],
                                   batch_stats=restored["batch_stats"],

@@ -96,6 +96,8 @@ def _detect_version(raw: bytes, path: str):
     uses): 348 byteswapped is 1543569408, 540 byteswapped is 469893120 —
     no ambiguity.
     """
+    if len(raw) < 4:
+        raise ValueError(f"{path}: not a NIfTI file ({len(raw)} bytes)")
     (le,) = struct.unpack_from("<i", raw, 0)
     if le == 348:
         return 1, "<"
@@ -136,6 +138,13 @@ def load_nifti(path: str) -> NiftiImage:
         raw = f.read()
     version, bo = _detect_version(raw, path)
     lay = _LAYOUT[version]
+    if len(raw) < lay["hdr_size"]:
+        # keep the malformed-input error contract (ValueError) — a
+        # truncated download would otherwise surface as struct.error from
+        # a field unpack, which serving-path error classification misses
+        raise ValueError(
+            f"{path}: truncated NIfTI-{version} file ({len(raw)} bytes "
+            f"< {lay['hdr_size']}-byte header)")
     hdr = raw[:lay["hdr_size"]]
 
     def field(name):

@@ -151,3 +151,30 @@ def test_convert_reference_h5(tmp_path):
             ["sub_0", "sub_1", "sub_2"]
         assert h5.attrs["normalization"] == "per_volume"
         assert h5["data"].compression == "gzip"  # native layout now
+
+
+def test_filter_skipped_raw_chunk(tmp_path):
+    """The c-blosc HDF5 filter stores incompressible chunks RAW with the
+    chunk's filter-mask bit set (blosc_compress destsize==nbytes -> 0).
+    The reader must honor the mask instead of decompressing raw bytes."""
+    rng = np.random.default_rng(7)
+    arr = rng.normal(size=(4, 6, 6)).astype(np.float32)
+    chunks = (2, 6, 6)
+    path = str(tmp_path / "mixed.h5")
+    with h5py.File(path, "w") as f:
+        dset = f.create_dataset(
+            "data", shape=arr.shape, dtype=arr.dtype, chunks=chunks,
+            compression=BLOSC_FILTER_ID,
+            compression_opts=(2, 2, arr.dtype.itemsize,
+                              int(np.prod(chunks)) * arr.dtype.itemsize,
+                              5, 1, 0),
+            allow_unknown_filter=True)
+        # chunk 0 compressed normally, chunk 1 stored raw (mask bit 0 set)
+        dset.id.write_direct_chunk((0, 0, 0), blosc_compress(arr[0:2]))
+        dset.id.write_direct_chunk((2, 0, 0), arr[2:4].tobytes(),
+                                   filter_mask=1)
+    with h5py.File(path, "r") as f:
+        view = BloscDataset(f["data"])
+        np.testing.assert_array_equal(view[0], arr[0])   # compressed chunk
+        np.testing.assert_array_equal(view[3], arr[3])   # raw chunk
+        np.testing.assert_array_equal(view[...], arr)    # full read

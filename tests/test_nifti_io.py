@@ -205,3 +205,20 @@ def test_not_a_nifti_rejected(tmp_path):
         assert "348 or 540" in str(e)
     else:
         raise AssertionError("expected ValueError for non-NIfTI input")
+
+
+def test_truncated_nifti_rejected(tmp_path):
+    """Truncated files keep the malformed-input contract (ValueError, not
+    struct.error): valid magic but a cut-off header, and a <4-byte file."""
+    import struct
+
+    import pytest
+
+    p = tmp_path / "trunc.nii"
+    p.write_bytes(struct.pack("<i", 348) + b"\x00" * 96)  # 100 bytes
+    with pytest.raises(ValueError, match="truncated"):
+        load_nifti(str(p))
+    p2 = tmp_path / "tiny.nii"
+    p2.write_bytes(b"\x01\x02")
+    with pytest.raises(ValueError, match="not a NIfTI"):
+        load_nifti(str(p2))

@@ -37,7 +37,7 @@ def convert(src_path: str, dst_path: str, verbose: bool = True) -> str:
         data, truth = src.root.data, src.root.truth
         n, n_channels = data.shape[0], data.shape[1]
         image_shape = tuple(data.shape[2:])
-        if tuple(truth.shape) != (n, truth.shape[1]) + image_shape:
+        if tuple(truth.shape) != (n, 1) + image_shape:
             raise ValueError(
                 f"{src_path}: truth shape {truth.shape} does not match "
                 f"data shape {data.shape} — not a reference dataset file")

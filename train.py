@@ -56,6 +56,13 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
+    # reconcile the two overwrite surfaces (CLI arg and config key): the
+    # abstract-state fast path below gates on `overwrite` while train_model
+    # gates its restore on `config.overwrite` — if they disagreed, a fresh
+    # start could crash on an abstract template with the restore skipped
+    # (or silently resume over a requested fresh run)
+    overwrite = bool(overwrite or config.overwrite)
+    config.overwrite = overwrite
     from fetal_mri_segmentation_tpu.data import (open_data_file,
                                                  write_data_to_file)
     from fetal_mri_segmentation_tpu.models import build_model
