@@ -24,11 +24,23 @@ from fetal_mri_segmentation_tpu.ops.dice import hard_dice
 from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
 
 
-def evaluate_case(case_dir: str, labels):
-    truth = load_nifti(os.path.join(case_dir, "truth.nii.gz")).get_fdata()
+def evaluate_case(case_dir: str, labels, surface_metrics: bool = False):
+    truth_img = load_nifti(os.path.join(case_dir, "truth.nii.gz"))
+    truth = truth_img.get_fdata()
     pred = load_nifti(os.path.join(case_dir, "prediction.nii.gz")).get_fdata()
     row = {f"label_{lab}_dice": hard_dice(truth == lab, pred == lab)
            for lab in labels}
+    if surface_metrics:
+        # beyond-parity: boundary-error metrics in mm (the reference
+        # reports overlap only); see utils/surface_metrics.py for the
+        # empty-mask semantics
+        from fetal_mri_segmentation_tpu.utils.surface_metrics import (
+            assd, hausdorff95, voxel_spacing_from_affine)
+        spacing = voxel_spacing_from_affine(truth_img.affine)
+        for lab in labels:
+            t, p = truth == lab, pred == lab
+            row[f"label_{lab}_hd95_mm"] = hausdorff95(t, p, spacing)
+            row[f"label_{lab}_assd_mm"] = assd(t, p, spacing)
     # deviation flag (see docs/PARITY.md): the reference's hard dice is NaN
     # on empty-vs-empty; ours scores 1.0 and marks the case instead, so
     # mean/boxplot aggregation stays finite without hiding the condition.
@@ -37,14 +49,16 @@ def evaluate_case(case_dir: str, labels):
 
 
 def main(prediction_dir: str, labels, output_csv: str,
-         training_log: str = None, plot: bool = True):
+         training_log: str = None, plot: bool = True,
+         surface_metrics: bool = False):
     rows = {}
     for case_dir in sorted(glob.glob(os.path.join(prediction_dir, "*"))):
         if not os.path.isdir(case_dir):
             continue
         if not os.path.exists(os.path.join(case_dir, "prediction.nii.gz")):
             continue
-        rows[os.path.basename(case_dir)] = evaluate_case(case_dir, labels)
+        rows[os.path.basename(case_dir)] = evaluate_case(
+            case_dir, labels, surface_metrics=surface_metrics)
 
     if not rows:
         raise SystemExit(f"no prediction cases under {prediction_dir}")
@@ -90,6 +104,10 @@ if __name__ == "__main__":
     ap.add_argument("--output", default="scores.csv")
     ap.add_argument("--training-log", default="training.log")
     ap.add_argument("--no-plot", action="store_true")
+    ap.add_argument("--surface-metrics", action="store_true",
+                    help="add HD95 and ASSD columns (mm; boundary error "
+                         "the Dice overlap score cannot see)")
     args = ap.parse_args()
     main(args.prediction_dir, args.labels, args.output,
-         training_log=args.training_log, plot=not args.no_plot)
+         training_log=args.training_log, plot=not args.no_plot,
+         surface_metrics=args.surface_metrics)
