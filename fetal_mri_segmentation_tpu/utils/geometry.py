@@ -23,6 +23,25 @@ from scipy import ndimage
 from fetal_mri_segmentation_tpu.utils.nifti import NiftiImage
 
 
+def ensure_3d(data: np.ndarray, origin: str = "volume") -> np.ndarray:
+    """Squeeze trailing singleton dims of a >3-D array (scanner exports
+    routinely write 3-D volumes as 4-D NIfTI with dim[4]=1); reject true
+    multi-frame data with a clear message instead of a scipy shape error.
+
+    Reference: nibabel-backed ingest (utils.py::read_image) — nibabel
+    loads such files as 4-D and the reference's resize would face the
+    same mismatch; squeezing is the universally-intended reading.
+    """
+    if data.ndim <= 3:
+        return data
+    if all(s == 1 for s in data.shape[3:]):
+        return data.reshape(data.shape[:3])
+    raise ValueError(
+        f"{origin}: expected a 3-D volume, got shape {data.shape} — "
+        "multi-frame/4-D NIfTI is not supported; split the frames into "
+        "separate files (one 3-D volume per file)")
+
+
 def crop_img_to_slices(data: np.ndarray, rtol: float = 1e-8,
                        pad: int = 1) -> Tuple[slice, ...]:
     """Bounding-box slices of non-background voxels (nilearn crop_img contract)."""
@@ -97,6 +116,9 @@ def read_image(path: str, image_shape: Optional[Sequence[int]] = None,
     from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
 
     image = load_nifti(path)
+    if len(image.shape) > 3:  # 4-D trailing-singleton scanner exports
+        image = NiftiImage(ensure_3d(image.get_fdata(dtype=np.float32), path),
+                           image.affine)
     if crop is not None:
         data = image.get_fdata(dtype=np.float32)[tuple(crop)]
         image = NiftiImage(data, crop_affine(image.affine, crop))
@@ -169,8 +191,13 @@ def process_case_images(images, image_shape: Optional[Sequence[int]] = None,
     label_set = set(label_indices if label_indices is not None
                     else [len(images) - 1])
     # ONE float32 materialization per file, reused by the crop scan and the
-    # crop application (get_fdata converts the on-disk dtype each call)
-    arrays = [img.get_fdata(dtype=np.float32) for img in images]
+    # crop application (get_fdata converts the on-disk dtype each call);
+    # 4-D trailing-singleton exports squeeze to 3-D here (clear error on
+    # true multi-frame files)
+    arrays = [ensure_3d(img.get_fdata(dtype=np.float32)) for img in images]
+    images = [img if arr.shape == tuple(img.shape)
+              else NiftiImage(arr, img.affine)
+              for img, arr in zip(images, arrays)]
     slices = None
     if crop:
         starts, ends = None, None

@@ -222,3 +222,43 @@ def test_truncated_nifti_rejected(tmp_path):
     p2.write_bytes(b"\x01\x02")
     with pytest.raises(ValueError, match="not a NIfTI"):
         load_nifti(str(p2))
+
+
+def test_4d_trailing_singleton_ingest(tmp_path, rng):
+    """Scanner exports routinely write 3-D volumes as 4-D NIfTI with
+    dim[4]=1 — the ingest paths must squeeze them (the nibabel-backed
+    reference loads such files as 4-D arrays too)."""
+    from fetal_mri_segmentation_tpu.utils.geometry import (
+        process_case_images, read_image_files)
+
+    vol = np.zeros((24, 24, 16), np.float32)
+    vol[6:18, 6:18, 4:12] = 100.0 + rng.random((12, 12, 8)).astype(np.float32)
+    p = str(tmp_path / "vol4d.nii.gz")
+    save_nifti(vol[..., None], p)          # (24, 24, 16, 1) on disk
+    assert load_nifti(p).shape == (24, 24, 16, 1)
+
+    # path-based ingest (dataset build / predict --input)
+    imgs = read_image_files([p], image_shape=(12, 12, 12), label_indices=[])
+    assert imgs[0].shape == (12, 12, 12)
+    # loaded-image ingest (serving hot path), crop + resample
+    out = process_case_images([load_nifti(p)], image_shape=(12, 12, 12),
+                              crop=True, label_indices=[])
+    assert out[0].shape == (12, 12, 12)
+    # no-resample flow still squeezes (device-preprocess ingest reads the
+    # arrays straight out of the cropped images)
+    out = process_case_images([load_nifti(p)], image_shape=None, crop=True,
+                              label_indices=[])
+    assert len(out[0].shape) == 3
+
+
+def test_4d_multiframe_rejected_with_clear_message(tmp_path, rng):
+    from fetal_mri_segmentation_tpu.utils.geometry import read_image_files
+
+    data = rng.random((8, 8, 8, 3)).astype(np.float32)   # true multi-frame
+    p = str(tmp_path / "frames.nii.gz")
+    save_nifti(data, p)
+    try:
+        read_image_files([p], image_shape=(8, 8, 8), label_indices=[])
+        raise AssertionError("expected ValueError for multi-frame NIfTI")
+    except ValueError as e:
+        assert "multi-frame" in str(e) and "separate files" in str(e)
