@@ -35,12 +35,13 @@ def evaluate_case(case_dir: str, labels, surface_metrics: bool = False):
         # reports overlap only); see utils/surface_metrics.py for the
         # empty-mask semantics
         from fetal_mri_segmentation_tpu.utils.surface_metrics import (
-            assd, hausdorff95, voxel_spacing_from_affine)
+            surface_metric_pair, voxel_spacing_from_affine)
         spacing = voxel_spacing_from_affine(truth_img.affine)
         for lab in labels:
-            t, p = truth == lab, pred == lab
-            row[f"label_{lab}_hd95_mm"] = hausdorff95(t, p, spacing)
-            row[f"label_{lab}_assd_mm"] = assd(t, p, spacing)
+            hd95, assd_mm = surface_metric_pair(truth == lab, pred == lab,
+                                                spacing)
+            row[f"label_{lab}_hd95_mm"] = hd95
+            row[f"label_{lab}_assd_mm"] = assd_mm
     # deviation flag (see docs/PARITY.md): the reference's hard dice is NaN
     # on empty-vs-empty; ours scores 1.0 and marks the case instead, so
     # mean/boxplot aggregation stays finite without hiding the condition.

@@ -127,8 +127,12 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     (including a failed output write — e.g. disk full) is quarantined and
     retried when its files change OR after ``retry_backoff`` seconds, so a
     persistent output-side error cannot cause a full recompute every poll.
-    ``stats``, when given, is filled with ``{"predicted", "write_failures"}``
-    so a ``--once`` caller can exit nonzero on silent write loss.
+    ``stats``, when given, is filled with ``{"predicted", "write_failures",
+    "aux_write_failures"}`` — ``write_failures`` counts LOST PREDICTIONS
+    (case not served), ``aux_write_failures`` counts lost ``--save-inputs``
+    copies of otherwise-served cases — so a ``--once`` caller can exit
+    nonzero on genuine prediction loss without re-alerting on a batch whose
+    predictions all landed.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -139,7 +143,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     failed: Dict[str, Tuple] = {}  # name -> (signature, monotonic time) at
     #                                failure
     n_done = 0
-    n_write_failed = 0
+    n_write_failed = 0      # lost predictions (case NOT served)
+    n_aux_write_failed = 0  # lost --save-inputs copies (case served)
     # NIfTI gzip+disk writes run on a worker thread so case i's write
     # overlaps case i+1's preprocess+predict; each case's futures drain at
     # sweep end (success is only reported once its writes landed). Writes
@@ -152,7 +157,7 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                  and hasattr(predictor, "unpack_labels"))
 
     def drain_writes():
-        nonlocal n_done, n_write_failed
+        nonlocal n_done, n_write_failed, n_aux_write_failed
         for name, odir, dt, futs, sig in inflight:
             errs = [(path, f.exception()) for f, path in futs]
             errs = [(p, e) for p, e in errs if e is not None]
@@ -176,7 +181,7 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                 # prediction landed, so the case IS served (and won't be
                 # recomputed) — report the loss truthfully instead of
                 # un-counting a served case and quarantining it forever
-                n_write_failed += 1
+                n_aux_write_failed += 1
                 lost = ", ".join(os.path.basename(p) for p, _ in errs)
                 e = errs[0][1]
                 print(f"[serve] {name} served, but input copies lost "
@@ -312,7 +317,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                       f"name — rename one to serve them", flush=True)
         drain_writes()
         if stats is not None:
-            stats.update(predicted=n_done, write_failures=n_write_failed)
+            stats.update(predicted=n_done, write_failures=n_write_failed,
+                         aux_write_failures=n_aux_write_failed)
         if once or (stop is not None and stop.is_set()):
             pool.shutdown(wait=True)
             return n_done

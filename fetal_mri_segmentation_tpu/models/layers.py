@@ -70,6 +70,40 @@ def _dilated_backend_ok() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# trace-time override of the fused-decoder formulation ("parity" |
+# "dilated" | None = backend/batch heuristic). The heuristic reads the
+# TRACING host's backend, which is wrong for cross-platform exports: a
+# TPU-host `jax.export` targeting CPU consumers would bake the lhs-dilated
+# form the CPU gate exists to avoid (utils/export.py forces "parity" for
+# portable artifacts instead — exact same math, see up_concat_conv3x3).
+_DECODER_FORM_OVERRIDE: Optional[str] = None
+
+
+class decoder_form_override:
+    """Context manager pinning the fused-decoder formulation during a trace.
+
+    with decoder_form_override("parity"):   # runs everywhere
+        exported = jax.export(...)
+    """
+
+    def __init__(self, form: Optional[str]):
+        if form not in (None, "parity", "dilated"):
+            raise ValueError(f"unknown decoder form {form!r}")
+        self._form = form
+        self._prev: Optional[str] = None
+
+    def __enter__(self):
+        global _DECODER_FORM_OVERRIDE
+        self._prev = _DECODER_FORM_OVERRIDE
+        _DECODER_FORM_OVERRIDE = self._form
+        return self
+
+    def __exit__(self, *exc):
+        global _DECODER_FORM_OVERRIDE
+        _DECODER_FORM_OVERRIDE = self._prev
+        return False
+
+
 class ConvBlock(nn.Module):
     """Conv3D(same) → optional BatchNorm/InstanceNorm → activation.
 
@@ -127,10 +161,15 @@ class ConvBlock(nn.Module):
             # TPU only: XLA:CPU lowers lhs-dilated convs poorly (measured
             # 2.7× slower DP step on the virtual mesh), so other backends
             # keep the parity form everywhere.
-            impl = (up_concat_conv3x3_dilated
-                    if (train or x_deep.shape[0] > 1)
-                    and _dilated_backend_ok()
-                    else up_concat_conv3x3)
+            if _DECODER_FORM_OVERRIDE == "parity":
+                impl = up_concat_conv3x3
+            elif _DECODER_FORM_OVERRIDE == "dilated":
+                impl = up_concat_conv3x3_dilated
+            else:
+                impl = (up_concat_conv3x3_dilated
+                        if (train or x_deep.shape[0] > 1)
+                        and _dilated_backend_ok()
+                        else up_concat_conv3x3)
             y = impl(
                 x_deep.astype(self.dtype),
                 None if skip is None else skip.astype(self.dtype),

@@ -63,37 +63,38 @@ def plan_margins(image_shape: Sequence[int], patch_shape: Sequence[int],
 
     Returns ``(margin_lo, margin_hi)`` such that for any emitted corner c:
     ``0 <= c + margin_lo`` and ``c + patch <= shape + margin_hi``.
+
+    The corners come from ``ops/patches.py::compute_patch_indices`` itself
+    (the function the generators actually call), not a re-derivation of its
+    grid math — so any change to the reference grid contract propagates
+    here automatically instead of silently diverging from the emitted
+    corners. The grids are separable (column a of the corner array is the
+    axis-a arange), so enumerating scalar offsets 0..max (each axis clamped
+    to its own maximum) covers every per-axis offset combination.
     """
     image_shape = tuple(int(v) for v in image_shape)
     patch_shape = tuple(int(v) for v in patch_shape)
-    lo: List[int] = []
-    hi: List[int] = []
-    for ax in range(3):
-        shape, patch = image_shape[ax], patch_shape[ax]
-        starts = []
-        # validation: centered grid, overlap=validation_patch_overlap
-        step = patch - validation_patch_overlap
-        n = int(np.ceil(shape / step))
-        overflow = step * n - shape + validation_patch_overlap
-        starts.append((-int(np.ceil(overflow / 2.0)), step))
-        # training: start = -offset for every offset in [0, max_offset]
-        if training_patch_start_offset is not None:
-            for off in range(int(training_patch_start_offset[ax]) + 1):
-                starts.append((-off, patch))
-        else:
-            step_t = patch
-            n_t = int(np.ceil(shape / step_t))
-            overflow_t = step_t * n_t - shape
-            starts.append((-int(np.ceil(overflow_t / 2.0)), step_t))
-        min_corner = 0
-        max_end = shape
-        for start, stp in starts:
-            corners = np.arange(start, shape + start, stp, dtype=np.int64)
-            min_corner = min(min_corner, int(corners.min()))
-            max_end = max(max_end, int(corners.max()) + patch)
-        lo.append(max(0, -min_corner))
-        hi.append(max(0, max_end - shape))
-    return tuple(lo), tuple(hi)
+    grids = [
+        # validation: centered grid at validation_patch_overlap
+        compute_patch_indices(image_shape, patch_shape,
+                              validation_patch_overlap)]
+    if training_patch_start_offset is not None:
+        # training: start = -offset, offset[a] in [0, max_offset[a]]
+        max_off = [int(v) for v in training_patch_start_offset]
+        for off in range(max(max_off) + 1):
+            start = tuple(-min(off, m) for m in max_off)
+            grids.append(compute_patch_indices(image_shape, patch_shape, 0,
+                                               start=start))
+    else:
+        # training without offset: the centered overlap-0 grid
+        grids.append(compute_patch_indices(image_shape, patch_shape, 0))
+    corners = np.concatenate(grids, axis=0)
+    min_corner = np.minimum(corners.min(axis=0), 0)
+    max_end = np.maximum(corners.max(axis=0) + np.asarray(patch_shape),
+                         image_shape)
+    lo = tuple(int(-c) for c in min_corner)
+    hi = tuple(int(e - s) for e, s in zip(max_end, image_shape))
+    return lo, hi
 
 
 # ---------------------------------------------------------------------------

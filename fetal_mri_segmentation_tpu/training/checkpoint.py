@@ -92,18 +92,33 @@ class CheckpointIO:
         # restore-and-retry: a blanket retry would swallow real failures
         # (shape mismatch, corrupt checkpoint, even Ctrl-C) into a second
         # multi-second restore that then fails with a misleading error
-        has_sched = True
+        has_sched: Optional[bool] = None
         try:
             meta = self._ckptr.metadata(self.path)
             tree = getattr(meta, "item_metadata", meta)
             has_sched = "sched" in tree
         except Exception:
-            pass  # metadata probing is best-effort; assume current layout
-        if not has_sched:
-            # legacy checkpoint (no "sched" subtree): restore without it;
-            # the caller rebuilds schedulers from best_val as before
-            del template["sched"]
-        restored = self._ckptr.restore(self.path, template)
+            pass  # metadata probing is best-effort; decide below
+        if has_sched is None:
+            # probe inconclusive (orbax version without metadata support,
+            # storage error): attempt the current layout, and fall back to
+            # the legacy template ONLY when the failure is about the sched
+            # subtree — real failures (shape mismatch, corruption) re-raise
+            try:
+                restored = self._ckptr.restore(self.path, template)
+                has_sched = True
+            except Exception as e:
+                if "sched" not in repr(e):
+                    raise
+                del template["sched"]
+                restored = self._ckptr.restore(self.path, template)
+                has_sched = False
+        else:
+            if not has_sched:
+                # legacy checkpoint (no "sched" subtree): restore without
+                # it; the caller rebuilds schedulers from best_val as before
+                del template["sched"]
+            restored = self._ckptr.restore(self.path, template)
         sched = ({k: float(v) for k, v in restored["sched"].items()}
                  if has_sched else {})
         new_state = state.replace(params=restored["params"],

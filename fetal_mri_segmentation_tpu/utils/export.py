@@ -63,9 +63,17 @@ def export_predictor(model, config, variables, image_shape: Sequence[int],
 
     n_ch = len(config.training_modalities)
     spec = jax.ShapeDtypeStruct((n_ch,) + tuple(image_shape), np.float32)
-    exported = jexport.export(
-        jax.jit(program),
-        platforms=list(platforms) if platforms else ["tpu", "cpu"])(spec)
+    plats = list(platforms) if platforms else ["tpu", "cpu"]
+    # Cross-platform artifacts must not bake the input-dilated decoder
+    # form: the heuristic in models/layers.py reads the TRACING host's
+    # backend, so a TPU producer would serialize lhs-dilated convs into a
+    # program the CPU consumer then runs 2.7x slower (the exact lowering
+    # the runtime gate avoids). Pin the parity form — same math, portable
+    # performance — whenever a non-TPU platform is targeted.
+    from fetal_mri_segmentation_tpu.models.layers import decoder_form_override
+    form = None if plats == ["tpu"] else "parity"
+    with decoder_form_override(form):
+        exported = jexport.export(jax.jit(program), platforms=plats)(spec)
     meta = {
         "image_shape": list(int(s) for s in image_shape),
         "n_channels": n_ch,

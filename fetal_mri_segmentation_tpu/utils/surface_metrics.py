@@ -55,32 +55,40 @@ def surface_distances(truth: np.ndarray, pred: np.ndarray,
     return dt_to_p[t_surf], dt_to_t[p_surf]
 
 
-def hausdorff95(truth: np.ndarray, pred: np.ndarray,
-                spacing: Sequence[float] = (1.0, 1.0, 1.0)) -> float:
-    """95th-percentile symmetric Hausdorff distance.
+def surface_metric_pair(truth: np.ndarray, pred: np.ndarray,
+                        spacing: Sequence[float] = (1.0, 1.0, 1.0)
+                        ) -> Tuple[float, float]:
+    """``(hd95, assd)`` from ONE surface-distance evaluation — the two
+    distance transforms dominate the cost, so callers scoring both metrics
+    (evaluate.py --surface-metrics) should use this instead of calling
+    :func:`hausdorff95` and :func:`assd` separately (which would repeat
+    the transforms).
 
-    Empty-mask semantics: both empty -> 0.0 (nothing to disagree on,
-    matching evaluate.py's empty-vs-empty Dice=1.0 + flag convention);
-    exactly one empty -> NaN (boundary distance undefined — the Dice
-    column already scores the total miss).
+    Empty-mask semantics: both empty -> (0.0, 0.0) (nothing to disagree
+    on, matching evaluate.py's empty-vs-empty Dice=1.0 + flag convention);
+    exactly one empty -> (NaN, NaN) (boundary distance undefined — the
+    Dice column already scores the total miss).
     """
     t_any, p_any = bool(np.any(truth)), bool(np.any(pred))
     if not t_any and not p_any:
-        return 0.0
+        return 0.0, 0.0
     if t_any != p_any:
-        return float("nan")
+        return float("nan"), float("nan")
     d_tp, d_pt = surface_distances(truth, pred, spacing)
-    return float(max(np.percentile(d_tp, 95), np.percentile(d_pt, 95)))
+    hd95 = float(max(np.percentile(d_tp, 95), np.percentile(d_pt, 95)))
+    a = float((d_tp.sum() + d_pt.sum()) / (d_tp.size + d_pt.size))
+    return hd95, a
+
+
+def hausdorff95(truth: np.ndarray, pred: np.ndarray,
+                spacing: Sequence[float] = (1.0, 1.0, 1.0)) -> float:
+    """95th-percentile symmetric Hausdorff distance (see
+    :func:`surface_metric_pair` for the empty-mask semantics)."""
+    return surface_metric_pair(truth, pred, spacing)[0]
 
 
 def assd(truth: np.ndarray, pred: np.ndarray,
          spacing: Sequence[float] = (1.0, 1.0, 1.0)) -> float:
-    """Average symmetric surface distance (same empty-mask semantics as
-    :func:`hausdorff95`)."""
-    t_any, p_any = bool(np.any(truth)), bool(np.any(pred))
-    if not t_any and not p_any:
-        return 0.0
-    if t_any != p_any:
-        return float("nan")
-    d_tp, d_pt = surface_distances(truth, pred, spacing)
-    return float((d_tp.sum() + d_pt.sum()) / (d_tp.size + d_pt.size))
+    """Average symmetric surface distance (see :func:`surface_metric_pair`
+    for the empty-mask semantics)."""
+    return surface_metric_pair(truth, pred, spacing)[1]

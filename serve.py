@@ -74,12 +74,19 @@ def main(config, watch: str, output: str = "served", overlap: int = 16,
                           save_inputs=save_inputs, stats=stats,
                           device_pre=device_pre)
     print(f"[serve] done: {n} case(s) predicted")
+    if once and stats.get("aux_write_failures"):
+        # served cases whose --save-inputs copies were lost: the predictions
+        # ARE on disk (a rerun would skip these cases and could not rewrite
+        # the copies anyway), so report truthfully but exit 0
+        print(f"[serve] note: {stats['aux_write_failures']} auxiliary "
+              f"--save-inputs write(s) were lost on otherwise-served cases "
+              f"— see log above", flush=True)
     if once and stats.get("write_failures"):
-        # a --once run that lost outputs (e.g. disk full) must not exit 0
-        # claiming success — the artifacts are simply not on disk
+        # a --once run that lost PREDICTIONS (e.g. disk full) must not exit
+        # 0 claiming success — the artifacts are simply not on disk
         raise SystemExit(
             f"[serve] {stats['write_failures']} case(s) predicted but "
-            f"their output writes FAILED — see log above")
+            f"their prediction writes FAILED — see log above")
 
 
 if __name__ == "__main__":

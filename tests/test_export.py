@@ -81,3 +81,47 @@ def test_export_is_multiplatform_and_corruption_safe(tmp_path):
             f.write(raw[:cut])
         with pytest.raises(ValueError, match="truncated or corrupt"):
             load_predictor(bad)
+
+
+def test_export_pins_portable_decoder_form(tmp_path, monkeypatch):
+    """A TPU-host export targeting CPU consumers must NOT bake the
+    lhs-dilated decoder form (XLA:CPU lowers it 2.7x slower — the exact
+    lowering the runtime backend gate avoids); TPU-only exports keep the
+    batch heuristic. Simulate the TPU tracing host by monkeypatching the
+    backend gate."""
+    import struct
+
+    from jax import export as jexport
+
+    from fetal_mri_segmentation_tpu.models import layers as layers_mod
+    from fetal_mri_segmentation_tpu.utils.export import _MAGIC
+
+    monkeypatch.setattr(layers_mod, "_dilated_backend_ok", lambda: True)
+
+    cfg = Config(model_name="unet", depth=2, n_base_filters=2,
+                 patch_shape=(8, 8, 8), image_shape=(16, 16, 16),
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 8, 8, 8, 1), np.float32))
+
+    def exported_mlir(path):
+        with open(path, "rb") as f:
+            assert f.read(len(_MAGIC)) == _MAGIC
+            (n,) = struct.unpack("<I", f.read(4))
+            f.read(n)
+            return jexport.deserialize(f.read()).mlir_module()
+
+    # patch_batch_size > 1 is exactly where the heuristic picks dilated
+    portable = str(tmp_path / "portable.fetal")
+    export_predictor(model, cfg, variables, (16, 16, 16), portable,
+                     overlap=4, patch_batch_size=4)   # default tpu+cpu
+    assert "lhs_dilate" not in exported_mlir(portable)
+
+    tpu_only = str(tmp_path / "tpu.fetal")
+    export_predictor(model, cfg, variables, (16, 16, 16), tpu_only,
+                     overlap=4, patch_batch_size=4, platforms=["tpu"])
+    assert "lhs_dilate" in exported_mlir(tpu_only)
+
+    # the override restored cleanly: the live CPU path still traces
+    assert layers_mod._DECODER_FORM_OVERRIDE is None

@@ -220,7 +220,8 @@ def test_serve_write_failure_not_counted_and_quarantined(tmp_path):
                               variables, cfg, predictor, once=True,
                               overlap=4, verbose=False, stats=stats)
     assert n == 0
-    assert stats == {"predicted": 0, "write_failures": 1}
+    assert stats == {"predicted": 0, "write_failures": 1,
+                     "aux_write_failures": 0}
     assert not os.path.exists(os.path.join(out, "case_0",
                                            "prediction.nii.gz"))
 
@@ -366,3 +367,33 @@ def test_serve_device_preprocess_matches_serial(tmp_path):
         assert d.shape[:3] == cfg.image_shape
         arr = d.get_fdata(dtype=np.float32)
         assert abs(float(arr.mean())) < 0.1  # per-volume z-scored
+
+
+def test_serve_aux_write_failure_classified_separately(tmp_path):
+    """A lost --save-inputs copy on an otherwise-served case must count as
+    aux_write_failures (the prediction IS on disk), NOT as write_failures —
+    a --once caller exits 0 and does not re-alert on a served batch."""
+    from unittest import mock
+
+    from fetal_mri_segmentation_tpu.inference import predict as predict_mod
+
+    cfg, model, variables, predictor = _setup(tmp_path, n_cases=1)
+    out = str(tmp_path / "served")
+
+    real_save = predict_mod.save_nifti
+
+    def failing_aux_save(data, path, affine=None):
+        if os.path.basename(path).startswith("data_"):
+            raise OSError(28, "No space left on device")
+        return real_save(data, path, affine=affine)
+
+    stats = {}
+    with mock.patch.object(predict_mod, "save_nifti", failing_aux_save):
+        n = watch_and_predict(str(tmp_path / "watch"), out, model,
+                              variables, cfg, predictor, once=True,
+                              overlap=4, verbose=False, stats=stats,
+                              save_inputs=True)
+    assert n == 1
+    assert stats == {"predicted": 1, "write_failures": 0,
+                     "aux_write_failures": 1}
+    assert os.path.exists(os.path.join(out, "case_0", "prediction.nii.gz"))
