@@ -393,16 +393,19 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
                           skip_blank: bool = True,
                           seed: Optional[int] = None,
                           cache_cases: int = 64,
-                          truth_cache=None
+                          truth_cache=None,
+                          skip_batches: int = 0
                           ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
     """Infinite generator of ``(rows[B] int32, corners[B,3] int32, n_valid)``.
 
     Mirrors generator.py::data_generator line for line — same rng
-    construction and consumption order (epoch grid offsets, shuffle), same
-    blank-skip decisions (truth sliced on host from an LRU), same
-    partial-batch boundaries — so the cached pipeline trains on the exact
-    sequence the host pipeline would. Partial batches are padded by
-    repeating the first entry; ``n_valid`` masks the padding in the step.
+    construction and consumption order (per-epoch ``default_rng((seed, k))``
+    derivation incl. the batch-level ``skip_batches`` fast-forward for
+    data-order exact resume, epoch grid offsets, shuffle), same blank-skip
+    decisions (truth sliced on host from an LRU), same partial-batch
+    boundaries — so the cached pipeline trains on the exact sequence the
+    host pipeline would. Partial batches are padded by repeating the first
+    entry; ``n_valid`` masks the padding in the step.
 
     ``truth_cache``: optional shared ``.get(case_idx) -> truth array``
     lookup (e.g. ``DeviceCaseCache.host_truth`` wrapped) so several
@@ -413,10 +416,11 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
 
     if patch_shape is None:
         raise ValueError("device case cache requires patch_shape training")
-    rng = np.random.default_rng(seed)
     cache = truth_cache or _TruthCache(data_file, max_cases=cache_cases)
     base_list = list(index_list)
     image_shape = tuple(data_file.root.data.shape[-3:])
+    epoch = 0
+    to_skip = int(skip_batches)
 
     def emit(pairs):
         n_valid = len(pairs)
@@ -428,7 +432,11 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
         return rows, corners, n_valid
 
     while True:
+        rng = np.random.default_rng(
+            None if seed is None else (seed, epoch))
+        epoch += 1
         pairs: List[Tuple[int, np.ndarray]] = []
+        n_skipping = 0  # patches accumulated into a batch being skipped
         epoch_list = create_patch_index_list(
             base_list, image_shape, patch_shape, patch_overlap,
             patch_start_offset, rng)
@@ -442,6 +450,16 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
                 y = get_patch_from_3d_data(truth, patch_shape, corner)
                 if not np.any(y):
                     continue
+            if to_skip:
+                # fast-forward: same batch boundaries, nothing emitted.
+                # to_skip only reaches 0 at a boundary, so the switch back
+                # to yielding never lands mid-batch.
+                n_skipping += 1
+                if n_skipping == batch_size or not epoch_list:
+                    to_skip -= 1
+                    yielded = True
+                    n_skipping = 0
+                continue
             pairs.append((case_index, corner))
             if len(pairs) == batch_size or (not epoch_list and pairs):
                 yield emit(pairs)
@@ -464,6 +482,8 @@ AUTO_BUDGET_BYTES = 4 << 30
 
 
 def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
+                             train_skip_batches: int = 0,
+                             val_skip_batches: int = 0,
                              verbose: bool = False):
     """Returns ``(cache, train_index_gen, val_index_gen)`` when the device
     case cache applies, else None (host staging path).
@@ -555,12 +575,13 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
         batch_size=config.batch_size, patch_shape=config.patch_shape,
         patch_overlap=0,
         patch_start_offset=config.training_patch_start_offset,
-        skip_blank=config.skip_blank, seed=seed, truth_cache=truth_lookup)
+        skip_blank=config.skip_blank, seed=seed, truth_cache=truth_lookup,
+        skip_batches=train_skip_batches)
     val_gen = index_batch_generator(
         data_file, validation_list, cache.row_of,
         batch_size=config.validation_batch_size or config.batch_size,
         patch_shape=config.patch_shape,
         patch_overlap=config.validation_patch_overlap,
         shuffle_index_list=False, skip_blank=config.skip_blank, seed=seed,
-        truth_cache=truth_lookup)
+        truth_cache=truth_lookup, skip_batches=val_skip_batches)
     return cache, train_gen, val_gen

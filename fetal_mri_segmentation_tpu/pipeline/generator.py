@@ -196,20 +196,41 @@ def data_generator(data_file, index_list, batch_size: int = 1,
                    patch_overlap: int = 0, patch_start_offset=None,
                    shuffle_index_list: bool = True, skip_blank: bool = True,
                    seed: Optional[int] = None,
-                   cache_cases: int = 64) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+                   cache_cases: int = 64,
+                   skip_batches: int = 0
+                   ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Infinite epoch-reshuffling batch generator of channels-first arrays.
 
     Reference: generator.py::data_generator (augmentation removed — it runs
     on device; see ops/augment.py).
+
+    Epoch k's rng is derived as ``default_rng((seed, k))`` (one fresh
+    stream per epoch, not one stream advanced across epochs), so the batch
+    sequence is a pure function of ``seed`` — resumable at any point.
+    ``skip_batches`` fast-forwards the stream by exactly that many emitted
+    batches (replaying every rng draw and blank-skip decision, skipping
+    only the one-hot/convert/yield), so a resumed run trains on the EXACT
+    batch sequence an uninterrupted run would — data-order exact resume
+    even when ``skip_blank`` makes generator-epoch lengths drift from the
+    loop's fixed ``steps_per_epoch`` (train.py peeks the checkpoint's
+    epoch via CheckpointIO.peek_epoch and skips epoch*steps batches).
+    ``seed=None`` stays nondeterministic.
+    pipeline/device_cache.py::index_batch_generator derives identically
+    and must stay in bitwise lockstep.
     """
-    rng = np.random.default_rng(seed)
     cache = CaseCache(data_file, max_cases=cache_cases)
     base_list = list(index_list)
     image_shape = tuple(data_file.root.data.shape[-3:])
+    epoch = 0
+    to_skip = int(skip_batches)
 
     while True:
+        rng = np.random.default_rng(
+            None if seed is None else (seed, epoch))
+        epoch += 1
         x_list: List[np.ndarray] = []
         y_list: List[np.ndarray] = []
+        n_skipping = 0  # patches accumulated into a batch being skipped
         if patch_shape is not None:
             epoch_list = create_patch_index_list(
                 base_list, image_shape, patch_shape, patch_overlap,
@@ -224,6 +245,16 @@ def data_generator(data_file, index_list, batch_size: int = 1,
             x, y = get_data_from_file(data_file, index,
                                       patch_shape=patch_shape, cache=cache)
             if skip_blank and not np.any(y):
+                continue
+            if to_skip:
+                # fast-forward: same batch boundaries, no materialization.
+                # to_skip only reaches 0 at a boundary, so the switch back
+                # to yielding never lands mid-batch.
+                n_skipping += 1
+                if n_skipping == batch_size or not epoch_list:
+                    to_skip -= 1
+                    yielded = True
+                    n_skipping = 0
                 continue
             x_list.append(x)
             y_list.append(y)
@@ -274,6 +305,7 @@ def get_training_and_validation_generators(
         validation_batch_size=None, validation_patch_overlap: int = 0,
         training_patch_start_offset=None, skip_blank: bool = True,
         seed: Optional[int] = None, cache_cases: int = 64,
+        start_epoch: int = 0,
         # accepted for reference-signature parity; augmentation itself is
         # applied on device in the train step (ops/augment.py):
         augment: bool = False, augment_flip: bool = True,
@@ -289,18 +321,6 @@ def get_training_and_validation_generators(
         data_file, training_keys_file, validation_keys_file,
         data_split=data_split, overwrite=overwrite, seed=seed)
 
-    training_generator = data_generator(
-        data_file, training_list, batch_size=batch_size, n_labels=n_labels,
-        labels=labels, patch_shape=patch_shape,
-        patch_start_offset=training_patch_start_offset,
-        patch_overlap=0, skip_blank=skip_blank, seed=seed,
-        cache_cases=cache_cases)
-    validation_generator = data_generator(
-        data_file, validation_list, batch_size=validation_batch_size,
-        n_labels=n_labels, labels=labels, patch_shape=patch_shape,
-        patch_overlap=validation_patch_overlap, skip_blank=skip_blank,
-        shuffle_index_list=False, seed=seed, cache_cases=cache_cases)
-
     num_training_steps = get_number_of_steps(
         get_number_of_patches(data_file, training_list, patch_shape,
                               patch_start_offset=training_patch_start_offset,
@@ -311,5 +331,24 @@ def get_training_and_validation_generators(
                               patch_overlap=validation_patch_overlap,
                               skip_blank=skip_blank, cache_cases=cache_cases),
         validation_batch_size)
+
+    # data-order exact resume: the training loop consumes exactly
+    # steps_per_epoch batches per epoch, so a run resumed at epoch k has
+    # consumed k*steps batches of each stream — fast-forward both by that
+    # count (NOT by generator epochs: with skip_blank the generator's own
+    # epoch lengths drift from the fixed step counts)
+    training_generator = data_generator(
+        data_file, training_list, batch_size=batch_size, n_labels=n_labels,
+        labels=labels, patch_shape=patch_shape,
+        patch_start_offset=training_patch_start_offset,
+        patch_overlap=0, skip_blank=skip_blank, seed=seed,
+        cache_cases=cache_cases,
+        skip_batches=start_epoch * num_training_steps)
+    validation_generator = data_generator(
+        data_file, validation_list, batch_size=validation_batch_size,
+        n_labels=n_labels, labels=labels, patch_shape=patch_shape,
+        patch_overlap=validation_patch_overlap, skip_blank=skip_blank,
+        shuffle_index_list=False, seed=seed, cache_cases=cache_cases,
+        skip_batches=start_epoch * num_validation_steps)
     return (training_generator, num_training_steps,
             validation_generator, num_validation_steps)

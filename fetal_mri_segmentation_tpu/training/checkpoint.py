@@ -42,6 +42,20 @@ class CheckpointIO:
         return os.path.isdir(self.path) and os.path.exists(
             os.path.join(self.path, "_CHECKPOINT_METADATA"))
 
+    def peek_epoch(self) -> Optional[int]:
+        """The checkpoint's resume epoch WITHOUT a full restore (sidecar
+        read) — None for legacy checkpoints saved before the sidecar
+        existed (callers fall back to epoch-0 generator streams, the
+        pre-sidecar behavior)."""
+        import json
+        if not self.exists():
+            return None
+        try:
+            with open(self.path + ".meta.json") as f:
+                return int(json.load(f)["epoch"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
     def save(self, state: TrainState, *, epoch: int, best_val: float,
              sched: Optional[dict] = None) -> None:
         # a caller omitting sched (external tooling, tests) must not persist
@@ -63,6 +77,25 @@ class CheckpointIO:
         }
         self._ckptr.save(self.path, payload, force=True)
         self._ckptr.wait_until_finished()
+        # tiny sidecar BESIDE the orbax dir (force=True replaces the dir
+        # itself): lets train.py peek the resume epoch BEFORE building the
+        # generators, so their per-epoch rng streams can fast-forward and a
+        # resumed run sees the exact batch sequence an uninterrupted run
+        # would (data-order exact resume). Written atomically.
+        import json
+        import tempfile
+        meta_path = self.path + ".meta.json"
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(meta_path),
+                                   suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"epoch": int(epoch),
+                           "best_val": float(best_val)}, f)
+            os.replace(tmp, meta_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
 
     def restore(self, state: TrainState
                 ) -> Tuple[TrainState, int, float, dict]:

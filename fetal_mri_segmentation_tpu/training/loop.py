@@ -181,7 +181,12 @@ def train_model(model, state: TrainState, config,
     early.best = sched.get("early_best", best_val)
     early.wait = int(sched.get("early_wait", 0))
 
-    rng = jax.random.PRNGKey(seed)
+    # epoch k's augmentation/dropout keys are derived fold_in(seed, k) —
+    # a pure function of (seed, epoch), NOT one stream split across the
+    # whole run — so a resumed run replays the exact keys an uninterrupted
+    # run used at that epoch (data-order exact resume, matching the
+    # generators' per-epoch rng derivation in pipeline/generator.py)
+    base_rng = jax.random.PRNGKey(seed)
 
     # Compressed batch staging: the per-step H2D of FRESH patches is the
     # real-epoch bottleneck on thin device links (docs/PERF.md round-3
@@ -228,6 +233,7 @@ def train_model(model, state: TrainState, config,
     collapse_warned = False
     for epoch in range(start_epoch, n_epochs):
         # ---- train ----
+        rng = jax.random.fold_in(base_rng, epoch)
         meter.reset()
         t0 = time.perf_counter()
         train_metrics, weights = [], []

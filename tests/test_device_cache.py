@@ -611,3 +611,30 @@ def test_non_integral_truth_rejected():
     with pytest.raises(ValueError, match="integral"):
         DeviceCaseCache.build(f, [0], patch_shape=(4, 4, 4),
                               margin_lo=(2, 2, 2), margin_hi=(2, 2, 2))
+
+
+def test_index_stream_skip_batches_lockstep(data_file):
+    """The index generator's batch-level fast-forward must stay in
+    lockstep with data_generator: at skip_batches=k both emit the
+    sequences a fresh pair emits after k batches (data-order exact
+    resume), including with skip_blank=True mid-epoch."""
+    ids = [0, 1, 2, 3]
+    row_of = {i: r for r, i in enumerate(ids)}
+    cases = {i: (np.asarray(data_file.root.data[i], np.float32),
+                 np.asarray(data_file.root.truth[i], np.float32))
+             for i in ids}
+    kw = dict(batch_size=3, patch_shape=(8, 8, 8), patch_overlap=0,
+              patch_start_offset=(4, 4, 4), shuffle_index_list=True,
+              skip_blank=True, seed=7)
+    host = data_generator(data_file, ids, n_labels=1, skip_batches=13, **kw)
+    idx = index_batch_generator(data_file, ids, row_of, skip_batches=13,
+                                **kw)
+    inv = {r: i for i, r in row_of.items()}
+    for _ in range(6):
+        xh, yh = next(host)
+        rows, corners, n_valid = next(idx)
+        assert n_valid == xh.shape[0]
+        for b in range(n_valid):
+            case = inv[int(rows[b])]
+            x = get_patch_from_3d_data(cases[case][0], (8, 8, 8), corners[b])
+            np.testing.assert_array_equal(xh[b], x)

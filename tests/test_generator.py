@@ -160,3 +160,37 @@ def test_all_blank_dataset_raises_instead_of_hanging(tmp_path):
                              patch_shape=(6, 6, 6), skip_blank=True, seed=0)
         with pytest.raises(RuntimeError, match="no batches"):
             next(gen)
+
+
+def test_data_generator_skip_batches_fast_forward(data_file):
+    """Data-order exact resume: a generator created with skip_batches=k
+    yields the EXACT batch sequence a fresh generator yields after k
+    batches — even mid-epoch, and even with skip_blank=True where
+    generator-epoch lengths drift from the loop's fixed steps_per_epoch
+    (the case that makes epoch-level fast-forward insufficient)."""
+    for skip_blank in (False, True):
+        for k in (8, 11):  # 8 = one exact no-skip epoch; 11 = mid-epoch
+            kw = dict(batch_size=3, n_labels=1, patch_shape=(8, 8, 8),
+                      patch_overlap=0, patch_start_offset=(4, 4, 4),
+                      skip_blank=skip_blank, seed=42)
+            fresh = data_generator(data_file, [0, 1, 2], **kw)
+            burn = [next(fresh) for _ in range(k)]
+            want = [next(fresh) for _ in range(6)]
+
+            resumed = data_generator(data_file, [0, 1, 2],
+                                     skip_batches=k, **kw)
+            for want_x, want_y in want:
+                got_x, got_y = next(resumed)
+                np.testing.assert_array_equal(got_x, want_x)
+                np.testing.assert_array_equal(got_y, want_y)
+
+            # sanity: the stream genuinely evolves (offsets + shuffle)
+            assert not all(np.array_equal(a[0], b[0])
+                           for a, b in zip(burn, want))
+
+    # seed=None stays nondeterministic and accepts skip_batches
+    g = data_generator(data_file, [0, 1, 2], batch_size=3, n_labels=1,
+                       patch_shape=(8, 8, 8), patch_overlap=0,
+                       patch_start_offset=(4, 4, 4), skip_blank=False,
+                       seed=None, skip_batches=3)
+    next(g)

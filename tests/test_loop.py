@@ -304,3 +304,107 @@ def test_train_model_accepts_abstract_state_with_checkpoint(tmp_path,
     # restored concrete params trained one more epoch without model.init
     assert all(not isinstance(leaf, jax.ShapeDtypeStruct)
                for leaf in jax.tree_util.tree_leaves(final.params))
+
+
+def test_peek_epoch_sidecar(workdir, tmp_path):
+    """CheckpointIO.peek_epoch reads the resume epoch WITHOUT a restore
+    (train.py uses it to fast-forward the generators' per-epoch rng for
+    data-order exact resume); legacy checkpoints without the sidecar and
+    missing checkpoints return None."""
+    d = workdir
+    cfg = make_cfg(d, model_file=str(tmp_path / "peek.ckpt"), n_epochs=1,
+                   training_log=str(tmp_path / "peek.log"))
+    model = build_model(cfg)
+    data_file = open_data_file(cfg.data_file)
+    try:
+        tg, n_t, vg, n_v = get_training_and_validation_generators(
+            data_file, batch_size=cfg.batch_size, n_labels=1,
+            training_keys_file=cfg.training_file,
+            validation_keys_file=cfg.validation_file,
+            data_split=0.75, overwrite=False, patch_shape=cfg.patch_shape,
+            validation_batch_size=cfg.validation_batch_size,
+            training_patch_start_offset=(2, 2, 2), skip_blank=True, seed=0)
+        io = CheckpointIO(cfg.model_file)
+        assert io.peek_epoch() is None  # no checkpoint yet
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+        train_model(model, state, cfg, tg, vg, n_t, n_v, verbose=False)
+        assert io.peek_epoch() == 1  # saved at the end of epoch 0
+        # legacy checkpoint (sidecar removed) degrades to None, not a crash
+        os.remove(cfg.model_file + ".meta.json")
+        assert io.peek_epoch() is None
+    finally:
+        data_file.close()
+
+
+def test_resume_bitwise_identical_to_uninterrupted(workdir, tmp_path):
+    """Data-order exact resume, end to end: an interrupted-at-2-epochs run
+    resumed to 4 epochs produces BITWISE-identical training/validation
+    metrics to an uninterrupted 4-epoch run — exercising the batch-level
+    generator fast-forward (skip_blank=True, so epoch boundaries drift
+    from steps_per_epoch), the per-epoch augmentation rng derivation, the
+    scheduler-counter restore and the checkpoint-epoch sidecar together
+    (train.py wires these identically)."""
+    d = workdir
+    data_file = open_data_file(str(d / "data.h5"))
+
+    def gens(cfg, start_epoch=0):
+        return get_training_and_validation_generators(
+            data_file, batch_size=cfg.batch_size, n_labels=1,
+            training_keys_file=cfg.training_file,
+            validation_keys_file=cfg.validation_file,
+            data_split=0.75, overwrite=False, patch_shape=cfg.patch_shape,
+            validation_batch_size=cfg.validation_batch_size,
+            training_patch_start_offset=(2, 2, 2), skip_blank=True,
+            seed=3, start_epoch=start_epoch)
+
+    def metric_rows(path):
+        # {epoch: metric columns}, last row winning: a resume that rewinds
+        # to the best epoch legitimately re-logs the replayed epochs — the
+        # replays must be bitwise identical, so last-wins stays exact
+        out = {}
+        with open(path) as f:
+            hdr = f.readline().strip().split(",")
+            cols = [hdr.index(c) for c in
+                    ("epoch", "dice_coefficient", "val_dice_coefficient",
+                     "loss", "val_loss", "lr")]
+            for line in f:
+                v = line.strip().split(",")
+                out[v[cols[0]]] = [v[i] for i in cols[1:]]
+        return out
+
+    try:
+        cfg_c = make_cfg(d, n_epochs=4, model_file=str(tmp_path / "c.ckpt"),
+                         training_log=str(tmp_path / "c.log"))
+        model = build_model(cfg_c)
+        tg, n_t, vg, n_v = gens(cfg_c)
+        state = create_train_state(model, cfg_c, jax.random.PRNGKey(1))
+        train_model(model, state, cfg_c, tg, vg, n_t, n_v, verbose=False,
+                    seed=3)
+
+        # interrupted run: 2 epochs...
+        cfg_r = make_cfg(d, n_epochs=2, model_file=str(tmp_path / "r.ckpt"),
+                         training_log=str(tmp_path / "r.log"))
+        tg, n_t, vg, n_v = gens(cfg_r)
+        state = create_train_state(model, cfg_r, jax.random.PRNGKey(1))
+        train_model(model, state, cfg_r, tg, vg, n_t, n_v, verbose=False,
+                    seed=3)
+
+        # ...then resumed to 4, exactly as train.py wires it: peek the
+        # checkpoint epoch, fast-forward fresh generators by epoch*steps
+        cfg_r4 = make_cfg(d, n_epochs=4, model_file=cfg_r.model_file,
+                          training_log=cfg_r.training_log)
+        start = CheckpointIO(cfg_r4.model_file).peek_epoch() or 0
+        assert start > 0
+        tg, n_t, vg, n_v = gens(cfg_r4, start_epoch=start)
+        state = create_train_state(model, cfg_r4, jax.random.PRNGKey(1))
+        train_model(model, state, cfg_r4, tg, vg, n_t, n_v, verbose=False,
+                    seed=3)
+
+        cont, res = metric_rows(cfg_c.training_log), \
+            metric_rows(cfg_r4.training_log)
+        assert set(cont) == set(res)
+        for e in sorted(cont):
+            assert cont[e] == res[e], \
+                f"epoch {e} diverged: {cont[e]} != {res[e]}"
+    finally:
+        data_file.close()

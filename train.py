@@ -94,12 +94,20 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
         # serving cold-start path uses (training/state.py).
         from fetal_mri_segmentation_tpu.training.checkpoint import CheckpointIO
         model = build_model(config)
-        if CheckpointIO(config.model_file).exists() and not overwrite:
+        ckpt_io = CheckpointIO(config.model_file)
+        resuming = ckpt_io.exists() and not overwrite
+        if resuming:
             from fetal_mri_segmentation_tpu.training.state import (
                 create_abstract_state)
             state = create_abstract_state(model, config)
         else:
             state = create_train_state(model, config, jax.random.PRNGKey(seed))
+        # data-order exact resume: fast-forward the generators by the
+        # start_epoch*steps batches the interrupted run consumed, so a
+        # resumed run trains on the exact batch sequence an uninterrupted
+        # run would (None for legacy checkpoints without the sidecar ->
+        # fresh streams, the pre-sidecar behavior)
+        start_epoch = (ckpt_io.peek_epoch() or 0) if resuming else 0
 
         # 3. generators (reference: get_training_and_validation_generators)
         tg, n_train, vg, n_val = get_training_and_validation_generators(
@@ -111,7 +119,8 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
             validation_batch_size=config.validation_batch_size,
             validation_patch_overlap=config.validation_patch_overlap,
             training_patch_start_offset=config.training_patch_start_offset,
-            skip_blank=config.skip_blank, seed=seed)
+            skip_blank=config.skip_blank, seed=seed,
+            start_epoch=start_epoch)
 
         # 4. train (multi-device DP when >1 chip visible; hybrid
         #    data x spatial mesh when spatial_devices > 1)
@@ -139,7 +148,10 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
         from fetal_mri_segmentation_tpu.pipeline.device_cache import (
             maybe_build_device_cache)
         dc = maybe_build_device_cache(data_file, config, mesh=mesh,
-                                      seed=seed, verbose=verbose)
+                                      seed=seed,
+                                      train_skip_batches=start_epoch * n_train,
+                                      val_skip_batches=start_epoch * n_val,
+                                      verbose=verbose)
         if dc is not None:
             device_cache, tg, vg = dc
 
