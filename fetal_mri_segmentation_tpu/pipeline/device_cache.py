@@ -416,6 +416,8 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
 
     if patch_shape is None:
         raise ValueError("device case cache requires patch_shape training")
+    if skip_batches < 0:
+        raise ValueError(f"skip_batches={skip_batches} must be >= 0")
     cache = truth_cache or _TruthCache(data_file, max_cases=cache_cases)
     base_list = list(index_list)
     image_shape = tuple(data_file.root.data.shape[-3:])
@@ -444,6 +446,19 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
             rng.shuffle(epoch_list)
         yielded = False
         while epoch_list:
+            if to_skip and not skip_blank:
+                # arithmetic fast-forward: without blank-skipping the
+                # epoch's batch count is exact — no per-patch walk needed
+                n_batches = -(-len(epoch_list) // batch_size)
+                if to_skip >= n_batches:
+                    to_skip -= n_batches
+                    yielded = True
+                    break
+                # pop() consumes from the end, so the first to_skip
+                # batches are the LAST to_skip*batch_size entries
+                del epoch_list[-to_skip * batch_size:]
+                to_skip = 0
+                continue
             case_index, corner = epoch_list.pop()
             if skip_blank:
                 truth = cache.get(case_index)

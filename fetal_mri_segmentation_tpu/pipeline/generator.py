@@ -218,6 +218,8 @@ def data_generator(data_file, index_list, batch_size: int = 1,
     pipeline/device_cache.py::index_batch_generator derives identically
     and must stay in bitwise lockstep.
     """
+    if skip_batches < 0:
+        raise ValueError(f"skip_batches={skip_batches} must be >= 0")
     cache = CaseCache(data_file, max_cases=cache_cases)
     base_list = list(index_list)
     image_shape = tuple(data_file.root.data.shape[-3:])
@@ -241,20 +243,44 @@ def data_generator(data_file, index_list, batch_size: int = 1,
             rng.shuffle(epoch_list)
         yielded = False
         while epoch_list:
-            index = epoch_list.pop()
-            x, y = get_data_from_file(data_file, index,
-                                      patch_shape=patch_shape, cache=cache)
-            if skip_blank and not np.any(y):
+            if to_skip and not skip_blank:
+                # arithmetic fast-forward: without blank-skipping the
+                # epoch's batch count is exact — no per-patch walk needed
+                # (the epoch's rng draws already happened above)
+                n_batches = -(-len(epoch_list) // batch_size)
+                if to_skip >= n_batches:
+                    to_skip -= n_batches
+                    yielded = True
+                    break
+                # pop() consumes from the end, so the first to_skip
+                # batches are the LAST to_skip*batch_size entries
+                del epoch_list[-to_skip * batch_size:]
+                to_skip = 0
                 continue
+            index = epoch_list.pop()
             if to_skip:
-                # fast-forward: same batch boundaries, no materialization.
-                # to_skip only reaches 0 at a boundary, so the switch back
-                # to yielding never lands mid-batch.
+                # skip_blank fast-forward: replay only the blank decision
+                # (truth slice; the case stays LRU-cached) — x is never
+                # materialized while skipping. to_skip only reaches 0 at a
+                # batch boundary, so the switch back to yielding never
+                # lands mid-batch.
+                if patch_shape is not None:
+                    _, truth = get_data_from_file(data_file, index[0],
+                                                  cache=cache)
+                    y = get_patch_from_3d_data(truth, patch_shape, index[1])
+                else:
+                    _, y = get_data_from_file(data_file, index, cache=cache)
+                if not np.any(y):
+                    continue
                 n_skipping += 1
                 if n_skipping == batch_size or not epoch_list:
                     to_skip -= 1
                     yielded = True
                     n_skipping = 0
+                continue
+            x, y = get_data_from_file(data_file, index,
+                                      patch_shape=patch_shape, cache=cache)
+            if skip_blank and not np.any(y):
                 continue
             x_list.append(x)
             y_list.append(y)

@@ -52,9 +52,12 @@ class CheckpointIO:
             return None
         try:
             with open(self.path + ".meta.json") as f:
-                return int(json.load(f)["epoch"])
+                epoch = int(json.load(f)["epoch"])
         except (OSError, ValueError, KeyError, TypeError):
             return None
+        # a corrupt/hand-edited negative epoch must not reach the
+        # generators' skip_batches (it would fast-forward forever)
+        return epoch if epoch >= 0 else None
 
     def save(self, state: TrainState, *, epoch: int, best_val: float,
              sched: Optional[dict] = None) -> None:

@@ -92,6 +92,19 @@ def train_model(model, state: TrainState, config,
         state, start_epoch, best_val, sched = ckpt.restore(state)
         if verbose:
             print(f"[resume] epoch {start_epoch}, best val {best_val:.4f}")
+        # the .meta.json sidecar is what callers peeked to fast-forward
+        # the generators (train.py); if it disagrees with the orbax
+        # payload (kill between the two writes, or a checkpoint dir
+        # copied without its sidecar) the streams are misaligned — data
+        # order then differs from an uninterrupted run. Training remains
+        # correct; say so instead of silently diverging.
+        peeked = ckpt.peek_epoch()
+        if peeked is not None and peeked != start_epoch:
+            print(f"[resume] warning: checkpoint epoch {start_epoch} != "
+                  f"sidecar epoch {peeked} — generator streams were "
+                  "fast-forwarded to the sidecar epoch, so the data order "
+                  "of this resumed run will not exactly match an "
+                  "uninterrupted run (training is otherwise unaffected)")
     if any(isinstance(leaf, jax.ShapeDtypeStruct)
            for leaf in jax.tree_util.tree_leaves(state.params)):
         raise ValueError(

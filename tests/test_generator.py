@@ -194,3 +194,10 @@ def test_data_generator_skip_batches_fast_forward(data_file):
                        patch_start_offset=(4, 4, 4), skip_blank=False,
                        seed=None, skip_batches=3)
     next(g)
+
+
+def test_skip_batches_negative_rejected(data_file):
+    with pytest.raises(ValueError, match="skip_batches"):
+        next(data_generator(data_file, [0, 1], batch_size=2, n_labels=1,
+                            patch_shape=(8, 8, 8), skip_blank=False,
+                            seed=0, skip_batches=-1))

@@ -408,3 +408,55 @@ def test_resume_bitwise_identical_to_uninterrupted(workdir, tmp_path):
                 f"epoch {e} diverged: {cont[e]} != {res[e]}"
     finally:
         data_file.close()
+
+
+def test_peek_epoch_rejects_corrupt_sidecar(tmp_path):
+    """A hand-edited/corrupt sidecar must never feed a negative epoch into
+    the generators' skip_batches (it would fast-forward forever) — and a
+    present-but-unreadable sidecar degrades to None."""
+    import json
+    path = str(tmp_path / "x.ckpt")
+    os.makedirs(path)
+    open(os.path.join(path, "_CHECKPOINT_METADATA"), "w").close()
+    io = CheckpointIO(path)
+    json.dump({"epoch": -1, "best_val": 0.0}, open(path + ".meta.json", "w"))
+    assert io.peek_epoch() is None
+    open(path + ".meta.json", "w").write("not json")
+    assert io.peek_epoch() is None
+    json.dump({"epoch": 7, "best_val": 0.0}, open(path + ".meta.json", "w"))
+    assert io.peek_epoch() == 7
+
+
+def test_resume_warns_on_sidecar_checkpoint_mismatch(workdir, tmp_path,
+                                                     capsys):
+    """If the sidecar epoch (used to fast-forward the generators) and the
+    orbax payload epoch disagree — kill between the two writes, or a
+    checkpoint dir copied without its sidecar — the resume must say the
+    data order is no longer exact instead of silently diverging."""
+    import json
+    d = workdir
+    cfg = make_cfg(d, model_file=str(tmp_path / "m.ckpt"), n_epochs=1,
+                   training_log=str(tmp_path / "m.log"))
+    model = build_model(cfg)
+    data_file = open_data_file(cfg.data_file)
+    try:
+        tg, n_t, vg, n_v = get_training_and_validation_generators(
+            data_file, batch_size=cfg.batch_size, n_labels=1,
+            training_keys_file=cfg.training_file,
+            validation_keys_file=cfg.validation_file,
+            data_split=0.75, overwrite=False, patch_shape=cfg.patch_shape,
+            validation_batch_size=cfg.validation_batch_size,
+            training_patch_start_offset=(2, 2, 2), skip_blank=True, seed=0)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+        train_model(model, state, cfg, tg, vg, n_t, n_v, verbose=False)
+        # stale sidecar: pretend it lags the orbax payload by one save
+        json.dump({"epoch": 9, "best_val": 0.0},
+                  open(cfg.model_file + ".meta.json", "w"))
+        cfg2 = make_cfg(d, model_file=cfg.model_file, n_epochs=2,
+                        training_log=cfg.training_log)
+        capsys.readouterr()
+        state2 = create_train_state(model, cfg2, jax.random.PRNGKey(0))
+        train_model(model, state2, cfg2, tg, vg, n_t, n_v, verbose=False)
+        assert "sidecar epoch 9" in capsys.readouterr().out
+    finally:
+        data_file.close()
