@@ -638,3 +638,65 @@ def test_index_stream_skip_batches_lockstep(data_file):
             case = inv[int(rows[b])]
             x = get_patch_from_3d_data(cases[case][0], (8, 8, 8), corners[b])
             np.testing.assert_array_equal(xh[b], x)
+
+
+def test_cached_resume_bitwise_identical(data_file, tmp_path):
+    """Exact resume through the device-cache pipeline: interrupted at 1
+    epoch and resumed to 3 (train.py wiring: peek_epoch -> epoch*steps
+    skip_batches into maybe_build_device_cache), the metric log is
+    bitwise identical to an uninterrupted cached 3-epoch run."""
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.pipeline import (
+        get_training_and_validation_generators)
+    from fetal_mri_segmentation_tpu.training import (CheckpointIO,
+                                                     create_train_state,
+                                                     train_model)
+
+    def run(sub, n_epochs, resume=False):
+        config = _cfg(data_file, sub, n_epochs=n_epochs, augment=True,
+                      flip=True, contrast=0.1)
+        start = (CheckpointIO(config.model_file).peek_epoch() or 0) \
+            if resume else 0
+        tg, n_t, vg, n_v = get_training_and_validation_generators(
+            data_file, batch_size=config.batch_size, n_labels=1,
+            training_keys_file=config.training_file,
+            validation_keys_file=config.validation_file,
+            data_split=0.8, overwrite=not resume,
+            patch_shape=config.patch_shape,
+            validation_batch_size=config.validation_batch_size,
+            validation_patch_overlap=config.validation_patch_overlap,
+            training_patch_start_offset=config.training_patch_start_offset,
+            skip_blank=True, seed=3, start_epoch=start)
+        model = build_model(config)
+        state = create_train_state(model, config, jax.random.PRNGKey(0))
+        device_cache, tg, vg = maybe_build_device_cache(
+            data_file, config, seed=3,
+            train_skip_batches=start * n_t, val_skip_batches=start * n_v)
+        train_model(model, state, config, tg, vg, n_t, n_v, seed=3,
+                    device_cache=device_cache, verbose=False)
+        return config.training_log
+
+    def metric_rows(path):
+        out = {}
+        with open(path) as f:
+            hdr = f.readline().strip().split(",")
+            cols = [hdr.index(c) for c in
+                    ("epoch", "dice_coefficient", "val_dice_coefficient",
+                     "loss", "val_loss", "lr")]
+            for line in f:
+                v = line.strip().split(",")
+                out[v[cols[0]]] = [v[i] for i in cols[1:]]
+        return out
+
+    cont = tmp_path / "cont"
+    cont.mkdir()
+    log_c = run(cont, 3)
+    res = tmp_path / "res"
+    res.mkdir()
+    run(res, 1)
+    log_r = run(res, 3, resume=True)
+    rows_c, rows_r = metric_rows(log_c), metric_rows(log_r)
+    assert set(rows_c) == set(rows_r)
+    for e in sorted(rows_c):
+        assert rows_c[e] == rows_r[e], \
+            f"epoch {e} diverged (cached resume): {rows_c[e]} != {rows_r[e]}"

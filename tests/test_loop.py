@@ -460,3 +460,72 @@ def test_resume_warns_on_sidecar_checkpoint_mismatch(workdir, tmp_path,
         assert "sidecar epoch 9" in capsys.readouterr().out
     finally:
         data_file.close()
+
+
+def test_resume_bitwise_identical_under_dp_mesh(workdir, tmp_path):
+    """Exact resume holds on the 8-device data-parallel mesh too: the
+    sharded step consumes the same per-epoch fold_in keys and the same
+    fast-forwarded generator stream, so an interrupted+resumed DP run is
+    bitwise identical to an uninterrupted one."""
+    from fetal_mri_segmentation_tpu.parallel import make_mesh
+
+    d = workdir
+    data_file = open_data_file(str(d / "data.h5"))
+    mesh = make_mesh(8)
+
+    def gens(cfg, start_epoch=0):
+        return get_training_and_validation_generators(
+            data_file, batch_size=cfg.batch_size, n_labels=1,
+            training_keys_file=cfg.training_file,
+            validation_keys_file=cfg.validation_file,
+            data_split=0.75, overwrite=False, patch_shape=cfg.patch_shape,
+            validation_batch_size=cfg.validation_batch_size,
+            training_patch_start_offset=(2, 2, 2), skip_blank=True,
+            seed=11, start_epoch=start_epoch)
+
+    def metric_rows(path):
+        out = {}
+        with open(path) as f:
+            hdr = f.readline().strip().split(",")
+            cols = [hdr.index(c) for c in
+                    ("epoch", "dice_coefficient", "val_dice_coefficient",
+                     "loss", "val_loss", "lr")]
+            for line in f:
+                v = line.strip().split(",")
+                out[v[cols[0]]] = [v[i] for i in cols[1:]]
+        return out
+
+    try:
+        kw = dict(batch_size=8, validation_batch_size=8)
+        cfg_c = make_cfg(d, n_epochs=3, model_file=str(tmp_path / "dc.ckpt"),
+                         training_log=str(tmp_path / "dc.log"), **kw)
+        model = build_model(cfg_c)
+        tg, n_t, vg, n_v = gens(cfg_c)
+        state = create_train_state(model, cfg_c, jax.random.PRNGKey(2))
+        train_model(model, state, cfg_c, tg, vg, n_t, n_v, mesh=mesh,
+                    verbose=False, seed=11)
+
+        cfg_r = make_cfg(d, n_epochs=1, model_file=str(tmp_path / "dr.ckpt"),
+                         training_log=str(tmp_path / "dr.log"), **kw)
+        tg, n_t, vg, n_v = gens(cfg_r)
+        state = create_train_state(model, cfg_r, jax.random.PRNGKey(2))
+        train_model(model, state, cfg_r, tg, vg, n_t, n_v, mesh=mesh,
+                    verbose=False, seed=11)
+
+        cfg_r3 = make_cfg(d, n_epochs=3, model_file=cfg_r.model_file,
+                          training_log=cfg_r.training_log, **kw)
+        start = CheckpointIO(cfg_r3.model_file).peek_epoch() or 0
+        assert start > 0
+        tg, n_t, vg, n_v = gens(cfg_r3, start_epoch=start)
+        state = create_train_state(model, cfg_r3, jax.random.PRNGKey(2))
+        train_model(model, state, cfg_r3, tg, vg, n_t, n_v, mesh=mesh,
+                    verbose=False, seed=11)
+
+        cont, res = metric_rows(cfg_c.training_log), \
+            metric_rows(cfg_r3.training_log)
+        assert set(cont) == set(res)
+        for e in sorted(cont):
+            assert cont[e] == res[e], \
+                f"epoch {e} diverged under DP: {cont[e]} != {res[e]}"
+    finally:
+        data_file.close()
