@@ -96,16 +96,22 @@ def _composite(model_name: str, augment: bool, n_reps: int = 5):
     # ---- timed pipelined stream ----
     # async label fetch: the D2H + dispatch overhead of volume i overlaps the
     # train steps of volume i+1 (device execution stays serial).
-    outs = []
-    t0 = time.perf_counter()
-    for _ in range(n_reps):
-        for _ in range(TRAIN_PATCHES_PER_VOLUME):
-            state, m = train_step(state, x, y, key, None)
-        outs.append(predictor.predict_labels_async(
-            {"params": state.params}, vol))
-    labels = [predictor.unpack_labels(o) for o in outs]
-    dt = (time.perf_counter() - t0) / n_reps
-    assert all(l.shape == VOLUME for l in labels)
+    # median of 3 independent stream trials: the tunneled link adds
+    # multi-10ms noise spikes that a single trial absorbs into the headline
+    # (observed ±6% run-to-run); the median is the steady-state number.
+    trials = []
+    for _ in range(3):
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(n_reps):
+            for _ in range(TRAIN_PATCHES_PER_VOLUME):
+                state, m = train_step(state, x, y, key, None)
+            outs.append(predictor.predict_labels_async(
+                {"params": state.params}, vol))
+        labels = [predictor.unpack_labels(o) for o in outs]
+        trials.append((time.perf_counter() - t0) / n_reps)
+        assert all(l.shape == VOLUME for l in labels)
+    dt = float(np.median(trials))
 
     # components (informational)
     t0 = time.perf_counter()

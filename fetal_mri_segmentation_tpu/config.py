@@ -97,6 +97,9 @@ class Config:
     normalization: str = "per_volume"  # "per_volume" | "global" | "windowed"
 
     # --- files --------------------------------------------------------------
+    data_dir: Optional[str] = None  # per-case NIfTI folders for the builder
+                                    # (train.py --data-dir overrides; default
+                                    # "data" when neither is given)
     data_file: str = "fetal_data.h5"
     model_file: str = "model.ckpt"
     training_file: str = "training_ids.pkl"

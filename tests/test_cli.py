@@ -65,3 +65,24 @@ def test_assign_output_names_dedup_never_collides():
     assert len(set(names)) == 3
     # stable simple case
     assert assign_output_names(["x/c1.nii", "y/c2.nii"]) == ["c1", "c2"]
+
+
+def test_config_data_dir_key_and_cli_precedence(tmp_path):
+    """data_dir is a first-class config key (no unknown-key warning) and a
+    JSON config alone can point train.py at the dataset; an explicit
+    --data-dir still wins (train.py: args.data_dir or cfg.data_dir or
+    'data')."""
+    import json
+    import warnings
+
+    from fetal_mri_segmentation_tpu.config import Config
+
+    p = tmp_path / "c.json"
+    json.dump({"data_dir": "/some/cases", "n_epochs": 1}, open(p, "w"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # unknown keys warn -> would raise
+        cfg = Config.load(str(p))
+    assert cfg.data_dir == "/some/cases"
+    assert (None or cfg.data_dir or "data") == "/some/cases"
+    assert ("/cli/wins" or cfg.data_dir or "data") == "/cli/wins"
+    assert (None or Config().data_dir or "data") == "data"

@@ -198,8 +198,9 @@ def run_smoke(tmpdir: str = "/tmp/fetal_smoke"):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", help="JSON config (reference key names)")
-    ap.add_argument("--data-dir", default="data",
-                    help="directory of per-case NIfTI folders")
+    ap.add_argument("--data-dir", default=None,
+                    help="directory of per-case NIfTI folders (overrides "
+                         "the config's data_dir; default: data)")
     ap.add_argument("--model", dest="model_name",
                     choices=["unet", "isensee"], default=None)
     ap.add_argument("--overwrite", action="store_true")
@@ -222,5 +223,5 @@ if __name__ == "__main__":
         cfg.model_name = args.model_name
     if args.overwrite:
         cfg.overwrite = True
-    main(cfg, args.data_dir, overwrite=cfg.overwrite,
-         profile_dir=args.profile, seed=args.seed)
+    main(cfg, args.data_dir or cfg.data_dir or "data",
+         overwrite=cfg.overwrite, profile_dir=args.profile, seed=args.seed)
