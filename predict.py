@@ -40,11 +40,16 @@ def assign_output_names(paths):
     return names
 
 
-def main(config, output_dir: str = "prediction", overlap: int = 16,
+def main(config, output_dir: str = "prediction", overlap: int = None,
          tta: bool = False, patch_batch_size: int = 8,
          num_devices: int = 1, spatial_devices: int = 1,
          direct: bool = False, export_path: str = None,
          inputs=None):
+    if overlap is None:
+        # follow the config's validation grid: a patch_shape smaller than
+        # the old hardcoded 16 would otherwise reject its own config
+        # (overlap must be < patch size)
+        overlap = config.validation_patch_overlap
     # flag-combination validation BEFORE the (slow) model build/restore
     if inputs and ((num_devices and num_devices > 1)
                    or (spatial_devices and spatial_devices > 1)):
@@ -130,7 +135,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", required=True)
     ap.add_argument("--output-dir", default="prediction")
-    ap.add_argument("--overlap", type=int, default=16)
+    ap.add_argument("--overlap", type=int, default=None,
+                    help="sliding-window patch overlap (default: the "
+                         "config's validation_patch_overlap)")
     ap.add_argument("--patch-batch-size", type=int, default=8)
     ap.add_argument("--tta", action="store_true",
                     help="test-time augmentation averaging (see --tta-mode)")

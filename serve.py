@@ -20,10 +20,14 @@ import signal
 import threading
 
 
-def main(config, watch: str, output: str = "served", overlap: int = 16,
+def main(config, watch: str, output: str = "served", overlap: int = None,
          patch_batch_size: int = 8, direct: bool = False, tta: bool = False,
          poll: float = 1.0, once: bool = False, threshold: float = 0.5,
          save_inputs: bool = False, device_preprocess: bool = False):
+    if overlap is None:
+        # follow the config's validation grid: a patch_shape smaller than
+        # the old hardcoded 16 would otherwise reject its own config
+        overlap = config.validation_patch_overlap
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
@@ -95,7 +99,9 @@ if __name__ == "__main__":
     ap.add_argument("--watch", required=True,
                     help="directory to watch for incoming cases")
     ap.add_argument("--output", default="served")
-    ap.add_argument("--overlap", type=int, default=16)
+    ap.add_argument("--overlap", type=int, default=None,
+                    help="sliding-window patch overlap (default: the "
+                         "config's validation_patch_overlap)")
     ap.add_argument("--patch-batch-size", type=int, default=8)
     ap.add_argument("--direct", action="store_true",
                     help="whole-volume forward (no patch grid; ~2x less "

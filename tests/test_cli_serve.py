@@ -61,7 +61,9 @@ def test_serve_cli_once(experiment, device_preprocess):
             "--config", str(d / "exp.json"),
             "--watch", str(d / "watch"),
             "--output", out,
-            "--overlap", "4", "--once"]
+            "--once"]  # no --overlap: defaults to the config's
+    #                    validation_patch_overlap (4 here; the old
+    #                    hardcoded 16 would reject this 16^3-patch config)
     if device_preprocess:
         args.append("--device-preprocess")
     r = _run(args)
@@ -75,7 +77,9 @@ def test_predict_cli_input(experiment):
     r = _run([os.path.join(REPO, "predict.py"),
               "--config", str(d / "exp.json"),
               "--output-dir", str(d / "pred"),
-              "--overlap", "4",
+              # no --overlap: defaults to the config's
+              # validation_patch_overlap (the old hardcoded 16 would
+              # reject this 16^3-patch config)
               "--input", str(d / "watch" / "case_0")])
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(str(d / "pred" / "case_0" / "prediction.nii.gz"))
