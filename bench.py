@@ -321,8 +321,12 @@ def _serve_case_sec(raw_shape=None, device_preprocess=False, n_cases=4,
     if device_preprocess:
         from fetal_mri_segmentation_tpu.ops.resample import (
             DevicePreprocessor)
+        # compute_dtype matched to the bf16 model, as serve.py builds it —
+        # the f32 default would compile a second label-program signature
+        # and charge every case an extra on-device cast (serve.py:57)
         device_pre = DevicePreprocessor(config.image_shape,
                                         config.normalization,
+                                        compute_dtype=jnp.bfloat16,
                                         transfer_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     times = []

@@ -250,12 +250,15 @@ def preprocess_case(input_path: str, config, *, crop: bool = True,
                 f"{device_pre.normalization!r} but config.normalization="
                 f"{config.normalization!r} — predictions would be shifted "
                 "into a different intensity distribution than training")
+        # validate against the preprocessor's HOST-side copies: reading
+        # back the device arrays here would force a blocking D2H sync per
+        # case inside the pipelined serving hot loop
+        host_moments = getattr(device_pre, "_host_moments", None)
         if (global_moments is not None
-                and getattr(device_pre, "_mean", None) is not None
-                and not (np.allclose(global_moments[0],
-                                     np.asarray(device_pre._mean))
+                and host_moments is not None
+                and not (np.allclose(global_moments[0], host_moments[0])
                          and np.allclose(global_moments[1],
-                                         np.asarray(device_pre._std)))):
+                                         host_moments[1]))):
             raise ValueError(
                 "device_pre's global normalization moments differ from the "
                 "global_moments passed to preprocess_case — build the "

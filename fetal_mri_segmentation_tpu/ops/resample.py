@@ -137,8 +137,14 @@ class DevicePreprocessor:
                     "training dataset's (mean, std)")
             self._mean = jnp.asarray(moments[0], jnp.float32)
             self._std = jnp.asarray(moments[1], jnp.float32)
+            # host copies for validation (predict.py::preprocess_case):
+            # reading the device arrays back per case would block the
+            # pipelined serving hot loop on a D2H sync
+            self._host_moments = (np.asarray(moments[0], np.float32),
+                                  np.asarray(moments[1], np.float32))
         else:
             self._mean = self._std = None
+            self._host_moments = None
         self._lo, self._hi = float(lower_percentile), float(upper_percentile)
         self._dtype = compute_dtype
         self._programs = {}

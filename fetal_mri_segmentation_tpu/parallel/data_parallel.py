@@ -38,6 +38,11 @@ def make_mesh(num_devices: Optional[int] = None,
     """1-D data-parallel mesh over the first `num_devices` visible devices."""
     devices = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
+        if len(devices) < num_devices:
+            # slicing would silently run on fewer devices than the user
+            # asked for (e.g. predict.py --num-devices 8 on a 1-chip host)
+            raise ValueError(f"requested {num_devices} devices, have "
+                             f"{len(devices)}")
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), ("data",))
 

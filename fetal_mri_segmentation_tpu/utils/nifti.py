@@ -173,6 +173,13 @@ def load_nifti(path: str) -> NiftiImage:
     off = int(vox_offset) if vox_offset else lay["default_offset"]
     data = np.frombuffer(raw, dtype=dt, count=n, offset=off)
     data = data.reshape(shape, order="F")
+    # nibabel semantics: non-finite scale fields mean NO scaling (scanner
+    # exports routinely carry scl_slope=NaN); applying them would turn the
+    # whole volume into NaN with no error downstream
+    if not np.isfinite(scl_slope):
+        scl_slope, scl_inter = 0.0, 0.0
+    if not np.isfinite(scl_inter):
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         data = data.astype(np.float32) * slope + scl_inter

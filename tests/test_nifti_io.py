@@ -262,3 +262,19 @@ def test_4d_multiframe_rejected_with_clear_message(tmp_path, rng):
         raise AssertionError("expected ValueError for multi-frame NIfTI")
     except ValueError as e:
         assert "multi-frame" in str(e) and "separate files" in str(e)
+
+
+def test_nan_scl_slope_means_no_scaling(tmp_path):
+    """nibabel semantics: non-finite scl_slope/scl_inter mean NO scaling
+    (scanner exports routinely carry scl_slope=NaN); applying them would
+    silently turn the whole volume into NaN."""
+    data = np.arange(2 * 3 * 4, dtype=np.int16).reshape(2, 3, 4)
+    p = tmp_path / "nan_scl.nii"
+    p.write_bytes(_synth_nifti1(data, np.eye(4), scl=(np.nan, np.nan)))
+    img = load_nifti(str(p))
+    assert np.isfinite(img.get_fdata()).all()
+    assert np.array_equal(img.get_fdata(), data)
+    # finite slope with NaN intercept: slope applies, intercept ignored
+    p2 = tmp_path / "nan_inter.nii"
+    p2.write_bytes(_synth_nifti1(data, np.eye(4), scl=(2.0, np.nan)))
+    assert np.array_equal(load_nifti(str(p2)).get_fdata(), data * 2.0)

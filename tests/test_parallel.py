@@ -313,3 +313,11 @@ def test_indivisible_batch_clear_error():
     x = np.zeros((6, 1, 4, 4, 4), np.float32)
     with pytest.raises(ValueError, match="not divisible"):
         shard_batch(mesh, x)
+
+
+def test_make_mesh_rejects_overask():
+    """Asking for more devices than exist must error, not silently run on
+    fewer (predict.py --num-devices 8 on a 1-chip host used to degrade to
+    single-device with no warning)."""
+    with pytest.raises(ValueError, match="requested 9 devices"):
+        make_mesh(9)
