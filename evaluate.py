@@ -53,16 +53,30 @@ def main(prediction_dir: str, labels, output_csv: str,
          training_log: str = None, plot: bool = True,
          surface_metrics: bool = False):
     rows = {}
+    no_truth = []
     for case_dir in sorted(glob.glob(os.path.join(prediction_dir, "*"))):
         if not os.path.isdir(case_dir):
             continue
         if not os.path.exists(os.path.join(case_dir, "prediction.nii.gz")):
             continue
+        if not os.path.exists(os.path.join(case_dir, "truth.nii.gz")):
+            # legitimate for serve.py output trees (new scans have no
+            # ground truth) — skip with a note instead of a traceback
+            no_truth.append(os.path.basename(case_dir))
+            continue
         rows[os.path.basename(case_dir)] = evaluate_case(
             case_dir, labels, surface_metrics=surface_metrics)
+    if no_truth:
+        print(f"skipped {len(no_truth)} case(s) without truth.nii.gz "
+              f"(nothing to score against): {', '.join(no_truth[:5])}"
+              + (" ..." if len(no_truth) > 5 else ""))
 
     if not rows:
-        raise SystemExit(f"no prediction cases under {prediction_dir}")
+        raise SystemExit(
+            f"no scorable prediction cases under {prediction_dir}"
+            + (" — the cases there have predictions but no truth.nii.gz "
+               "(serve.py trees are unscored; predict.py validation "
+               "trees include the truth)" if no_truth else ""))
 
     df = pd.DataFrame.from_dict(rows, orient="index")
     df.to_csv(output_csv)

@@ -52,6 +52,35 @@ def test_evaluate_plots(prediction_tree, tmp_path):
 
 
 def test_evaluate_empty_dir_errors(tmp_path):
-    with pytest.raises(SystemExit, match="no prediction cases"):
+    with pytest.raises(SystemExit, match="no scorable prediction cases"):
         evaluate.main(str(tmp_path / "nothing"), labels=[1],
                       output_csv=str(tmp_path / "s.csv"), plot=False)
+
+
+def test_evaluate_skips_truthless_cases(tmp_path, capsys):
+    """A serve.py output tree (prediction.nii.gz, no truth) must be skipped
+    with a note — and explained, not a FileNotFoundError traceback, when
+    nothing is scorable."""
+    import numpy as np
+
+    from fetal_mri_segmentation_tpu.utils.nifti import save_nifti
+
+    served = tmp_path / "served" / "case_a"
+    served.mkdir(parents=True)
+    save_nifti(np.ones((4, 4, 4), np.uint8), str(served / "prediction.nii.gz"))
+    with pytest.raises(SystemExit, match="no truth.nii.gz"):
+        evaluate.main(str(tmp_path / "served"), labels=[1],
+                      output_csv=str(tmp_path / "s.csv"), plot=False)
+    assert "skipped 1 case(s) without truth" in capsys.readouterr().out
+
+    # mixed tree: scorable cases still score, truthless ones are skipped
+    scored = tmp_path / "served" / "case_b"
+    scored.mkdir()
+    save_nifti(np.ones((4, 4, 4), np.uint8), str(scored / "prediction.nii.gz"))
+    save_nifti(np.ones((4, 4, 4), np.uint8), str(scored / "truth.nii.gz"))
+    evaluate.main(str(tmp_path / "served"), labels=[1],
+                  output_csv=str(tmp_path / "s.csv"), plot=False)
+    import csv
+    with open(tmp_path / "s.csv") as f:
+        names = [r[0] for r in csv.reader(f)][1:]
+    assert names == ["case_b"]

@@ -77,7 +77,13 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
         files, subject_ids = fetch_training_data_files(
             data_dir, config.training_modalities)
         if not files:
-            sys.exit(f"no cases found under {data_dir}")
+            mods = ", ".join(f"{m}.nii[.gz]"
+                             for m in (config.training_modalities
+                                       or config.all_modalities))
+            sys.exit(
+                f"no cases found under {data_dir} — each case needs its own "
+                f"directory containing {mods} AND truth.nii[.gz] "
+                "(incomplete case dirs are skipped)")
         print(f"building {config.data_file} from {len(files)} cases...")
         write_data_to_file(files, config.data_file,
                            image_shape=config.image_shape,
