@@ -143,6 +143,33 @@ class Config:
             raise ValueError(
                 f"device_case_cache={self.device_case_cache!r} — must be "
                 "'auto', 'on' or 'off'")
+        # fail at construction, not epochs later inside the pipeline:
+        if self.model_name not in ("unet", "isensee"):
+            raise ValueError(f"model_name={self.model_name!r} — must be "
+                             "'unet' or 'isensee'")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype={self.compute_dtype!r} — must "
+                             "be 'float32' or 'bfloat16'")
+        if self.normalization not in ("per_volume", "global", "windowed",
+                                      "none", None):
+            raise ValueError(
+                f"normalization={self.normalization!r} — must be "
+                "'per_volume', 'global', 'windowed' or 'none' "
+                "(normalize_case semantics, data/normalize.py)")
+        if self.batch_size < 1 or (self.validation_batch_size is not None
+                                   and self.validation_batch_size < 1):
+            raise ValueError(
+                f"batch_size={self.batch_size} / validation_batch_size="
+                f"{self.validation_batch_size} must be >= 1")
+        if self.initial_learning_rate <= 0:
+            raise ValueError(f"initial_learning_rate="
+                             f"{self.initial_learning_rate} must be > 0")
+        # NOTE: patch geometry is deliberately NOT validated here —
+        # patch_shape larger than image_shape is legal (one centered
+        # zero-padded patch, reference grid semantics), and the default
+        # validation_patch_overlap (16) may exceed a small test patch;
+        # the grid math raises a clear error at first use for genuinely
+        # impossible grids (ops/patches.py::compute_patch_indices)
 
     @property
     def nb_channels(self) -> int:

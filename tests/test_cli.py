@@ -86,3 +86,19 @@ def test_config_data_dir_key_and_cli_precedence(tmp_path):
     assert (None or cfg.data_dir or "data") == "/some/cases"
     assert ("/cli/wins" or cfg.data_dir or "data") == "/cli/wins"
     assert (None or Config().data_dir or "data") == "data"
+
+
+@pytest.mark.parametrize("bad,match", [
+    (dict(model_name="vnet"), "model_name"),
+    (dict(compute_dtype="fp8"), "compute_dtype"),
+    (dict(normalization="zscore"), "normalization"),
+    (dict(batch_size=0), "batch_size"),
+    (dict(initial_learning_rate=-1.0), "initial_learning_rate"),
+])
+def test_config_validates_at_construction(bad, match):
+    """Invalid configs must fail at Config() with an actionable message,
+    not epochs later inside the pipeline."""
+    from fetal_mri_segmentation_tpu.config import Config
+
+    with pytest.raises(ValueError, match=match):
+        Config(**bad)
