@@ -105,6 +105,7 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                       retry_backoff: float = 60.0,
                       stop: Optional[object] = None,
                       stats: Optional[dict] = None,
+                      stats_file: Optional[str] = None,
                       verbose: bool = True,
                       device_pre=None) -> int:
     """Serve until ``stop.is_set()`` (or forever; one pass with ``once``).
@@ -133,6 +134,12 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     copies of otherwise-served cases — so a ``--once`` caller can exit
     nonzero on genuine prediction loss without re-alerting on a batch whose
     predictions all landed.
+
+    ``stats_file``: when given, an atomically-replaced JSON heartbeat is
+    written after every sweep — uptime, counts, quarantine size, and
+    p50/p95/max case latency over the last 512 served cases — so an
+    operator/monitor can watch a long-running server without parsing logs.
+    A failing stats write is reported once and never kills serving.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -153,11 +160,54 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     pool = ThreadPoolExecutor(max_workers=1)
     inflight = []  # (name, out_dir, seconds, [write futures], signature)
     warned_collisions = set()
+    import collections
+    latencies = collections.deque(maxlen=512)  # served-case seconds
+    t_start = time.monotonic()
+    n_sweeps = 0
+    last_served = None
+    stats_write_warned = False
+
+    def write_stats_file():
+        nonlocal stats_write_warned
+        if stats_file is None:
+            return
+        import json
+        import tempfile
+        lat = sorted(latencies)
+        pct = (lambda q: round(lat[min(len(lat) - 1,
+                                       int(q * (len(lat) - 1)))], 4)) \
+            if lat else (lambda q: None)
+        payload = {
+            "time": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+            "uptime_sec": round(time.monotonic() - t_start, 1),
+            "sweeps": n_sweeps,
+            "predicted": n_done,
+            "write_failures": n_write_failed,
+            "aux_write_failures": n_aux_write_failed,
+            "quarantined": len(failed),
+            "awaiting_stability": len(pending_sigs),
+            "last_served": last_served,
+            "latency_sec": {"n": len(lat), "p50": pct(0.5),
+                            "p95": pct(0.95),
+                            "max": lat[-1] if lat else None},
+        }
+        try:
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(os.path.abspath(stats_file)),
+                suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, stats_file)
+        except OSError as e:
+            if not stats_write_warned:  # must never kill serving
+                stats_write_warned = True
+                print(f"[serve] stats file unwritable ({e}) — continuing "
+                      "without heartbeat", flush=True)
     pipelined = (hasattr(predictor, "predict_labels_async")
                  and hasattr(predictor, "unpack_labels"))
 
     def drain_writes():
-        nonlocal n_done, n_write_failed, n_aux_write_failed
+        nonlocal n_done, n_write_failed, n_aux_write_failed, last_served
         for name, odir, dt, futs, sig in inflight:
             errs = [(path, f.exception()) for f, path in futs]
             errs = [(p, e) for p, e in errs if e is not None]
@@ -182,13 +232,18 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                 # recomputed) — report the loss truthfully instead of
                 # un-counting a served case and quarantining it forever
                 n_aux_write_failed += 1
+                latencies.append(dt)
+                last_served = name
                 lost = ", ".join(os.path.basename(p) for p, _ in errs)
                 e = errs[0][1]
                 print(f"[serve] {name} served, but input copies lost "
                       f"({lost}): {type(e).__name__}: {e}", flush=True)
-            elif verbose:
-                print(f"[serve] {name} -> {odir}/prediction.nii.gz "
-                      f"({dt:.2f}s)", flush=True)
+            else:
+                latencies.append(dt)
+                last_served = name
+                if verbose:
+                    print(f"[serve] {name} -> {odir}/prediction.nii.gz "
+                          f"({dt:.2f}s)", flush=True)
         inflight.clear()
 
     def quarantine(name, sig, exc, case_futs):
@@ -316,9 +371,11 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                       f"multiple watch-dir entries map to the same case "
                       f"name — rename one to serve them", flush=True)
         drain_writes()
+        n_sweeps += 1
         if stats is not None:
             stats.update(predicted=n_done, write_failures=n_write_failed,
                          aux_write_failures=n_aux_write_failed)
+        write_stats_file()
         if once or (stop is not None and stop.is_set()):
             pool.shutdown(wait=True)
             return n_done

@@ -23,7 +23,8 @@ import threading
 def main(config, watch: str, output: str = "served", overlap: int = None,
          patch_batch_size: int = 8, direct: bool = False, tta: bool = False,
          poll: float = 1.0, once: bool = False, threshold: float = 0.5,
-         save_inputs: bool = False, device_preprocess: bool = False):
+         save_inputs: bool = False, device_preprocess: bool = False,
+         stats_file: str = None):
     if overlap is None:
         # follow the config's validation grid: a patch_shape smaller than
         # the old hardcoded 16 would otherwise reject its own config
@@ -76,7 +77,7 @@ def main(config, watch: str, output: str = "served", overlap: int = None,
                           poll_interval=poll, once=once, stop=stop,
                           threshold=threshold, overlap=overlap,
                           save_inputs=save_inputs, stats=stats,
-                          device_pre=device_pre)
+                          stats_file=stats_file, device_pre=device_pre)
     print(f"[serve] done: {n} case(s) predicted")
     if once and stats.get("aux_write_failures"):
         # served cases whose --save-inputs copies were lost: the predictions
@@ -127,6 +128,11 @@ if __name__ == "__main__":
                     help="run the ingest zoom + normalization on the TPU "
                          "(host does read + crop only; shape-bucketed "
                          "compiles, fp-level parity with the host path)")
+    ap.add_argument("--stats-file", default=None, metavar="PATH",
+                    help="write an atomically-replaced JSON heartbeat after "
+                         "every sweep (uptime, served/failed counts, "
+                         "quarantine size, p50/p95/max case latency) for "
+                         "external monitoring")
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config
@@ -136,4 +142,5 @@ if __name__ == "__main__":
          direct=args.direct, tta=(args.tta_mode if args.tta else False),
          poll=args.poll, once=args.once,
          threshold=args.threshold, save_inputs=args.save_inputs,
-         device_preprocess=args.device_preprocess)
+         device_preprocess=args.device_preprocess,
+         stats_file=args.stats_file)

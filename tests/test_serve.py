@@ -397,3 +397,33 @@ def test_serve_aux_write_failure_classified_separately(tmp_path):
     assert stats == {"predicted": 1, "write_failures": 0,
                      "aux_write_failures": 1}
     assert os.path.exists(os.path.join(out, "case_0", "prediction.nii.gz"))
+
+
+def test_serve_stats_file_heartbeat(tmp_path):
+    """--stats-file writes an atomically-replaced JSON heartbeat after
+    every sweep: counts, quarantine size and latency percentiles over the
+    served cases; an unwritable path must not kill serving."""
+    import json
+
+    cfg, model, variables, predictor = _setup(tmp_path)
+    out = str(tmp_path / "served")
+    sf = str(tmp_path / "stats.json")
+    n = watch_and_predict(str(tmp_path / "watch"), out, model, variables,
+                          cfg, predictor, once=True, overlap=4,
+                          stats_file=sf, verbose=False)
+    assert n == 2
+    s = json.load(open(sf))
+    assert s["predicted"] == 2
+    assert s["sweeps"] == 1
+    assert s["write_failures"] == 0 and s["quarantined"] == 0
+    assert s["latency_sec"]["n"] == 2
+    assert s["latency_sec"]["p50"] > 0
+    assert s["latency_sec"]["max"] >= s["latency_sec"]["p50"]
+    assert s["last_served"] in ("case_0", "case_1")
+
+    # unwritable stats path: serving must still complete (and warn once)
+    n = watch_and_predict(str(tmp_path / "watch"), str(tmp_path / "s2"),
+                          model, variables, cfg, predictor, once=True,
+                          overlap=4, verbose=False,
+                          stats_file=str(tmp_path / "no_dir" / "x.json"))
+    assert n == 2
