@@ -171,8 +171,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
         nonlocal stats_write_warned
         if stats_file is None:
             return
-        import json
-        import tempfile
+        from fetal_mri_segmentation_tpu.utils.io_utils import (
+            atomic_json_dump)
         lat = sorted(latencies)
         pct = (lambda q: round(lat[min(len(lat) - 1,
                                        int(q * (len(lat) - 1)))], 4)) \
@@ -192,12 +192,7 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                             "max": lat[-1] if lat else None},
         }
         try:
-            fd, tmp = tempfile.mkstemp(
-                dir=os.path.dirname(os.path.abspath(stats_file)),
-                suffix=".tmp")
-            with os.fdopen(fd, "w") as f:
-                json.dump(payload, f)
-            os.replace(tmp, stats_file)
+            atomic_json_dump(payload, stats_file)
         except OSError as e:
             if not stats_write_warned:  # must never kill serving
                 stats_write_warned = True

@@ -412,17 +412,15 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
     generators avoid re-reading the HDF5 truth already loaded at build.
     """
     from fetal_mri_segmentation_tpu.pipeline.generator import (
-        create_patch_index_list)
+        BatchSkipper, create_patch_index_list)
 
     if patch_shape is None:
         raise ValueError("device case cache requires patch_shape training")
-    if skip_batches < 0:
-        raise ValueError(f"skip_batches={skip_batches} must be >= 0")
+    skipper = BatchSkipper(skip_batches)
     cache = truth_cache or _TruthCache(data_file, max_cases=cache_cases)
     base_list = list(index_list)
     image_shape = tuple(data_file.root.data.shape[-3:])
     epoch = 0
-    to_skip = int(skip_batches)
 
     def emit(pairs):
         n_valid = len(pairs)
@@ -438,7 +436,7 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
             None if seed is None else (seed, epoch))
         epoch += 1
         pairs: List[Tuple[int, np.ndarray]] = []
-        n_skipping = 0  # patches accumulated into a batch being skipped
+        skipper.reset_epoch()
         epoch_list = create_patch_index_list(
             base_list, image_shape, patch_shape, patch_overlap,
             patch_start_offset, rng)
@@ -446,18 +444,10 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
             rng.shuffle(epoch_list)
         yielded = False
         while epoch_list:
-            if to_skip and not skip_blank:
-                # arithmetic fast-forward: without blank-skipping the
-                # epoch's batch count is exact — no per-patch walk needed
-                n_batches = -(-len(epoch_list) // batch_size)
-                if to_skip >= n_batches:
-                    to_skip -= n_batches
+            if skipper and not skip_blank:
+                if skipper.arith_skip_epoch(epoch_list, batch_size):
                     yielded = True
                     break
-                # pop() consumes from the end, so the first to_skip
-                # batches are the LAST to_skip*batch_size entries
-                del epoch_list[-to_skip * batch_size:]
-                to_skip = 0
                 continue
             case_index, corner = epoch_list.pop()
             if skip_blank:
@@ -465,15 +455,10 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
                 y = get_patch_from_3d_data(truth, patch_shape, corner)
                 if not np.any(y):
                     continue
-            if to_skip:
-                # fast-forward: same batch boundaries, nothing emitted.
-                # to_skip only reaches 0 at a boundary, so the switch back
-                # to yielding never lands mid-batch.
-                n_skipping += 1
-                if n_skipping == batch_size or not epoch_list:
-                    to_skip -= 1
+            if skipper:
+                # fast-forward: same batch boundaries, nothing emitted
+                if skipper.note_kept_patch(batch_size, not epoch_list):
                     yielded = True
-                    n_skipping = 0
                 continue
             pairs.append((case_index, corner))
             if len(pairs) == batch_size or (not epoch_list and pairs):

@@ -191,6 +191,60 @@ def create_patch_index_list(index_list: Sequence[int],
 # Generators
 # ---------------------------------------------------------------------------
 
+class BatchSkipper:
+    """Batch-level fast-forward boundary math, shared by ``data_generator``
+    and ``device_cache.index_batch_generator`` so the two streams cannot
+    drift (they must replay IDENTICAL batch boundaries for data-order
+    exact resume).
+
+    Usage per epoch: call :meth:`reset_epoch`, then either
+    :meth:`arith_skip_epoch` (no blank-skipping: batch counts are exact,
+    no per-patch walk) or :meth:`note_kept_patch` per surviving patch.
+    Truthiness = "still skipping". ``left`` only reaches 0 at a batch
+    boundary, so the switch back to yielding never lands mid-batch.
+    """
+
+    def __init__(self, skip_batches: int):
+        if skip_batches < 0:
+            raise ValueError(f"skip_batches={skip_batches} must be >= 0")
+        self.left = int(skip_batches)
+        self._in_batch = 0
+
+    def __bool__(self) -> bool:
+        return self.left > 0
+
+    def reset_epoch(self) -> None:
+        # a trailing partial batch whose epoch ended on a blank-skipped
+        # index is DROPPED by the emit path; mirror that by resetting the
+        # in-batch count at each epoch start
+        self._in_batch = 0
+
+    def arith_skip_epoch(self, epoch_list: list, batch_size: int) -> bool:
+        """Returns True when the WHOLE remaining epoch was consumed (caller
+        moves to the next epoch); otherwise trims the consumed prefix off
+        ``epoch_list`` in place and deactivates. ``epoch_list`` is consumed
+        by pop() from the end, so the first ``left`` batches are the LAST
+        ``left * batch_size`` entries."""
+        n_batches = -(-len(epoch_list) // batch_size)
+        if self.left >= n_batches:
+            self.left -= n_batches
+            return True
+        del epoch_list[-self.left * batch_size:]
+        self.left = 0
+        return False
+
+    def note_kept_patch(self, batch_size: int, epoch_end: bool) -> bool:
+        """Count one non-blank patch into the batch being skipped; True when
+        a skipped-batch boundary was crossed (same boundary condition as
+        the emit path: batch full, or epoch exhausted with patches held)."""
+        self._in_batch += 1
+        if self._in_batch == batch_size or epoch_end:
+            self.left -= 1
+            self._in_batch = 0
+            return True
+        return False
+
+
 def data_generator(data_file, index_list, batch_size: int = 1,
                    n_labels: int = 1, labels=None, patch_shape=None,
                    patch_overlap: int = 0, patch_start_offset=None,
@@ -218,13 +272,11 @@ def data_generator(data_file, index_list, batch_size: int = 1,
     pipeline/device_cache.py::index_batch_generator derives identically
     and must stay in bitwise lockstep.
     """
-    if skip_batches < 0:
-        raise ValueError(f"skip_batches={skip_batches} must be >= 0")
+    skipper = BatchSkipper(skip_batches)
     cache = CaseCache(data_file, max_cases=cache_cases)
     base_list = list(index_list)
     image_shape = tuple(data_file.root.data.shape[-3:])
     epoch = 0
-    to_skip = int(skip_batches)
 
     while True:
         rng = np.random.default_rng(
@@ -232,7 +284,7 @@ def data_generator(data_file, index_list, batch_size: int = 1,
         epoch += 1
         x_list: List[np.ndarray] = []
         y_list: List[np.ndarray] = []
-        n_skipping = 0  # patches accumulated into a batch being skipped
+        skipper.reset_epoch()
         if patch_shape is not None:
             epoch_list = create_patch_index_list(
                 base_list, image_shape, patch_shape, patch_overlap,
@@ -243,27 +295,17 @@ def data_generator(data_file, index_list, batch_size: int = 1,
             rng.shuffle(epoch_list)
         yielded = False
         while epoch_list:
-            if to_skip and not skip_blank:
-                # arithmetic fast-forward: without blank-skipping the
-                # epoch's batch count is exact — no per-patch walk needed
-                # (the epoch's rng draws already happened above)
-                n_batches = -(-len(epoch_list) // batch_size)
-                if to_skip >= n_batches:
-                    to_skip -= n_batches
+            if skipper and not skip_blank:
+                # the epoch's rng draws already happened above
+                if skipper.arith_skip_epoch(epoch_list, batch_size):
                     yielded = True
                     break
-                # pop() consumes from the end, so the first to_skip
-                # batches are the LAST to_skip*batch_size entries
-                del epoch_list[-to_skip * batch_size:]
-                to_skip = 0
                 continue
             index = epoch_list.pop()
-            if to_skip:
+            if skipper:
                 # skip_blank fast-forward: replay only the blank decision
                 # (truth slice; the case stays LRU-cached) — x is never
-                # materialized while skipping. to_skip only reaches 0 at a
-                # batch boundary, so the switch back to yielding never
-                # lands mid-batch.
+                # materialized while skipping
                 if patch_shape is not None:
                     _, truth = get_data_from_file(data_file, index[0],
                                                   cache=cache)
@@ -272,11 +314,8 @@ def data_generator(data_file, index_list, batch_size: int = 1,
                     _, y = get_data_from_file(data_file, index, cache=cache)
                 if not np.any(y):
                     continue
-                n_skipping += 1
-                if n_skipping == batch_size or not epoch_list:
-                    to_skip -= 1
+                if skipper.note_kept_patch(batch_size, not epoch_list):
                     yielded = True
-                    n_skipping = 0
                 continue
             x, y = get_data_from_file(data_file, index,
                                       patch_shape=patch_shape, cache=cache)

@@ -85,20 +85,9 @@ class CheckpointIO:
         # generators, so their per-epoch rng streams can fast-forward and a
         # resumed run sees the exact batch sequence an uninterrupted run
         # would (data-order exact resume). Written atomically.
-        import json
-        import tempfile
-        meta_path = self.path + ".meta.json"
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(meta_path),
-                                   suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump({"epoch": int(epoch),
-                           "best_val": float(best_val)}, f)
-            os.replace(tmp, meta_path)
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        from fetal_mri_segmentation_tpu.utils.io_utils import atomic_json_dump
+        atomic_json_dump({"epoch": int(epoch), "best_val": float(best_val)},
+                         self.path + ".meta.json")
 
     def restore(self, state: TrainState
                 ) -> Tuple[TrainState, int, float, dict]:

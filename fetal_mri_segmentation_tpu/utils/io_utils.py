@@ -17,3 +17,24 @@ def pickle_dump(item, out_file: str) -> None:
 def pickle_load(in_file: str):
     with open(in_file, "rb") as f:
         return pickle.load(f)
+
+
+def atomic_json_dump(payload, path: str) -> None:
+    """Write JSON durably-atomically: temp file in the target directory,
+    then os.replace — a reader never sees a partial file and a crash
+    leaves either the old file or the new one (checkpoint sidecar, serve
+    heartbeat)."""
+    import json
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)),
+                               suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
