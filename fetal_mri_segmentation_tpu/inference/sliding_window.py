@@ -33,11 +33,12 @@ import numpy as np
 
 from fetal_mri_segmentation_tpu.ops.augment import (
     permute_data, reverse_permute_data)
+from fetal_mri_segmentation_tpu.utils.residency import ResidentParamsMixin
 from fetal_mri_segmentation_tpu.ops.patches import (
     compute_patch_indices, gaussian_importance_map)
 
 
-class SlidingWindowPredictor:
+class SlidingWindowPredictor(ResidentParamsMixin):
     """Compiled whole-volume predictor for a fixed geometry.
 
     One instance = one XLA executable (geometry is static); reuse it across
@@ -133,17 +134,15 @@ class SlidingWindowPredictor:
         # ONE jitted program for the whole volume — transpose, pad, predict,
         # un-pad, transpose back all inside. Anything eager here costs a
         # full dispatch round-trip per op (brutal over a remote/tunneled
-        # device link). Both programs are built eagerly at construction so
-        # the first case pays only the compile, not trace+compile+dispatch.
+        # device link). jax.jit is lazy: the first call still pays
+        # trace+compile (amortized by the persistent compilation cache);
+        # what construction fixes is that every volume after the first is
+        # ONE dispatch.
         self._jitted = jax.jit(self._predict_volume)
         self._jitted_labels = jax.jit(self._predict_labels_packed,
                                       static_argnames=("threshold",))
-        # params stay device-resident across volumes (one device_put per
-        # checkpoint, not per case — per-call staging of the full param tree
-        # was ~40% of wall time over the tunneled device link).
-        self._resident_key = None
-        self._resident_host = None
-        self._resident_vars = None
+        # params stay device-resident across volumes: device_variables()
+        # from ResidentParamsMixin (utils/residency.py)
 
     def _predict_volume(self, variables, data_cdhw):
         """(C, D, H, W) → (L, D, H, W), fully fused single program."""
@@ -168,13 +167,9 @@ class SlidingWindowPredictor:
         """
         prob = self._predict_volume(variables, data_cdhw)  # (L, D, H, W)
         if self.n_labels == 1:
-            mask = (prob[0] > threshold).astype(jnp.uint8).reshape(-1)
-            padn = (-mask.shape[0]) % 8
-            if padn:
-                mask = jnp.pad(mask, (0, padn))
-            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-            return (mask.reshape(-1, 8) * weights[None, :]).sum(
-                axis=1).astype(jnp.uint8)
+            from fetal_mri_segmentation_tpu.utils.packing import (
+                pack_bit_mask)
+            return pack_bit_mask((prob[0] > threshold).reshape(-1))
         labels = jnp.asarray(list(self.config.labels
                                   or range(1, self.n_labels + 1)),
                              jnp.int32)
@@ -182,22 +177,6 @@ class SlidingWindowPredictor:
         label_map = jnp.take(labels, amax)
         label_map = jnp.where(jnp.max(prob, axis=0) > threshold, label_map, 0)
         return label_map.astype(jnp.uint8)
-
-    def device_variables(self, variables):
-        """Device-resident copy of the param tree, cached per checkpoint.
-
-        Keyed on the identity of every LEAF (not the container), so both a
-        new dict and an in-place swap like ``variables["params"] = new``
-        invalidate the cache — a container-identity key would silently keep
-        serving the previously uploaded weights."""
-        key = tuple(id(l) for l in jax.tree_util.tree_leaves(variables))
-        if self._resident_key != key:
-            self._resident_key = key
-            # keep a strong ref to the host tree while cached: otherwise a
-            # GC'd leaf could hand its id() to a new array (false cache hit)
-            self._resident_host = variables
-            self._resident_vars = jax.device_put(variables)
-        return self._resident_vars
 
     def _stage_volume(self, data_cdhw):
         """Host→device staging of one volume, minimized for thin links.
@@ -209,6 +188,16 @@ class SlidingWindowPredictor:
         the 8 MB fp32 volume H2D dominates single-volume wall time over
         this box's tunneled device link (docs/PERF.md).
         """
+        if tuple(data_cdhw.shape[-3:]) != tuple(self.image_shape):
+            # without this, lax.dynamic_slice silently CLAMPS out-of-range
+            # patch starts and the fixed-shape accumulator returns a
+            # normal-looking garbage volume (verified empirically)
+            raise ValueError(
+                f"predictor was built for image_shape="
+                f"{tuple(self.image_shape)} but got a volume shaped "
+                f"{tuple(data_cdhw.shape)} — rebuild the predictor (or "
+                "resample the case to the training geometry, as "
+                "preprocess_case does) for this shape")
         if isinstance(data_cdhw, jax.Array):
             # already on device (ops/resample.py device-preprocess path):
             # no H2D, no host cast — the model's own input cast handles

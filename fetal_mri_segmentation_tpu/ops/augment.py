@@ -192,6 +192,10 @@ def random_scale(key: jax.Array, x: jnp.ndarray, y: jnp.ndarray,
     Implemented on device with `map_coordinates` (order 1 / order 0).
     """
     factors = 1.0 + scale_deviation * jax.random.normal(key, (3,))
+    # an unclamped normal draw can go <= 0 (P ~ 3e-5/axis at the documented
+    # scale_deviation=0.25), which would MIRROR the volume (negative zoom)
+    # or blank it entirely (factor ~ 0) — clamp to a small positive zoom
+    factors = jnp.maximum(factors, 0.1)
     spatial = x.shape[1:]
     centers = [(s - 1) / 2.0 for s in spatial]
     grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in spatial],

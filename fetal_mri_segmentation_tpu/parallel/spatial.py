@@ -30,6 +30,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from fetal_mri_segmentation_tpu.utils.residency import ResidentParamsMixin
 from fetal_mri_segmentation_tpu.training.train_step import (
     make_eval_step, make_train_step)
 
@@ -114,7 +115,7 @@ class AsyncLabels:
         self.shape = tuple(shape)
 
 
-class SpatialPredictor:
+class SpatialPredictor(ResidentParamsMixin):
     """Whole-volume predictor: ONE forward pass over the full volume, depth
     axis sharded over the mesh — activation memory per chip drops by the
     spatial factor (lets volumes that exceed one chip's HBM run without
@@ -141,9 +142,9 @@ class SpatialPredictor:
         self._n_spatial = dict(zip(mesh.axis_names,
                                    mesh.devices.shape)).get(spatial, 1)
         self._vol_spec = NamedSharding(mesh, P(None, spatial, None, None))
-        self._resident_key = None
-        self._resident_host = None
-        self._resident_vars = None
+        # params go device-resident REPLICATED over the mesh (mixin honors
+        # _resident_sharding), so jit's in_shardings=repl needs no reshard
+        self._resident_sharding = repl
         self._last_shape = None
 
         def _probs(variables, vol_cdhw):
@@ -156,16 +157,10 @@ class SpatialPredictor:
             if config.n_labels == 1:
                 # bit-pack the binary mask on device: 8x fewer D2H bytes —
                 # the device->host link is the single-volume bottleneck on
-                # tunneled links (same scheme as
-                # inference/sliding_window.py::_predict_labels_packed).
-                mask = (prob[0] > threshold).astype(jnp.uint8).reshape(-1)
-                padn = (-mask.shape[0]) % 8
-                if padn:
-                    mask = jnp.pad(mask, (0, padn))
-                weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1],
-                                      jnp.uint8)
-                return (mask.reshape(-1, 8) * weights[None, :]).sum(
-                    axis=1).astype(jnp.uint8)
+                # tunneled links (shared pack: utils/packing.py)
+                from fetal_mri_segmentation_tpu.utils.packing import (
+                    pack_bit_mask)
+                return pack_bit_mask((prob[0] > threshold).reshape(-1))
             labels = jnp.asarray(list(config.labels
                                       or range(1, config.n_labels + 1)),
                                  jnp.int32)
@@ -180,24 +175,22 @@ class SpatialPredictor:
                                       out_shardings=repl,
                                       static_argnames=("threshold",))
 
-    def device_variables(self, variables):
-        """Device-resident param tree, cached per checkpoint (leaf-id key,
-        same contract as SlidingWindowPredictor.device_variables)."""
-        key = tuple(id(l) for l in jax.tree_util.tree_leaves(variables))
-        if self._resident_key != key:
-            self._resident_key = key
-            self._resident_host = variables
-            self._resident_vars = jax.device_put(variables)
-        return self._resident_vars
-
     # kept for backward compatibility with earlier round-2 callers
-    _device_variables = device_variables
+    _device_variables = ResidentParamsMixin.device_variables
 
     def _check_shape(self, shape):
         """Fail loudly when the whole-volume forward cannot run: spatial
         dims must survive depth-1 halvings, and the depth axis must split
         evenly over the mesh's spatial shards."""
-        d_div = 2 ** (int(getattr(self.config, "depth", 1) or 1) - 1)
+        depth = getattr(self.config, "depth", None)
+        if depth is None:
+            # a getattr default of 1 would silently DISABLE this guard for
+            # duck-typed configs and let bad geometries fail deep inside
+            # XLA instead of here with the curated message
+            raise ValueError(
+                "config.depth is required for whole-volume inference — the "
+                "divisibility guard needs the model's pooling depth")
+        d_div = 2 ** (int(depth) - 1)
         for i, s in enumerate(shape):
             if s % d_div != 0:
                 raise ValueError(

@@ -1,16 +1,33 @@
 """Bit-packed binary label masks (device→host transfer format).
 
-The pack side lives in the jitted programs (inference/sliding_window.py::
-_predict_labels_packed and parallel/spatial.py's _labels): MSB-first
-weights [128, 64, ..., 1], matching ``np.unpackbits``' big-endian default.
-This module is the ONE host-side unpack implementation shared by every
-consumer (sliding-window predictor, spatial predictor, exported-artifact
-loader) so the bit-order contract cannot drift between copies.
+MSB-first weights [128, 64, ..., 1], matching ``np.unpackbits``'
+big-endian default. BOTH sides of the contract live here — the jnp pack
+(called inside the jitted label programs of the sliding-window and
+spatial predictors) and the ONE host-side unpack shared by every consumer
+(predictors, exported-artifact loader) — so the bit order cannot drift
+between copies.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def pack_bit_mask(mask_flat):
+    """jnp uint8/bool 1-D mask → uint8 packed bytes (MSB-first).
+
+    Traceable (used inside jit). Pads to a byte boundary with zeros; the
+    unpack side truncates back to the caller's shape.
+    """
+    import jax.numpy as jnp
+
+    mask = mask_flat.astype(jnp.uint8)
+    padn = (-mask.shape[0]) % 8
+    if padn:
+        mask = jnp.pad(mask, (0, padn))
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (mask.reshape(-1, 8) * weights[None, :]).sum(
+        axis=1).astype(jnp.uint8)
 
 
 def unpack_bit_mask(packed, shape) -> np.ndarray:

@@ -1,0 +1,41 @@
+"""Device-resident parameter cache shared by the serving predictors.
+
+Params stay device-resident across volumes (one device_put per
+checkpoint, not per case — per-call staging of the full param tree was
+~40% of wall time over a tunneled device link; docs/PERF.md). One
+implementation so the cache-key contract cannot drift between the
+sliding-window and spatial predictors.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+class ResidentParamsMixin:
+    """Mixin providing ``device_variables`` with a leaf-identity cache.
+
+    Keyed on the identity of every LEAF (not the container), so both a new
+    dict and an in-place swap like ``variables["params"] = new`` invalidate
+    the cache — a container-identity key would silently keep serving the
+    previously uploaded weights. Subclasses may set ``_resident_sharding``
+    (e.g. a replicated NamedSharding) to control placement.
+    """
+
+    _resident_key = None
+    _resident_host = None
+    _resident_vars = None
+    _resident_sharding = None
+
+    def device_variables(self, variables):
+        key = tuple(id(l) for l in jax.tree_util.tree_leaves(variables))
+        if self._resident_key != key:
+            self._resident_key = key
+            # keep a strong ref to the host tree while cached: otherwise a
+            # GC'd leaf could hand its id() to a new array (false cache hit)
+            self._resident_host = variables
+            self._resident_vars = (
+                jax.device_put(variables, self._resident_sharding)
+                if self._resident_sharding is not None
+                else jax.device_put(variables))
+        return self._resident_vars

@@ -125,3 +125,21 @@ def test_augment_batch_with_rotation_runs():
     xa, ya = A.augment_batch(key, x, y, flip=True, permute=True,
                              contrast=0.1, rotate=10.0)
     assert xa.shape == x.shape and np.isfinite(np.asarray(xa)).all()
+
+
+def test_random_scale_clamps_nonpositive_factors():
+    """An unclamped N(1, sigma) factor can go <= 0, which would mirror or
+    blank the example; with extreme sigma the op must stay finite and the
+    truth must stay binary."""
+    import jax
+
+    from fetal_mri_segmentation_tpu.ops.augment import random_scale
+
+    x = jnp.asarray(np.random.default_rng(0).random((1, 8, 8, 8)),
+                    jnp.float32)
+    y = (x > 0.5).astype(jnp.float32)
+    for seed in range(8):  # several keys -> raw draws include negatives
+        xs, ys = random_scale(jax.random.PRNGKey(seed), x, y,
+                              scale_deviation=10.0)
+        assert np.isfinite(np.asarray(xs)).all()
+        assert set(np.unique(np.asarray(ys))).issubset({0.0, 1.0})

@@ -298,3 +298,16 @@ def test_tta_flips_supports_non_cubic_patches():
     with pytest.raises(ValueError, match="TTA mode"):
         SlidingWindowPredictor(IdentityModel(), cfg, (16, 16, 8), (8, 8, 4),
                                overlap=0, tta_permute="rotate")
+
+
+def test_predictor_rejects_wrong_volume_shape():
+    """A volume whose spatial dims differ from the predictor's image_shape
+    must raise — lax.dynamic_slice would silently clamp out-of-range patch
+    starts and return a normal-looking garbage volume."""
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1, compute_dtype="float32")
+    p = SlidingWindowPredictor(IdentityModel(), cfg,
+                               image_shape=(16, 16, 16),
+                               patch_shape=(8, 8, 8), overlap=4)
+    bad = np.zeros((1, 12, 12, 12), np.float32)
+    with pytest.raises(ValueError, match="image_shape"):
+        p.predict_labels({}, bad)
