@@ -203,13 +203,10 @@ class SlidingWindowPredictor(ResidentParamsMixin):
             # no H2D, no host cast — the model's own input cast handles
             # dtype, and the labels program consumes it in place.
             return data_cdhw
-        arr = np.asarray(data_cdhw, np.float32)
-        # key on the MODEL's compute dtype (not the config): only a model
-        # that casts its input to bf16 makes the rounding a no-op.
-        if getattr(self.model, "dtype", None) == jnp.bfloat16:
-            import ml_dtypes
-
-            arr = arr.astype(ml_dtypes.bfloat16)
+        from fetal_mri_segmentation_tpu.utils.residency import (
+            host_round_for_model)
+        arr = host_round_for_model(np.asarray(data_cdhw, np.float32),
+                                   self.model)
         return jax.device_put(arr)
 
     def predict_labels_async(self, variables, data_cdhw,

@@ -216,12 +216,9 @@ class SpatialPredictor(ResidentParamsMixin):
         arr = np.asarray(data_cdhw, np.float32)
         self._check_shape(arr.shape[1:])
         self._last_shape = tuple(arr.shape[1:])
-        if getattr(self.model, "dtype", None) is not None:
-            import jax.numpy as jnp
-            if self.model.dtype == jnp.bfloat16:
-                import ml_dtypes
-
-                arr = arr.astype(ml_dtypes.bfloat16)
+        from fetal_mri_segmentation_tpu.utils.residency import (
+            host_round_for_model)
+        arr = host_round_for_model(arr, self.model)
         return jax.device_put(arr, self._vol_spec)
 
     def __call__(self, variables, data_cdhw) -> np.ndarray:

@@ -1,15 +1,32 @@
-"""Device-resident parameter cache shared by the serving predictors.
+"""Device residency/staging helpers shared by the serving predictors.
 
 Params stay device-resident across volumes (one device_put per
 checkpoint, not per case — per-call staging of the full param tree was
 ~40% of wall time over a tunneled device link; docs/PERF.md). One
-implementation so the cache-key contract cannot drift between the
-sliding-window and spatial predictors.
+implementation so the cache-key and bf16-staging contracts cannot drift
+between the sliding-window and spatial predictors.
 """
 
 from __future__ import annotations
 
 import jax
+
+
+def host_round_for_model(arr, model):
+    """Round a host fp32 volume to bf16 iff the model computes in bf16.
+
+    Halves the H2D bytes with BIT-IDENTICAL results: the model's first op
+    casts its input to bf16 anyway, and pad/transpose/gather between the
+    upload and that cast preserve values exactly. Keyed on the MODEL's
+    compute dtype (not the config) — only a model that actually casts
+    makes the rounding a no-op."""
+    import jax.numpy as jnp
+
+    if getattr(model, "dtype", None) == jnp.bfloat16:
+        import ml_dtypes
+
+        return arr.astype(ml_dtypes.bfloat16)
+    return arr
 
 
 class ResidentParamsMixin:
