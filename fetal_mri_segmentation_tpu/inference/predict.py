@@ -66,12 +66,11 @@ def _load_case(case_index, out_dir, data_file, config, submit,
     data = np.asarray(data_file.root.data[case_index], np.float32)
     if save_inputs:
         for i, modality in enumerate(config.training_modalities):
-            submit(save_nifti, data[i],
-                   os.path.join(out_dir, f"data_{modality}.nii.gz"),
-                   affine=affine)
+            path = os.path.join(out_dir, f"data_{modality}.nii.gz")
+            submit(path, save_nifti, data[i], path, affine=affine)
         truth = np.asarray(data_file.root.truth[case_index][0])
-        submit(save_nifti, truth.astype(np.uint8),
-               os.path.join(out_dir, "truth.nii.gz"), affine=affine)
+        path = os.path.join(out_dir, "truth.nii.gz")
+        submit(path, save_nifti, truth.astype(np.uint8), path, affine=affine)
     return data, affine
 
 
@@ -92,12 +91,14 @@ def run_validation_case(case_index: int, out_dir: str, model, variables,
 
     Reference: prediction.py::run_validation_case.
 
-    ``io_submit``: optional executor ``submit`` — NIfTI writes are queued on
-    it so gzip+disk IO of case *i* overlaps the device predict of case
-    *i+1* (the caller collects the futures' exceptions).
+    ``io_submit``: optional ``submit(target, fn, *args, **kwargs)`` — NIfTI
+    writes are queued on it so gzip+disk IO of case *i* overlaps the device
+    predict of case *i+1*. ``target`` is the write's destination path,
+    passed explicitly so the caller can attribute a failed future to its
+    artifact (serve.py keys lost-prediction accounting on it).
     """
     submit = io_submit if io_submit is not None else (
-        lambda fn, *a, **kw: fn(*a, **kw))
+        lambda target, fn, *a, **kw: fn(*a, **kw))
     data, affine = _load_case(case_index, out_dir, data_file, config,
                               submit, save_inputs)
 
@@ -111,7 +112,8 @@ def run_validation_case(case_index: int, out_dir: str, model, variables,
     image = prediction_to_image(probability, affine,
                                 label_map=False,
                                 threshold=threshold, labels=config.labels)
-    submit(save_nifti, image, os.path.join(out_dir, "prediction.nii.gz"))
+    path = os.path.join(out_dir, "prediction.nii.gz")
+    submit(path, save_nifti, image, path)
     return probability
 
 
@@ -131,6 +133,17 @@ def load_serving_model(config):
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
     return model, variables
+
+
+def resolve_tta(tta: bool, tta_mode):
+    """Shared CLI plumbing: combine ``--tta`` / ``--tta-mode`` into the
+    predictor's tta argument (False | "permute" | "flips").
+
+    ``--tta-mode`` alone IMPLIES ``--tta`` — a user who asked for a specific
+    TTA mode must never silently get no TTA at all; bare ``--tta`` defaults
+    to the full 48-symmetry average.
+    """
+    return tta_mode or ("permute" if tta else False)
 
 
 def build_serving_predictor(model, config, *, direct: bool = False,
@@ -306,13 +319,13 @@ def queue_input_writes(data, truth_image, config, out_dir, affine, submit):
     shared by the per-case API and the pipelined stream so the output tree
     cannot diverge between them."""
     for i, modality in enumerate(config.training_modalities):
-        submit(_save_modality_f32, data[i],
-               os.path.join(out_dir, f"data_{modality}.nii.gz"),
-               affine)
+        path = os.path.join(out_dir, f"data_{modality}.nii.gz")
+        submit(path, _save_modality_f32, data[i], path, affine)
     if truth_image is not None:
-        submit(save_nifti,
+        path = os.path.join(out_dir, "truth.nii.gz")
+        submit(path, save_nifti,
                truth_image.get_fdata(dtype=np.float32).astype(np.uint8),
-               os.path.join(out_dir, "truth.nii.gz"), affine=affine)
+               path, affine=affine)
 
 
 def predict_case(input_path: str, out_dir: str, model, variables, config,
@@ -333,11 +346,11 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
 
     Writes the usual per-case tree under ``out_dir`` (``data_<modality>``,
     optional ``truth``, ``prediction.nii.gz``, affine = the build-adjusted
-    affine). Returns the label map. ``io_submit``: optional executor
-    ``submit`` — NIfTI gzip+disk writes are queued on it so a caller
-    serving a stream can overlap case *i*'s writes with case *i+1*'s
-    compute (the caller collects the futures' exceptions; see
-    serve.py::watch_and_predict).
+    affine). Returns the label map. ``io_submit``: optional
+    ``submit(target, fn, *args, **kwargs)`` — NIfTI gzip+disk writes are
+    queued on it so a caller serving a stream can overlap case *i*'s writes
+    with case *i+1*'s compute; ``target`` is the destination path, passed
+    explicitly for failure attribution (see serve.py::watch_and_predict).
     """
     data, affine, truth_image = preprocess_case(
         input_path, config, crop=crop, global_moments=global_moments,
@@ -345,7 +358,7 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
 
     os.makedirs(out_dir, exist_ok=True)
     submit = io_submit if io_submit is not None else (
-        lambda fn, *a, **kw: fn(*a, **kw))
+        lambda target, fn, *a, **kw: fn(*a, **kw))
     if save_inputs:
         queue_input_writes(data, truth_image, config, out_dir, affine,
                            submit)
@@ -384,8 +397,8 @@ def _write_prediction(label_map, config, case_dir, affine, submit):
     (binary label scaling + NIfTI write) — used by both the per-case API
     and the pipelined stream so they cannot diverge."""
     label_map = _scale_binary_label(label_map, config).astype(np.uint8)
-    submit(save_nifti, label_map,
-           os.path.join(case_dir, "prediction.nii.gz"), affine=affine)
+    path = os.path.join(case_dir, "prediction.nii.gz")
+    submit(path, save_nifti, label_map, path, affine=affine)
     return label_map
 
 
@@ -455,7 +468,9 @@ def run_validation_cases(validation_keys_file: str, model, variables,
                  and hasattr(predictor, "predict_labels_async"))
     futures = []
     with ThreadPoolExecutor(max_workers=2) as pool:
-        def submit(fn, *a, **kw):
+        def submit(target, fn, *a, **kw):
+            # target (the write's destination path) is unused here — errors
+            # surface collectively at the end; serve.py's submit uses it
             futures.append(pool.submit(fn, *a, **kw))
 
         pending = None  # (device result, case_dir, affine)

@@ -32,26 +32,14 @@ from typing import Dict, Optional, Tuple
 from fetal_mri_segmentation_tpu.inference.predict import (
     _write_prediction, load_global_moments, predict_case, preprocess_case,
     queue_input_writes)
+from fetal_mri_segmentation_tpu.utils.io_utils import case_name_from_path
 
-
-def _write_target(args, kwargs) -> str:
-    """The output path of a queued NIfTI write (first .nii[.gz] string arg)
-    — lets drain_writes distinguish a lost prediction (case not served)
-    from a lost --save-inputs copy (case served, artifact missing)."""
-    for v in tuple(args) + tuple(kwargs.values()):
-        if isinstance(v, str) and (v.endswith(".nii.gz")
-                                   or v.endswith(".nii")):
-            return v
-    return "?"
-
-
-def _case_name(path: str) -> str:
-    name = os.path.basename(os.path.normpath(path))
-    return name.replace(".nii.gz", "").replace(".nii", "")
+_case_name = case_name_from_path  # shared with predict.py --input naming
 
 
 def discover_cases(watch_dir: str, config,
-                   collisions: Optional[list] = None) -> Dict[str, str]:
+                   collisions: Optional[list] = None,
+                   present: Optional[set] = None) -> Dict[str, str]:
     """Map case name → input path for every complete case in the watch dir.
 
     A case's name derives ONLY from its own entry (never from siblings), so
@@ -61,11 +49,19 @@ def discover_cases(watch_dir: str, config,
     file, or ``foo.nii`` next to ``foo.nii.gz``) are ALL excluded and
     reported via ``collisions`` — serving either would misattribute
     outputs; the operator must rename one.
+
+    ``present``, when given, is filled with EVERY case name whose entry
+    exists at all — including incomplete directories and colliding entries
+    — so the caller can distinguish "case deleted" (prune its tracking
+    state) from "case transiently not servable" (keep its quarantine
+    backoff; a collision flicker must not reset retry throttling).
     """
     found: Dict[str, list] = {}
     for entry in sorted(os.listdir(watch_dir)):
         path = os.path.join(watch_dir, entry)
         if os.path.isdir(path):
+            if present is not None:
+                present.add(_case_name(path))
             complete = all(
                 any(os.path.exists(os.path.join(path, m + ext))
                     for ext in (".nii.gz", ".nii"))
@@ -74,6 +70,8 @@ def discover_cases(watch_dir: str, config,
                 found.setdefault(_case_name(path), []).append(path)
         elif (entry.endswith((".nii", ".nii.gz"))
               and len(config.training_modalities) == 1):
+            if present is not None:
+                present.add(_case_name(path))
             found.setdefault(_case_name(path), []).append(path)
     cases = {n: ps[0] for n, ps in found.items() if len(ps) == 1}
     if collisions is not None:
@@ -139,7 +137,11 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     written after every sweep — uptime, counts, quarantine size, and
     p50/p95/max case latency over the last 512 served cases — so an
     operator/monitor can watch a long-running server without parsing logs.
-    A failing stats write is reported once and never kills serving.
+    Latency counts each case's OWN work (preprocess + dispatch + D2H +
+    write-queue); the pipelined wait that overlaps the next case's
+    preprocessing is excluded, so backlog p50 reflects per-case cost, not
+    pipeline depth. A failing stats write is reported once and never kills
+    serving.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -252,8 +254,10 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
 
     while True:
         collisions: list = []
+        present: set = set()
         try:
-            discovered = discover_cases(watch_dir, config, collisions)
+            discovered = discover_cases(watch_dir, config, collisions,
+                                        present)
         except OSError as e:
             # transiently unavailable watch dir (unmounted NFS, rename)
             # must not kill a long-running server; in --once mode it IS
@@ -270,17 +274,30 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
             continue
 
         # a deleted case must not leak tracking state in a long-running
-        # server: prune keys for cases no longer present in the watch dir
+        # server: prune keys whose watch-dir entry is GONE entirely.
+        # ``present`` (not ``discovered``) is the gate — a quarantined case
+        # that is transiently unservable (name collision, incomplete dir
+        # mid-re-upload) keeps its backoff state, so a collision flicker
+        # cannot re-trigger an immediate full recompute.
         for d in (pending_sigs, failed):
-            for k in [k for k in d if k not in discovered]:
+            for k in [k for k in d if k not in present]:
                 del d[k]
         warned_collisions &= set(collisions)
 
-        pending = None  # (name, out_dir, sig, t0, out_dev, affine, futs)
+        pending = None  # (name, out_dir, sig, host_sec, out_dev, affine,
+        #                  futs)
 
         def finalize(p):
             nonlocal n_done
-            name, odir, sig, t0, out_dev, affine, futs = p
+            name, odir, sig, host_sec, out_dev, affine, futs = p
+            # per-case latency = this case's own work (preprocess + H2D +
+            # dispatch, measured at dispatch time) + its D2H/unpack/write-
+            # queue (measured here). The wall time the case spent parked in
+            # ``pending`` — which overlaps the NEXT case's preprocessing,
+            # the whole point of the pipeline — is deliberately excluded:
+            # charging it would roughly double the reported p50 during
+            # backlogs and mislead the monitor the heartbeat feeds.
+            t1 = time.perf_counter()
             try:
                 label_map = predictor.unpack_labels(out_dev)
             except Exception as e:  # device error surfaces at D2H
@@ -288,11 +305,12 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                 return
             _write_prediction(
                 label_map, config, odir, affine,
-                lambda fn, *a, **kw: futs.append(
-                    (pool.submit(fn, *a, **kw), _write_target(a, kw))))
+                lambda target, fn, *a, **kw: futs.append(
+                    (pool.submit(fn, *a, **kw), target)))
             n_done += 1
             pending_sigs.pop(name, None)
-            inflight.append((name, odir, time.perf_counter() - t0, futs,
+            inflight.append((name, odir,
+                             host_sec + time.perf_counter() - t1, futs,
                              sig))
 
         for name, path in discovered.items():
@@ -319,9 +337,13 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
             t0 = time.perf_counter()
             case_futs: list = []
 
-            def submit(fn, *a, _futs=case_futs, **kw):
-                _futs.append((pool.submit(fn, *a, **kw),
-                              _write_target(a, kw)))
+            def submit(target, fn, *a, _futs=case_futs, **kw):
+                # ``target`` is the write's destination path, passed
+                # EXPLICITLY by the io_submit protocol (predict.py) — it is
+                # what drain_writes keys on to distinguish a lost
+                # prediction (un-count + quarantine) from a lost
+                # --save-inputs copy (case served, artifact missing)
+                _futs.append((pool.submit(fn, *a, **kw), target))
 
             if not pipelined:
                 try:
@@ -354,9 +376,11 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
             except Exception as e:  # one bad case must not kill the server
                 quarantine(name, sig, e, case_futs)
                 continue
+            host_sec = time.perf_counter() - t0  # this case's own host work
             if pending is not None:
                 finalize(pending)
-            pending = (name, out_dir, sig, t0, out_dev, affine, case_futs)
+            pending = (name, out_dir, sig, host_sec, out_dev, affine,
+                       case_futs)
         if pending is not None:
             finalize(pending)
         for c in collisions:

@@ -126,17 +126,21 @@ class CheckpointIO:
             pass  # metadata probing is best-effort; decide below
         if has_sched is None:
             # probe inconclusive (orbax version without metadata support,
-            # storage error): attempt the current layout, and fall back to
-            # the legacy template ONLY when the failure is about the sched
-            # subtree — real failures (shape mismatch, corruption) re-raise
+            # storage error): attempt the current layout, then the legacy
+            # (pre-sched) layout. If BOTH fail the failure was never about
+            # the sched subtree — re-raise the ORIGINAL error so shape
+            # mismatches/corruption surface undistorted. (Matching on the
+            # exception TEXT instead would couple this to orbax's error
+            # formatting, which changes across versions.)
             try:
                 restored = self._ckptr.restore(self.path, template)
                 has_sched = True
             except Exception as e:
-                if "sched" not in repr(e):
-                    raise
-                del template["sched"]
-                restored = self._ckptr.restore(self.path, template)
+                legacy = {k: v for k, v in template.items() if k != "sched"}
+                try:
+                    restored = self._ckptr.restore(self.path, legacy)
+                except Exception:
+                    raise e
                 has_sched = False
         else:
             if not has_sched:

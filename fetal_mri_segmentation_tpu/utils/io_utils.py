@@ -19,6 +19,24 @@ def pickle_load(in_file: str):
         return pickle.load(f)
 
 
+def case_name_from_path(path: str) -> str:
+    """Case name for an input path: the basename with one TRAILING
+    ``.nii``/``.nii.gz`` stripped (suffix-only — ``scan.nii.gz.bak`` stays
+    ``scan.nii.gz.bak``, and a mid-string occurrence is never touched).
+
+    The single source of the on-disk output-directory name for ad-hoc
+    inputs — shared by serve.py's watch loop and predict.py --input so the
+    two serving surfaces cannot derive different names for the same file.
+    """
+    import os
+
+    name = os.path.basename(os.path.normpath(path))
+    for suffix in (".nii.gz", ".nii"):
+        if name.endswith(suffix):
+            return name[:-len(suffix)]
+    return name
+
+
 def atomic_json_dump(payload, path: str) -> None:
     """Write JSON durably-atomically: temp file in the target directory,
     then os.replace — a reader never sees a partial file and a crash

@@ -20,17 +20,17 @@ import jax
 def assign_output_names(paths):
     """Unique output-dir name per input path, in order.
 
-    Derived from the basename (sans .nii[.gz]); duplicates get a numeric
-    suffix chosen against every name already ASSIGNED — not just
-    raw-basename counts — so a literal ``foo_2`` input is never overwritten
-    by the deduped second ``foo``.
+    Derived from the basename (sans a trailing .nii[.gz] — shared helper
+    with serve.py so the two surfaces name cases identically); duplicates
+    get a numeric suffix chosen against every name already ASSIGNED — not
+    just raw-basename counts — so a literal ``foo_2`` input is never
+    overwritten by the deduped second ``foo``.
     """
-    import os
+    from fetal_mri_segmentation_tpu.utils.io_utils import case_name_from_path
 
     assigned, names = set(), []
     for path in paths:
-        base = os.path.basename(os.path.normpath(path))
-        base = base.replace(".nii.gz", "").replace(".nii", "")
+        base = case_name_from_path(path)
         name, n = base, 1
         while name in assigned:
             n += 1
@@ -142,10 +142,11 @@ if __name__ == "__main__":
     ap.add_argument("--tta", action="store_true",
                     help="test-time augmentation averaging (see --tta-mode)")
     ap.add_argument("--tta-mode", choices=["permute", "flips"],
-                    default="permute",
-                    help="permute = all 48 cube symmetries (cubic patches "
-                         "only, ~48x forward cost); flips = 8-way axis-flip "
-                         "subgroup (~6x cheaper, any patch shape)")
+                    default=None,
+                    help="implies --tta. permute = all 48 cube symmetries "
+                         "(cubic patches only, ~48x forward cost; the "
+                         "default with bare --tta); flips = 8-way "
+                         "axis-flip subgroup (~6x cheaper, any patch shape)")
     ap.add_argument("--num-devices", type=int, default=1,
                     help="shard the patch grid over N devices")
     ap.add_argument("--export", metavar="PATH", default=None,
@@ -171,9 +172,10 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference.predict import resolve_tta
 
     main(Config.load(args.config), output_dir=args.output_dir,
-         overlap=args.overlap, tta=(args.tta_mode if args.tta else False),
+         overlap=args.overlap, tta=resolve_tta(args.tta, args.tta_mode),
          patch_batch_size=args.patch_batch_size,
          num_devices=args.num_devices,
          spatial_devices=args.spatial_devices, direct=args.direct,

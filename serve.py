@@ -110,9 +110,10 @@ if __name__ == "__main__":
     ap.add_argument("--tta", action="store_true",
                     help="test-time augmentation averaging (see --tta-mode)")
     ap.add_argument("--tta-mode", choices=["permute", "flips"],
-                    default="permute",
-                    help="permute = all 48 cube symmetries (cubic patches "
-                         "only); flips = 8-way axis-flip subgroup "
+                    default=None,
+                    help="implies --tta. permute = all 48 cube symmetries "
+                         "(cubic patches only; the default with bare "
+                         "--tta); flips = 8-way axis-flip subgroup "
                          "(~6x cheaper, any patch shape)")
     ap.add_argument("--poll", type=float, default=1.0,
                     help="poll interval in seconds")
@@ -136,10 +137,11 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference.predict import resolve_tta
 
     main(Config.load(args.config), watch=args.watch, output=args.output,
          overlap=args.overlap, patch_batch_size=args.patch_batch_size,
-         direct=args.direct, tta=(args.tta_mode if args.tta else False),
+         direct=args.direct, tta=resolve_tta(args.tta, args.tta_mode),
          poll=args.poll, once=args.once,
          threshold=args.threshold, save_inputs=args.save_inputs,
          device_preprocess=args.device_preprocess,

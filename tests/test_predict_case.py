@@ -228,3 +228,30 @@ def test_predict_case_big_endian_input(tmp_path):
     be = load_nifti(str(tmp_path / "out_be" / "prediction.nii.gz"))
     np.testing.assert_array_equal(np.asarray(le.get_fdata()),
                                   np.asarray(be.get_fdata()))
+
+
+def test_case_name_strips_only_trailing_suffix():
+    """serve.py and predict.py --input share ONE case-naming helper; it
+    strips .nii/.nii.gz as a SUFFIX only (a mid-string occurrence is part
+    of the name, not an extension)."""
+    from fetal_mri_segmentation_tpu.inference.serve import _case_name
+    from fetal_mri_segmentation_tpu.utils.io_utils import case_name_from_path
+
+    assert _case_name is case_name_from_path  # shared, cannot diverge
+    assert case_name_from_path("/a/b/scan.nii.gz") == "scan"
+    assert case_name_from_path("scan.nii") == "scan"
+    assert case_name_from_path("/a/case_dir/") == "case_dir"
+    assert case_name_from_path("scan.nii.gz.bak") == "scan.nii.gz.bak"
+    assert case_name_from_path("my.nii.scan.nii.gz") == "my.nii.scan"
+
+
+def test_resolve_tta_mode_implies_tta():
+    """--tta-mode without --tta must enable that mode (a requested mode is
+    never silently dropped); bare --tta defaults to the 48-symmetry."""
+    from fetal_mri_segmentation_tpu.inference.predict import resolve_tta
+
+    assert resolve_tta(False, None) is False
+    assert resolve_tta(True, None) == "permute"
+    assert resolve_tta(False, "flips") == "flips"
+    assert resolve_tta(True, "flips") == "flips"
+    assert resolve_tta(True, "permute") == "permute"

@@ -427,3 +427,42 @@ def test_serve_stats_file_heartbeat(tmp_path):
                           overlap=4, verbose=False,
                           stats_file=str(tmp_path / "no_dir" / "x.json"))
     assert n == 2
+
+
+def test_serve_collision_flicker_keeps_backoff(tmp_path, capsys):
+    """A quarantined case that becomes transiently UNSERVABLE (a sibling
+    name collision appears and disappears) must keep its backoff state:
+    the flicker must not re-trigger an immediate recompute. Only full
+    deletion of the entry prunes the quarantine."""
+    import shutil
+
+    cfg, model, variables, predictor = _setup(tmp_path, n_cases=1)
+    out = str(tmp_path / "served")
+    bad = tmp_path / "watch" / "bad"
+    bad.mkdir()
+    (bad / "volume.nii.gz").write_bytes(b"not a nifti")
+    collider = tmp_path / "watch" / "bad.nii.gz"
+
+    calls = {"n": 0}
+
+    class Script:
+        """sweep 1: bad fails (quarantined, long backoff). between 1 and 2:
+        a colliding entry appears (bad leaves `discovered` but its entry is
+        still present). between 2 and 3: collision resolved. sweeps 3+:
+        bad is unchanged and inside backoff -> must NOT be retried."""
+
+        def is_set(self):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                shutil.copy(str(tmp_path / "watch" / "case_0"
+                                / "volume.nii.gz"), str(collider))
+            elif calls["n"] == 2:
+                os.remove(str(collider))
+            return calls["n"] >= 4
+
+    watch_and_predict(str(tmp_path / "watch"), out, model, variables, cfg,
+                      predictor, once=False, stop=Script(), overlap=4,
+                      poll_interval=0.01, verbose=False,
+                      require_stable=False, retry_backoff=3600.0)
+    # exactly ONE failure: the collision flicker did not reset the backoff
+    assert capsys.readouterr().out.count("FAILED bad") == 1
