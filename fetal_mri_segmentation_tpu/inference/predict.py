@@ -372,6 +372,72 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
     return _write_prediction(label_map, config, out_dir, affine, submit)
 
 
+def predict_cases_pipelined(cases, model, variables, config, predictor,
+                            *, threshold: float = 0.5, global_moments=None,
+                            save_inputs: bool = True, device_pre=None,
+                            verbose: bool = True) -> int:
+    """Predict a SEQUENCE of ad-hoc NIfTI cases with the two-stage pipeline.
+
+    ``cases``: iterable of ``(input_path, out_dir)``. Same artifacts as
+    calling :func:`predict_case` per case (regression-tested identical),
+    but case *i*'s host preprocessing + H2D overlaps case *i-1*'s device
+    compute + D2H, and all NIfTI writes run on a worker thread — the same
+    overlap `run_validation_cases` and serve.py use, for the
+    ``predict.py --input`` surface. Unlike serve.py, errors PROPAGATE
+    (a CLI batch should fail loudly, not quarantine). Returns the number
+    of cases predicted.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not (hasattr(predictor, "predict_labels_async")
+            and hasattr(predictor, "unpack_labels")):
+        n = 0
+        for path, out_dir in cases:
+            predict_case(path, out_dir, model, variables, config,
+                         predictor=predictor, threshold=threshold,
+                         global_moments=global_moments,
+                         save_inputs=save_inputs, device_pre=device_pre)
+            if verbose:
+                print(f"{path} -> {out_dir}/prediction.nii.gz")
+            n += 1
+        return n
+
+    futures = []
+    n = 0
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        def submit(target, fn, *a, **kw):
+            futures.append(pool.submit(fn, *a, **kw))
+
+        pending = None  # (out_dev, path, out_dir, affine)
+
+        def finalize(p):
+            out_dev, path, out_dir, affine = p
+            _write_prediction(predictor.unpack_labels(out_dev), config,
+                              out_dir, affine, submit)
+            if verbose:
+                print(f"{path} -> {out_dir}/prediction.nii.gz")
+
+        for path, out_dir in cases:
+            data, affine, truth_image = preprocess_case(
+                path, config, global_moments=global_moments,
+                device_pre=device_pre)
+            os.makedirs(out_dir, exist_ok=True)
+            if save_inputs:
+                queue_input_writes(data, truth_image, config, out_dir,
+                                   affine, submit)
+            out_dev = predictor.predict_labels_async(variables, data,
+                                                     threshold=threshold)
+            if pending is not None:
+                finalize(pending)
+            pending = (out_dev, path, out_dir, affine)
+            n += 1
+        if pending is not None:
+            finalize(pending)
+    for f in futures:  # surface any write error after all IO drained
+        f.result()
+    return n
+
+
 class _FnAdapter:
     """Duck-types the predictor interface around a probability-map function
     (mesh-sharded or spatial whole-volume predict): label maps are derived

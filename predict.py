@@ -83,9 +83,8 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
         # which could only predict cases already inside its HDF5 file)
         import os
 
-        from fetal_mri_segmentation_tpu.inference import predict_case
         from fetal_mri_segmentation_tpu.inference.predict import (
-            load_global_moments)
+            load_global_moments, predict_cases_pipelined)
 
         # (incompatible flag combinations already rejected at the top of
         # main — same fail-loudly policy as run_validation_cases)
@@ -95,13 +94,13 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
         # training-distribution moments loaded ONCE, not per case
         moments = (load_global_moments(config.data_file)
                    if config.normalization == "global" else None)
-        for path, name in zip(inputs, assign_output_names(inputs)):
-            out_dir = os.path.join(output_dir, name)
-            predict_case(path, out_dir, model, variables, config,
-                         predictor=predictor, overlap=overlap, permute=tta,
-                         patch_batch_size=patch_batch_size,
-                         global_moments=moments)
-            print(f"{path} -> {out_dir}/prediction.nii.gz")
+        # pipelined batch: case i's preprocessing+H2D overlaps case i-1's
+        # device compute+D2H (same two-stage overlap as serve.py and
+        # run_validation_cases; per-case results identical to predict_case)
+        predict_cases_pipelined(
+            [(path, os.path.join(output_dir, name))
+             for path, name in zip(inputs, assign_output_names(inputs))],
+            model, variables, config, predictor, global_moments=moments)
         return
 
     mesh = None

@@ -255,3 +255,42 @@ def test_resolve_tta_mode_implies_tta():
     assert resolve_tta(False, "flips") == "flips"
     assert resolve_tta(True, "flips") == "flips"
     assert resolve_tta(True, "permute") == "permute"
+
+
+def test_predict_cases_pipelined_matches_serial(tmp_path):
+    """predict.py --input's pipelined batch path must produce byte-identical
+    artifacts to serial predict_case, and errors must PROPAGATE (fail-loud
+    CLI semantics, unlike serve.py's quarantine)."""
+    from fetal_mri_segmentation_tpu.inference.predict import (
+        predict_cases_pipelined)
+
+    cfg, model, variables = _setup(tmp_path, n_cases=4)
+    predictor = SlidingWindowPredictor(model, cfg,
+                                       image_shape=cfg.image_shape,
+                                       overlap=4)
+    cases = [(str(tmp_path / "cases" / f"case_{i}"),
+              str(tmp_path / "piped" / f"case_{i}")) for i in range(4)]
+    n = predict_cases_pipelined(cases, model, variables, cfg, predictor,
+                                verbose=False)
+    assert n == 4
+    for i in range(4):
+        serial_dir = str(tmp_path / "serial" / f"case_{i}")
+        predict_case(str(tmp_path / "cases" / f"case_{i}"), serial_dir,
+                     model, variables, cfg, predictor=predictor)
+        for art in ("prediction.nii.gz", "truth.nii.gz",
+                    f"data_{cfg.training_modalities[0]}.nii.gz"):
+            a = load_nifti(os.path.join(str(tmp_path / "piped"),
+                                        f"case_{i}", art))
+            b = load_nifti(os.path.join(serial_dir, art))
+            np.testing.assert_array_equal(np.asarray(a.get_fdata()),
+                                          np.asarray(b.get_fdata()))
+
+    # a corrupt case mid-batch raises (no quarantine on the CLI surface)
+    bad = tmp_path / "cases" / "bad"
+    bad.mkdir()
+    (bad / "volume.nii.gz").write_bytes(b"not a nifti")
+    with pytest.raises(Exception):
+        predict_cases_pipelined(
+            [(str(tmp_path / "cases" / "case_0"), str(tmp_path / "x0")),
+             (str(bad), str(tmp_path / "xbad"))],
+            model, variables, cfg, predictor, verbose=False)
