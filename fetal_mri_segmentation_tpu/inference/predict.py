@@ -372,6 +372,63 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
     return _write_prediction(label_map, config, out_dir, affine, submit)
 
 
+def _drive_label_pipeline(case_stream, predictor, variables, config,
+                          threshold, submit) -> int:
+    """The two-stage overlap core shared by `run_validation_cases` and
+    `predict_cases_pipelined` (serve.py has its own copy because its
+    quarantine semantics differ per stage) — ONE implementation so pipeline
+    fixes cannot drift between the batch surfaces.
+
+    ``case_stream`` yields ``(data, affine, out_dir, done_msg_or_None)``
+    per case, doing its own host preprocessing as it is pulled — that is
+    what overlaps the previous case's device compute. Each case's device
+    program is dispatched immediately; case *i* is finalized (D2H + label
+    map + queued NIfTI write) after case *i+1*'s dispatch is in flight.
+    ``done_msg``, when given, is printed from the IO worker AFTER that
+    case's prediction write has actually executed — never before (a
+    success line must not precede a write that can still fail).
+
+    The LAST dispatched case is guaranteed to be finalized even when a
+    later case's preprocessing raises (a completed prediction must not be
+    dropped because a DIFFERENT case is corrupt); in that path the
+    original exception propagates, never masked by a secondary finalize
+    failure. Returns the number of cases dispatched+finalized.
+    """
+    n = 0
+    pending = None  # (out_dev, out_dir, affine, done_msg)
+
+    def finalize(p):
+        out_dev, out_dir, affine, msg = p
+        label_map = predictor.unpack_labels(out_dev)
+        write_submit = submit
+        if msg is not None:
+            def write_submit(target, fn, *a, _msg=msg, **kw):
+                def run():
+                    fn(*a, **kw)
+                    print(_msg, flush=True)
+                submit(target, run)
+        _write_prediction(label_map, config, out_dir, affine, write_submit)
+
+    try:
+        for data, affine, out_dir, msg in case_stream:
+            out_dev = predictor.predict_labels_async(variables, data,
+                                                     threshold=threshold)
+            if pending is not None:
+                finalize(pending)
+            pending = (out_dev, out_dir, affine, msg)
+            n += 1
+    except BaseException:
+        if pending is not None:
+            try:
+                finalize(pending)
+            except Exception:
+                pass  # best-effort — never mask the original error
+        raise
+    if pending is not None:
+        finalize(pending)
+    return n
+
+
 def predict_cases_pipelined(cases, model, variables, config, predictor,
                             *, threshold: float = 0.5, global_moments=None,
                             save_inputs: bool = True, device_pre=None,
@@ -384,8 +441,9 @@ def predict_cases_pipelined(cases, model, variables, config, predictor,
     compute + D2H, and all NIfTI writes run on a worker thread — the same
     overlap `run_validation_cases` and serve.py use, for the
     ``predict.py --input`` surface. Unlike serve.py, errors PROPAGATE
-    (a CLI batch should fail loudly, not quarantine). Returns the number
-    of cases predicted.
+    (a CLI batch should fail loudly, not quarantine) — but cases already
+    predicted before the failing one keep their artifacts. Returns the
+    number of cases predicted.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -403,36 +461,25 @@ def predict_cases_pipelined(cases, model, variables, config, predictor,
         return n
 
     futures = []
-    n = 0
     with ThreadPoolExecutor(max_workers=2) as pool:
         def submit(target, fn, *a, **kw):
             futures.append(pool.submit(fn, *a, **kw))
 
-        pending = None  # (out_dev, path, out_dir, affine)
+        def stream():
+            for path, out_dir in cases:
+                data, affine, truth_image = preprocess_case(
+                    path, config, global_moments=global_moments,
+                    device_pre=device_pre)
+                os.makedirs(out_dir, exist_ok=True)
+                if save_inputs:
+                    queue_input_writes(data, truth_image, config, out_dir,
+                                       affine, submit)
+                yield (data, affine, out_dir,
+                       f"{path} -> {out_dir}/prediction.nii.gz"
+                       if verbose else None)
 
-        def finalize(p):
-            out_dev, path, out_dir, affine = p
-            _write_prediction(predictor.unpack_labels(out_dev), config,
-                              out_dir, affine, submit)
-            if verbose:
-                print(f"{path} -> {out_dir}/prediction.nii.gz")
-
-        for path, out_dir in cases:
-            data, affine, truth_image = preprocess_case(
-                path, config, global_moments=global_moments,
-                device_pre=device_pre)
-            os.makedirs(out_dir, exist_ok=True)
-            if save_inputs:
-                queue_input_writes(data, truth_image, config, out_dir,
-                                   affine, submit)
-            out_dev = predictor.predict_labels_async(variables, data,
-                                                     threshold=threshold)
-            if pending is not None:
-                finalize(pending)
-            pending = (out_dev, path, out_dir, affine)
-            n += 1
-        if pending is not None:
-            finalize(pending)
+        n = _drive_label_pipeline(stream(), predictor, variables, config,
+                                  threshold, submit)
     for f in futures:  # surface any write error after all IO drained
         f.result()
     return n
@@ -529,7 +576,8 @@ def run_validation_cases(validation_keys_file: str, model, variables,
     # Two-stage pipeline: the device predict of case i+1 is dispatched
     # before case i's result is pulled to host (jax async dispatch hides the
     # dispatch/D2H overhead), and all NIfTI gzip+disk writes run on a worker
-    # pool overlapping both.
+    # pool overlapping both. The overlap core is shared with
+    # predict_cases_pipelined (_drive_label_pipeline).
     pipelined = (output_label_map
                  and hasattr(predictor, "predict_labels_async"))
     futures = []
@@ -539,31 +587,27 @@ def run_validation_cases(validation_keys_file: str, model, variables,
             # surface collectively at the end; serve.py's submit uses it
             futures.append(pool.submit(fn, *a, **kw))
 
-        pending = None  # (device result, case_dir, affine)
-
-        def finalize(out_dev, case_dir, affine):
-            _write_prediction(predictor.unpack_labels(out_dev), config,
-                              case_dir, affine, submit)
-
-        for index in validation_indices:
+        def case_dir_of(index):
             name = (subject_ids[index] if subject_ids
                     else f"validation_case_{index}")
-            case_dir = os.path.join(output_dir, name)
-            if not pipelined:
-                run_validation_case(index, case_dir, model, variables,
-                                    data_file, config, predictor,
+            return os.path.join(output_dir, name)
+
+        if not pipelined:
+            for index in validation_indices:
+                run_validation_case(index, case_dir_of(index), model,
+                                    variables, data_file, config, predictor,
                                     threshold=threshold,
                                     output_label_map=output_label_map,
                                     io_submit=submit)
-                continue
-            data, affine = _load_case(index, case_dir, data_file, config,
-                                      submit, save_inputs=True)
-            out_dev = predictor.predict_labels_async(variables, data,
-                                                     threshold=threshold)
-            if pending is not None:
-                finalize(*pending)
-            pending = (out_dev, case_dir, affine)
-        if pending is not None:
-            finalize(*pending)
+        else:
+            def stream():
+                for index in validation_indices:
+                    case_dir = case_dir_of(index)
+                    data, affine = _load_case(index, case_dir, data_file,
+                                              config, submit,
+                                              save_inputs=True)
+                    yield data, affine, case_dir, None
+            _drive_label_pipeline(stream(), predictor, variables, config,
+                                  threshold, submit)
     for f in futures:  # surface any write error after all IO drained
         f.result()

@@ -285,7 +285,10 @@ def test_predict_cases_pipelined_matches_serial(tmp_path):
             np.testing.assert_array_equal(np.asarray(a.get_fdata()),
                                           np.asarray(b.get_fdata()))
 
-    # a corrupt case mid-batch raises (no quarantine on the CLI surface)
+    # a corrupt case mid-batch raises (no quarantine on the CLI surface) —
+    # but the GOOD case dispatched before it must keep its full artifact
+    # tree (its device predict succeeded; a different case's corruption
+    # must not drop a completed prediction)
     bad = tmp_path / "cases" / "bad"
     bad.mkdir()
     (bad / "volume.nii.gz").write_bytes(b"not a nifti")
@@ -294,3 +297,8 @@ def test_predict_cases_pipelined_matches_serial(tmp_path):
             [(str(tmp_path / "cases" / "case_0"), str(tmp_path / "x0")),
              (str(bad), str(tmp_path / "xbad"))],
             model, variables, cfg, predictor, verbose=False)
+    assert os.path.exists(str(tmp_path / "x0" / "prediction.nii.gz"))
+    a = load_nifti(str(tmp_path / "x0" / "prediction.nii.gz"))
+    b = load_nifti(str(tmp_path / "serial" / "case_0" / "prediction.nii.gz"))
+    np.testing.assert_array_equal(np.asarray(a.get_fdata()),
+                                  np.asarray(b.get_fdata()))
