@@ -135,6 +135,33 @@ def load_serving_model(config):
     return model, variables
 
 
+def make_device_preprocessor(model, config):
+    """Shared CLI plumbing: the serving-ingest DevicePreprocessor
+    (zoom + normalize on device) configured for ``model``'s compute dtype —
+    one factory for serve.py and predict.py --input so the staging-dtype
+    logic cannot drift between the two surfaces.
+
+    bf16 raw-volume staging halves the H2D bytes (the win on thin links;
+    measured serve 0.52 -> 0.28 s/case on croppable volumes, docs/PERF.md
+    round-3 addendum 8); f32 for f32 models keeps fp-level parity with the
+    host path. compute_dtype matches the model so the preprocessor's output
+    enters the predictor pre-cast — otherwise a bf16 model's label program
+    compiles a SECOND signature for the f32 input and every case pays an
+    extra on-device cast program.
+    """
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.ops.resample import DevicePreprocessor
+
+    transfer = (jnp.bfloat16 if getattr(model, "dtype", None) == jnp.bfloat16
+                else jnp.float32)
+    return DevicePreprocessor(
+        config.image_shape, config.normalization,
+        moments=(load_global_moments(config.data_file)
+                 if config.normalization == "global" else None),
+        compute_dtype=transfer, transfer_dtype=transfer)
+
+
 def resolve_tta(tta: bool, tta_mode):
     """Shared CLI plumbing: combine ``--tta`` / ``--tta-mode`` into the
     predictor's tta argument (False | "permute" | "flips").

@@ -44,7 +44,7 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
          tta: bool = False, patch_batch_size: int = 8,
          num_devices: int = 1, spatial_devices: int = 1,
          direct: bool = False, export_path: str = None,
-         inputs=None):
+         inputs=None, device_preprocess: bool = False):
     if overlap is None:
         # follow the config's validation grid: a patch_shape smaller than
         # the old hardcoded 16 would otherwise reject its own config
@@ -59,6 +59,10 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
     if inputs and direct and tta:
         raise ValueError("--direct is one whole-volume forward — "
                          "no patch grid to TTA-average (--tta)")
+    if device_preprocess and not inputs:
+        raise ValueError("--device-preprocess applies to raw-NIfTI ingest "
+                         "(--input); the validation set is already "
+                         "preprocessed inside the HDF5 dataset")
 
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
@@ -84,7 +88,8 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
         import os
 
         from fetal_mri_segmentation_tpu.inference.predict import (
-            load_global_moments, predict_cases_pipelined)
+            load_global_moments, make_device_preprocessor,
+            predict_cases_pipelined)
 
         # (incompatible flag combinations already rejected at the top of
         # main — same fail-loudly policy as run_validation_cases)
@@ -94,13 +99,16 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
         # training-distribution moments loaded ONCE, not per case
         moments = (load_global_moments(config.data_file)
                    if config.normalization == "global" else None)
+        device_pre = (make_device_preprocessor(model, config)
+                      if device_preprocess else None)
         # pipelined batch: case i's preprocessing+H2D overlaps case i-1's
         # device compute+D2H (same two-stage overlap as serve.py and
         # run_validation_cases; per-case results identical to predict_case)
         predict_cases_pipelined(
             [(path, os.path.join(output_dir, name))
              for path, name in zip(inputs, assign_output_names(inputs))],
-            model, variables, config, predictor, global_moments=moments)
+            model, variables, config, predictor, global_moments=moments,
+            device_pre=device_pre)
         return
 
     mesh = None
@@ -168,6 +176,11 @@ if __name__ == "__main__":
                          "forward, no patch grid — ~2x less device time "
                          "than sliding-window; volume dims must divide "
                          "2^(depth-1))")
+    ap.add_argument("--device-preprocess", action="store_true",
+                    help="with --input: run the ingest zoom + normalization "
+                         "on the TPU (host does read + crop only; "
+                         "shape-bucketed compiles, fp-level parity with "
+                         "the host path — same option as serve.py)")
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config
@@ -178,4 +191,5 @@ if __name__ == "__main__":
          patch_batch_size=args.patch_batch_size,
          num_devices=args.num_devices,
          spatial_devices=args.spatial_devices, direct=args.direct,
-         export_path=args.export, inputs=args.input)
+         export_path=args.export, inputs=args.input,
+         device_preprocess=args.device_preprocess)

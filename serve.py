@@ -43,27 +43,9 @@ def main(config, watch: str, output: str = "served", overlap: int = None,
 
     device_pre = None
     if device_preprocess:
-        import jax.numpy as jnp
-
         from fetal_mri_segmentation_tpu.inference.predict import (
-            load_global_moments)
-        from fetal_mri_segmentation_tpu.ops.resample import (
-            DevicePreprocessor)
-        # bf16 raw-volume staging halves the H2D bytes (the win on thin
-        # links; measured serve 0.52 -> 0.28 s/case on croppable volumes,
-        # docs/PERF.md round-3 addendum 8); f32 for f32 models keeps
-        # fp-level parity with the host path.
-        transfer = (jnp.bfloat16 if getattr(model, "dtype", None)
-                    == jnp.bfloat16 else jnp.float32)
-        # compute_dtype must match the model so the preprocessor's output
-        # enters the predictor pre-cast: otherwise a bf16 model's label
-        # program compiles a SECOND signature for the f32 input and every
-        # case pays an extra on-device cast program
-        device_pre = DevicePreprocessor(
-            config.image_shape, config.normalization,
-            moments=(load_global_moments(config.data_file)
-                     if config.normalization == "global" else None),
-            compute_dtype=transfer, transfer_dtype=transfer)
+            make_device_preprocessor)
+        device_pre = make_device_preprocessor(model, config)
 
     stop = threading.Event()
     signal.signal(signal.SIGINT, lambda *_: stop.set())
