@@ -165,18 +165,11 @@ class SlidingWindowPredictor(ResidentParamsMixin):
         thresholding/argmax on device cuts the transfer 4-32x.
         Returns uint8: packed bits (binary) or label values (multi-class).
         """
+        from fetal_mri_segmentation_tpu.utils.packing import device_label_map
+
         prob = self._predict_volume(variables, data_cdhw)  # (L, D, H, W)
-        if self.n_labels == 1:
-            from fetal_mri_segmentation_tpu.utils.packing import (
-                pack_bit_mask)
-            return pack_bit_mask((prob[0] > threshold).reshape(-1))
-        labels = jnp.asarray(list(self.config.labels
-                                  or range(1, self.n_labels + 1)),
-                             jnp.int32)
-        amax = jnp.argmax(prob, axis=0)
-        label_map = jnp.take(labels, amax)
-        label_map = jnp.where(jnp.max(prob, axis=0) > threshold, label_map, 0)
-        return label_map.astype(jnp.uint8)
+        return device_label_map(prob, threshold, self.n_labels,
+                                self.config.labels)
 
     def _stage_volume(self, data_cdhw):
         """Host→device staging of one volume, minimized for thin links.
@@ -188,15 +181,19 @@ class SlidingWindowPredictor(ResidentParamsMixin):
         the 8 MB fp32 volume H2D dominates single-volume wall time over
         this box's tunneled device link (docs/PERF.md).
         """
-        if tuple(data_cdhw.shape[-3:]) != tuple(self.image_shape):
+        n_ch = self.config.nb_channels
+        if (data_cdhw.ndim != 4 or data_cdhw.shape[0] != n_ch
+                or tuple(data_cdhw.shape[-3:]) != tuple(self.image_shape)):
             # without this, lax.dynamic_slice silently CLAMPS out-of-range
             # patch starts and the fixed-shape accumulator returns a
-            # normal-looking garbage volume (verified empirically)
+            # normal-looking garbage volume (verified empirically); a
+            # missing/mismatched CHANNEL axis would otherwise surface as a
+            # raw transpose/conv tracer error deep inside jit
             raise ValueError(
-                f"predictor was built for image_shape="
-                f"{tuple(self.image_shape)} but got a volume shaped "
-                f"{tuple(data_cdhw.shape)} — rebuild the predictor (or "
-                "resample the case to the training geometry, as "
+                f"predictor was built for (C={n_ch}, D, H, W) volumes with "
+                f"image_shape={tuple(self.image_shape)} but got a volume "
+                f"shaped {tuple(data_cdhw.shape)} — rebuild the predictor "
+                "(or resample/stack the case to the training geometry, as "
                 "preprocess_case does) for this shape")
         if isinstance(data_cdhw, jax.Array):
             # already on device (ops/resample.py device-preprocess path):
@@ -292,13 +289,19 @@ class SlidingWindowPredictor(ResidentParamsMixin):
         return acc / 8.0
 
     def scan_accumulate(self, variables, vol_dhwc, corners, valid,
-                        init=None):
+                        init=None, track_wsum: bool = True):
         """Core on-device loop: scan corner batches, predict, overlap-add.
 
         Returns the (weighted-sum, weight) accumulator pair over the PADDED
         volume. Reused by the mesh-sharded predictor
         (parallel/distributed.py::make_sharded_predictor), which runs it on a
-        shard of the corner list and psums the accumulators.
+        shard of the corner list and psums the accumulators (there each
+        shard's weight field IS data it must contribute, so ``track_wsum``
+        stays on). Single-device callers pass ``track_wsum=False`` and
+        divide by the host-precomputed ``_wsum_np`` instead — the weight
+        field is data-independent, and skipping it halves the
+        dynamic-slice/update scatter chain, the dominant cost of this path
+        (docs/PERF.md addendum 5); the second element returned is then None.
         """
         pd, ph, pw = self.patch_shape
         C = vol_dhwc.shape[-1]
@@ -326,10 +329,11 @@ class SlidingWindowPredictor(ResidentParamsMixin):
                 upd = upd + preds[i].astype(jnp.float32) * w[i][..., None]
                 acc = jax.lax.dynamic_update_slice(acc, upd,
                                                    (c[0], c[1], c[2], 0))
-                wupd = jax.lax.dynamic_slice(wsum, (c[0], c[1], c[2]),
-                                             (pd, ph, pw)) + w[i]
-                wsum = jax.lax.dynamic_update_slice(wsum, wupd,
-                                                    (c[0], c[1], c[2]))
+                if wsum is not None:
+                    wupd = jax.lax.dynamic_slice(wsum, (c[0], c[1], c[2]),
+                                                 (pd, ph, pw)) + w[i]
+                    wsum = jax.lax.dynamic_update_slice(wsum, wupd,
+                                                        (c[0], c[1], c[2]))
                 return acc, wsum
 
             acc, wsum = jax.lax.fori_loop(0, corners_b.shape[0], accumulate,
@@ -338,7 +342,8 @@ class SlidingWindowPredictor(ResidentParamsMixin):
 
         if init is None:
             init = (jnp.zeros(self.padded_shape + (L,), jnp.float32),
-                    jnp.zeros(self.padded_shape, jnp.float32))
+                    jnp.zeros(self.padded_shape, jnp.float32)
+                    if track_wsum else None)
         (acc, wsum), _ = jax.lax.scan(body, init, (corners, valid))
         return acc, wsum
 
@@ -482,9 +487,14 @@ class SlidingWindowPredictor(ResidentParamsMixin):
             return self._predict_padded_tiled(variables, vol_dhwc)
         if self.static_unroll:
             return self._predict_padded_static(variables, vol_dhwc)
-        acc, wsum = self.scan_accumulate(variables, vol_dhwc,
-                                         self.corners, self.valid)
-        return acc / jnp.maximum(wsum, 1e-8)[..., None]
+        # single-device scan fallback (large grids): divide by the
+        # host-precomputed weight field like the static/tiled paths — the
+        # device wsum accumulation would double the scatter chain on
+        # exactly the large grids this path serves
+        acc, _ = self.scan_accumulate(variables, vol_dhwc,
+                                      self.corners, self.valid,
+                                      track_wsum=False)
+        return acc / jnp.asarray(self._wsum_np)[..., None]
 
     # ------------------------------------------------------------------
     def __call__(self, variables, data_cdhw) -> np.ndarray:

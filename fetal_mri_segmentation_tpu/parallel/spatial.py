@@ -69,21 +69,39 @@ def make_gspmd_train_step(model, config, mesh: Mesh) -> Callable:
     inner = make_train_step(model, config, jit=False)
     repl = NamedSharding(mesh, P())
     batch = NamedSharding(mesh, _batch_spec(mesh))
-    return jax.jit(
+    step = jax.jit(
         inner,
         in_shardings=(repl, batch, batch, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,))
+
+    # The fixed-length in_shardings tuple makes every positional argument
+    # mandatory at the pjit boundary; keep n_valid optional here (like the
+    # single-device and shard_map step variants) by defaulting it to the
+    # full batch — omitting it must not raise an obscure tree-prefix error.
+    def gspmd_step(state, x, y, rng, n_valid=None):
+        if n_valid is None:
+            n_valid = jax.numpy.asarray(x.shape[0])
+        return step(state, x, y, rng, n_valid)
+
+    return gspmd_step
 
 
 def make_gspmd_eval_step(model, config, mesh: Mesh) -> Callable:
     inner = make_eval_step(model, config, jit=False)
     repl = NamedSharding(mesh, P())
     batch = NamedSharding(mesh, _batch_spec(mesh))
-    return jax.jit(inner,
+    step = jax.jit(inner,
                    in_shardings=(repl, batch, batch, repl),
                    out_shardings=repl,
                    static_argnames=("axis_name",))
+
+    def gspmd_eval_step(state, x, y, n_valid=None):
+        if n_valid is None:  # see make_gspmd_train_step
+            n_valid = jax.numpy.asarray(x.shape[0])
+        return step(state, x, y, n_valid)
+
+    return gspmd_eval_step
 
 
 def shard_batch_spatial(mesh: Mesh, *arrays):
@@ -153,20 +171,14 @@ class SpatialPredictor(ResidentParamsMixin):
             return jnp.transpose(y[0], (3, 0, 1, 2)).astype(jnp.float32)
 
         def _labels(variables, vol_cdhw, threshold):
+            # shared label-map semantics with SlidingWindowPredictor
+            # (bit-packed binary / argmax->labels[i] multi-class) — one
+            # implementation, utils/packing.py::device_label_map
+            from fetal_mri_segmentation_tpu.utils.packing import (
+                device_label_map)
             prob = _probs(variables, vol_cdhw)
-            if config.n_labels == 1:
-                # bit-pack the binary mask on device: 8x fewer D2H bytes —
-                # the device->host link is the single-volume bottleneck on
-                # tunneled links (shared pack: utils/packing.py)
-                from fetal_mri_segmentation_tpu.utils.packing import (
-                    pack_bit_mask)
-                return pack_bit_mask((prob[0] > threshold).reshape(-1))
-            labels = jnp.asarray(list(config.labels
-                                      or range(1, config.n_labels + 1)),
-                                 jnp.int32)
-            label_map = jnp.take(labels, jnp.argmax(prob, axis=0))
-            return jnp.where(jnp.max(prob, axis=0) > threshold,
-                             label_map, 0).astype(jnp.uint8)
+            return device_label_map(prob, threshold, config.n_labels,
+                                    config.labels)
 
         self._jitted = jax.jit(_probs, in_shardings=(repl, self._vol_spec),
                                out_shardings=repl)
@@ -175,8 +187,19 @@ class SpatialPredictor(ResidentParamsMixin):
                                       out_shardings=repl,
                                       static_argnames=("threshold",))
 
-    # kept for backward compatibility with earlier round-2 callers
-    _device_variables = ResidentParamsMixin.device_variables
+    def _check_volume(self, full_shape):
+        """Curated error for a mis-shaped input: must be (C, D, H, W) with
+        the config's channel count — a missing channel axis would otherwise
+        surface as a raw transpose/conv tracer error deep inside jit."""
+        n_ch = self.config.nb_channels
+        if len(full_shape) != 4 or full_shape[0] != n_ch:
+            raise ValueError(
+                f"expected a (C={n_ch}, D, H, W) volume "
+                f"(training_modalities="
+                f"{tuple(self.config.training_modalities)}); got shape "
+                f"{tuple(full_shape)} — stack the case's modalities on "
+                "axis 0 (as preprocess_case does)")
+        self._check_shape(full_shape[1:])
 
     def _check_shape(self, shape):
         """Fail loudly when the whole-volume forward cannot run: spatial
@@ -210,11 +233,11 @@ class SpatialPredictor(ResidentParamsMixin):
         array (ops/resample.py device-preprocess path) skips the host hop
         and is only re-laid-out onto the mesh sharding."""
         if isinstance(data_cdhw, jax.Array):
-            self._check_shape(data_cdhw.shape[1:])
+            self._check_volume(data_cdhw.shape)
             self._last_shape = tuple(data_cdhw.shape[1:])
             return jax.device_put(data_cdhw, self._vol_spec)
         arr = np.asarray(data_cdhw, np.float32)
-        self._check_shape(arr.shape[1:])
+        self._check_volume(arr.shape)
         self._last_shape = tuple(arr.shape[1:])
         from fetal_mri_segmentation_tpu.utils.residency import (
             host_round_for_model)

@@ -30,6 +30,28 @@ def pack_bit_mask(mask_flat):
         axis=1).astype(jnp.uint8)
 
 
+def device_label_map(prob, threshold, n_labels: int, labels):
+    """(L, D, H, W) device probability map → the D2H label artifact.
+
+    Binary (n_labels==1): threshold → bit-packed uint8 bytes (8× fewer D2H
+    bytes). Multi-class: argmax over channels mapped through ``labels``
+    (channel i → labels[i], the reference prediction_to_image semantics),
+    zeroed where no channel clears ``threshold``, as a uint8 map.
+
+    ONE implementation (traceable, called inside the jitted label programs)
+    shared by the sliding-window and spatial predictors so the label-map
+    semantics cannot drift between serving modes.
+    """
+    import jax.numpy as jnp
+
+    if n_labels == 1:
+        return pack_bit_mask((prob[0] > threshold).reshape(-1))
+    lab = jnp.asarray(list(labels or range(1, n_labels + 1)), jnp.int32)
+    label_map = jnp.take(lab, jnp.argmax(prob, axis=0))
+    return jnp.where(jnp.max(prob, axis=0) > threshold,
+                     label_map, 0).astype(jnp.uint8)
+
+
 def unpack_bit_mask(packed, shape) -> np.ndarray:
     """uint8 packed bits → uint8 binary mask of ``shape`` (D, H, W)."""
     packed = np.asarray(packed)

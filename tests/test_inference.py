@@ -311,3 +311,40 @@ def test_predictor_rejects_wrong_volume_shape():
     bad = np.zeros((1, 12, 12, 12), np.float32)
     with pytest.raises(ValueError, match="image_shape"):
         p.predict_labels({}, bad)
+
+
+def test_scan_fallback_matches_unrolled():
+    """The large-grid scan fallback (host-precomputed weight field, no
+    device wsum accumulation) must equal the static-unrolled path."""
+    rng = np.random.default_rng(7)
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1)
+    vol = rng.random((1, 20, 20, 20)).astype(np.float32)
+    pred = SlidingWindowPredictor(IdentityModel(), cfg,
+                                  image_shape=(20, 20, 20),
+                                  patch_shape=(8, 8, 8), overlap=4,
+                                  patch_batch_size=3, use_gaussian=True)
+    pred.use_tiled = False
+    got_unrolled = pred({}, vol)
+    pred.static_unroll = False  # force the scan fallback
+    pred._jitted = jax.jit(pred._predict_volume)
+    got_scan = pred({}, vol)
+    assert np.allclose(got_scan, got_unrolled, atol=1e-5), \
+        float(np.abs(got_scan - got_unrolled).max())
+
+
+def test_predictor_rejects_wrong_channel_count():
+    """A channel-less (D,H,W) volume or a wrong channel count must fail at
+    the staging guard with a curated message, not as a raw tracer error
+    deep inside jit."""
+    import pytest
+
+    cfg = Config(patch_shape=(8, 8, 8), n_labels=1)  # 1 modality
+    pred = SlidingWindowPredictor(IdentityModel(), cfg,
+                                  image_shape=(16, 16, 16),
+                                  patch_shape=(8, 8, 8), overlap=0)
+    with pytest.raises(ValueError, match="C=1"):
+        pred({}, np.zeros((16, 16, 16), np.float32))  # channel axis missing
+    with pytest.raises(ValueError, match="C=1"):
+        pred({}, np.zeros((2, 16, 16, 16), np.float32))  # 2 modalities
+    with pytest.raises(ValueError, match="image_shape"):
+        pred({}, np.zeros((1, 8, 16, 16), np.float32))  # wrong geometry

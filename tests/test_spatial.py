@@ -10,8 +10,8 @@ import pytest
 from fetal_mri_segmentation_tpu.config import Config
 from fetal_mri_segmentation_tpu.models import build_model
 from fetal_mri_segmentation_tpu.parallel import (
-    make_gspmd_eval_step, make_gspmd_train_step, make_hybrid_mesh,
-    make_spatial_predictor, shard_batch_spatial)
+    make_direct_predictor, make_gspmd_eval_step, make_gspmd_train_step,
+    make_hybrid_mesh, make_spatial_predictor, shard_batch_spatial)
 from fetal_mri_segmentation_tpu.training import (create_train_state,
                                                  make_train_step)
 
@@ -320,3 +320,49 @@ def test_run_validation_cases_direct_mode(tmp_path):
                            "prediction.nii.gz")).get_fdata()
         assert p.shape == (16, 16, 16)
         assert set(np.unique(p)).issubset({0.0, 1.0})
+
+
+def test_spatial_predictor_rejects_wrong_channel_count():
+    import pytest
+
+    cfg = Config(model_name="unet", depth=2, n_base_filters=2,
+                 patch_shape=None, image_shape=(8, 8, 8),
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    pred = make_direct_predictor(model, cfg)
+    with pytest.raises(ValueError, match="C=1"):
+        pred.predict_labels({"params": state.params},
+                            np.zeros((8, 8, 8), np.float32))
+    with pytest.raises(ValueError, match="C=1"):
+        pred.predict_labels({"params": state.params},
+                            np.zeros((3, 8, 8, 8), np.float32))
+
+
+def test_gspmd_steps_accept_omitted_n_valid():
+    """The GSPMD step variants must be callable without n_valid, like every
+    other step variant — and must equal an explicit full-batch n_valid."""
+    cfg = Config(model_name="unet", depth=2, n_base_filters=2,
+                 patch_shape=(8, 8, 8), batch_size=4, augment=False,
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    mesh = make_hybrid_mesh(2, 4)
+    rng = np.random.default_rng(0)
+    y = np.zeros((4, 1, 8, 8, 8), np.float32)
+    y[:, :, 2:6, 2:6, 2:6] = 1.0
+    x = (y * 2 + rng.normal(0, 0.3, y.shape)).astype(np.float32)
+    xs, ys = shard_batch_spatial(mesh, x, y)
+
+    state0 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_gspmd_train_step(model, cfg, mesh)
+    _, m_default = step(state0, xs, ys, jax.random.PRNGKey(1))
+    state1 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _, m_explicit = step(state1, xs, ys, jax.random.PRNGKey(1),
+                         jnp.asarray(4))
+    np.testing.assert_allclose(float(m_default["loss"]),
+                               float(m_explicit["loss"]), rtol=1e-6)
+
+    es = make_gspmd_eval_step(model, cfg, mesh)
+    ev_default = es(create_train_state(model, cfg, jax.random.PRNGKey(0)),
+                    xs, ys)
+    assert np.isfinite(float(ev_default["loss"]))
