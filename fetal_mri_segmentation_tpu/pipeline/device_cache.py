@@ -366,24 +366,13 @@ class _DictTruth:
         return self._d[index]
 
 
-class _TruthCache:
-    """LRU of truth volumes only (uint8-sized) for host blank-skip checks."""
+def _TruthCache(data_file, max_cases: int = 64):
+    """LRU of truth volumes only — shared implementation lives beside the
+    host generator it must stay in lockstep with
+    (pipeline/generator.py::TruthCache)."""
+    from fetal_mri_segmentation_tpu.pipeline.generator import TruthCache
 
-    def __init__(self, data_file, max_cases: int = 64):
-        self._file = data_file
-        self._max = max_cases
-        self._cache: "collections.OrderedDict[int, np.ndarray]" = (
-            collections.OrderedDict())
-
-    def get(self, index: int) -> np.ndarray:
-        if index in self._cache:
-            self._cache.move_to_end(index)
-            return self._cache[index]
-        truth = np.asarray(self._file.root.truth[index])
-        self._cache[index] = truth
-        if len(self._cache) > self._max:
-            self._cache.popitem(last=False)
-        return truth
+    return TruthCache(data_file, max_cases=max_cases)
 
 
 def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
@@ -450,18 +439,21 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
                     break
                 continue
             case_index, corner = epoch_list.pop()
+            kept = True
             if skip_blank:
                 truth = cache.get(case_index)
                 y = get_patch_from_3d_data(truth, patch_shape, corner)
-                if not np.any(y):
-                    continue
+                kept = bool(np.any(y))
             if skipper:
                 # fast-forward: same batch boundaries, nothing emitted
-                if skipper.note_kept_patch(batch_size, not epoch_list):
+                if skipper.note_patch(kept, batch_size, not epoch_list):
                     yielded = True
                 continue
-            pairs.append((case_index, corner))
-            if len(pairs) == batch_size or (not epoch_list and pairs):
+            if kept:
+                pairs.append((case_index, corner))
+            # emit check after EVERY pop (same trailing-partial semantics
+            # as generator.py::data_generator — must stay in lockstep)
+            if pairs and (len(pairs) == batch_size or not epoch_list):
                 yield emit(pairs)
                 yielded = True
                 pairs = []
@@ -506,7 +498,7 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
     if knob not in ("auto", "on", "off"):
         raise ValueError(
             f"device_case_cache={knob!r} — must be 'auto', 'on' or 'off'")
-    if knob == "off" or config.patch_shape is None:
+    if knob == "off":
         return None
 
     def skip(reason):
@@ -515,6 +507,11 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
         if verbose:
             print(f"[device-cache] {reason} — keeping host staging")
         return None
+
+    if config.patch_shape is None:
+        # 'on' must raise here like every other ineligibility (whole-volume
+        # training has no patch gather to cache for), not silently fall back
+        return skip("patch_shape is None (whole-volume training)")
 
     dp_mesh = mesh is not None and len(mesh.devices.flat) > 1
     if dp_mesh and "spatial" in mesh.axis_names:

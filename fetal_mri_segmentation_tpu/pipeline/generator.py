@@ -49,7 +49,11 @@ def get_validation_split(data_file, training_file: str, validation_file: str,
     Reference: generator.py::get_validation_split + split_list (pickled to
     training_ids.pkl / validation_ids.pkl; recomputed only on overwrite).
     """
-    if overwrite or not os.path.exists(training_file):
+    if overwrite or not (os.path.exists(training_file)
+                         and os.path.exists(validation_file)):
+        # EITHER pickle missing regenerates the pair — loading a surviving
+        # training_file against a freshly-made validation_file (or crashing
+        # on the missing one) would silently desync the split
         n = data_file.root.data.shape[0]
         sample_list = list(range(n))
         rng = np.random.default_rng(seed)
@@ -60,7 +64,19 @@ def get_validation_split(data_file, training_file: str, validation_file: str,
         pickle_dump(training_list, training_file)
         pickle_dump(validation_list, validation_file)
         return training_list, validation_list
-    return pickle_load(training_file), pickle_load(validation_file)
+    training_list = pickle_load(training_file)
+    validation_list = pickle_load(validation_file)
+    contaminated = set(training_list) & set(validation_list)
+    if contaminated:
+        # a training pickle from one run paired with a validation pickle
+        # from another loads without error but puts the same cases in both
+        # lists — every validation metric would then be silently invalid
+        raise ValueError(
+            f"training and validation index pickles OVERLAP (case indices "
+            f"{sorted(contaminated)[:8]}{'...' if len(contaminated) > 8 else ''}) "
+            f"— {training_file} and {validation_file} come from different "
+            f"runs; delete both (or pass overwrite) to regenerate the split")
+    return training_list, validation_list
 
 
 # ---------------------------------------------------------------------------
@@ -132,6 +148,29 @@ class CaseCache:
         if len(self._cache) > self._max:
             self._cache.popitem(last=False)
         return data, truth
+
+
+class TruthCache:
+    """LRU of truth volumes ONLY (uint8-sized) for host blank-skip checks —
+    ~1/(4·C+1) of a full case's bytes. Used by the skip_blank fast-forward
+    (resume) so replaying blank decisions never decompresses the float32
+    data payload, and by pipeline/device_cache.py::index_batch_generator."""
+
+    def __init__(self, data_file, max_cases: int = 64):
+        self._file = data_file
+        self._max = max_cases
+        self._cache: "collections.OrderedDict[int, np.ndarray]" = (
+            collections.OrderedDict())
+
+    def get(self, index: int) -> np.ndarray:
+        if index in self._cache:
+            self._cache.move_to_end(index)
+            return self._cache[index]
+        truth = np.asarray(self._file.root.truth[index])
+        self._cache[index] = truth
+        if len(self._cache) > self._max:
+            self._cache.popitem(last=False)
+        return truth
 
 
 def get_data_from_file(data_file, index, patch_shape=None,
@@ -214,9 +253,10 @@ class BatchSkipper:
         return self.left > 0
 
     def reset_epoch(self) -> None:
-        # a trailing partial batch whose epoch ended on a blank-skipped
-        # index is DROPPED by the emit path; mirror that by resetting the
-        # in-batch count at each epoch start
+        # defensive only: the emit path yields any held partial at epoch
+        # end (even when the final pop was blank-skipped), so _in_batch is
+        # always 0 here — kept so a future emit-path change cannot leak
+        # in-batch state across epochs
         self._in_batch = 0
 
     def arith_skip_epoch(self, epoch_list: list, batch_size: int) -> bool:
@@ -233,12 +273,16 @@ class BatchSkipper:
         self.left = 0
         return False
 
-    def note_kept_patch(self, batch_size: int, epoch_end: bool) -> bool:
-        """Count one non-blank patch into the batch being skipped; True when
-        a skipped-batch boundary was crossed (same boundary condition as
-        the emit path: batch full, or epoch exhausted with patches held)."""
-        self._in_batch += 1
-        if self._in_batch == batch_size or epoch_end:
+    def note_patch(self, kept: bool, batch_size: int,
+                   epoch_end: bool) -> bool:
+        """Replay one popped index into the batch being skipped; True when
+        a skipped-batch boundary was crossed — the SAME boundary condition
+        as the emit path: batch full, or epoch exhausted with patches held.
+        Blank pops (kept=False) count nothing but can still close a held
+        partial batch at epoch end, exactly like the emit path does."""
+        if kept:
+            self._in_batch += 1
+        if self._in_batch and (self._in_batch == batch_size or epoch_end):
             self.left -= 1
             self._in_batch = 0
             return True
@@ -274,6 +318,7 @@ def data_generator(data_file, index_list, batch_size: int = 1,
     """
     skipper = BatchSkipper(skip_batches)
     cache = CaseCache(data_file, max_cases=cache_cases)
+    truth_cache = TruthCache(data_file, max_cases=cache_cases)
     base_list = list(index_list)
     image_shape = tuple(data_file.root.data.shape[-3:])
     epoch = 0
@@ -303,27 +348,28 @@ def data_generator(data_file, index_list, batch_size: int = 1,
                 continue
             index = epoch_list.pop()
             if skipper:
-                # skip_blank fast-forward: replay only the blank decision
-                # (truth slice; the case stays LRU-cached) — x is never
-                # materialized while skipping
+                # skip_blank fast-forward: replay only the blank decision —
+                # truth-only LRU reads (TruthCache), so resuming never
+                # decompresses the float32 data payload of skipped cases
                 if patch_shape is not None:
-                    _, truth = get_data_from_file(data_file, index[0],
-                                                  cache=cache)
+                    truth = truth_cache.get(index[0])
                     y = get_patch_from_3d_data(truth, patch_shape, index[1])
                 else:
-                    _, y = get_data_from_file(data_file, index, cache=cache)
-                if not np.any(y):
-                    continue
-                if skipper.note_kept_patch(batch_size, not epoch_list):
+                    y = truth_cache.get(index)
+                if skipper.note_patch(bool(np.any(y)), batch_size,
+                                      not epoch_list):
                     yielded = True
                 continue
             x, y = get_data_from_file(data_file, index,
                                       patch_shape=patch_shape, cache=cache)
-            if skip_blank and not np.any(y):
-                continue
-            x_list.append(x)
-            y_list.append(y)
-            if len(x_list) == batch_size or (not epoch_list and x_list):
+            if not (skip_blank and not np.any(y)):
+                x_list.append(x)
+                y_list.append(y)
+            # the emit check runs after EVERY pop (reference semantics:
+            # generator.py::data_generator checks after add_data whether
+            # the patch was kept or not) — a trailing partial batch is
+            # yielded even when the epoch's final pops were blank-skipped
+            if x_list and (len(x_list) == batch_size or not epoch_list):
                 yield convert_data(x_list, y_list, n_labels=n_labels,
                                    labels=labels)
                 yielded = True

@@ -80,6 +80,26 @@ def train_model(model, state: TrainState, config,
     batch_size = config.batch_size
     val_batch_size = config.validation_batch_size or batch_size
 
+    if steps_per_epoch <= 0:
+        # without this, the epoch loop body never runs and the metric
+        # aggregation crashes with a bare KeyError('loss') — say what is
+        # actually wrong
+        raise ValueError(
+            f"steps_per_epoch={steps_per_epoch}: the training split "
+            "produced no (non-blank) patches — check validation_split "
+            "(a tiny dataset can round the training share to 0 cases), "
+            "skip_blank, and the patch geometry")
+    has_validation = validation_steps is not None and validation_steps > 0
+    if not has_validation and verbose:
+        # a 1-case or unsplit dataset is a legitimate smoke scenario;
+        # fabricating val metrics of 0.0 (the old weighted-mean-of-nothing
+        # behavior) silently pinned best_val at 0.0 and decayed the LR
+        # every `patience` epochs — monitor the training loss instead and
+        # say so
+        print("[warning] validation_steps == 0 — no validation will run; "
+              "best-checkpoint, LR plateau and early stopping monitor the "
+              "TRAINING loss for this run")
+
     # restore BEFORE any replication/sharding of the state: `state` may be
     # the compile-free abstract template (train.py skips the throwaway
     # model.init when a checkpoint exists), which only becomes concrete
@@ -272,10 +292,11 @@ def train_model(model, state: TrainState, config,
 
         # ---- validate ----
         val_metrics, vweights = [], []
-        for x, y, n_valid in _batches(validation_generator, validation_steps,
-                                      val_batch_size):
-            val_metrics.append(eval_step(state, x, y, n_valid))
-            vweights.append(n_valid)
+        if has_validation:
+            for x, y, n_valid in _batches(validation_generator,
+                                          validation_steps, val_batch_size):
+                val_metrics.append(eval_step(state, x, y, n_valid))
+                vweights.append(n_valid)
 
         def agg(metric_dicts, ws, key):
             return _weighted_mean([float(m[key]) for m in metric_dicts], ws)
@@ -285,7 +306,8 @@ def train_model(model, state: TrainState, config,
         for key in keys:
             name = "dice_coefficient" if key == "dice" else key
             row[name] = agg(train_metrics, weights, key)
-            row[f"val_{name}"] = agg(val_metrics, vweights, key)
+            if has_validation:
+                row[f"val_{name}"] = agg(val_metrics, vweights, key)
         row.update({
             "lr": state.learning_rate,
             **rates,
@@ -293,8 +315,10 @@ def train_model(model, state: TrainState, config,
         })
         csv.log(epoch, row)
         if verbose:
+            val_part = (f"val_loss={row['val_loss']:.4f} "
+                        if has_validation else "")
             print(f"epoch {epoch}: loss={row['loss']:.4f} "
-                  f"val_loss={row['val_loss']:.4f} lr={row['lr']:.2e} "
+                  f"{val_part}lr={row['lr']:.2e} "
                   f"{row['patches_per_sec']:.1f} patches/s")
 
         dice_history.append(row.get("dice_coefficient", 1.0))
@@ -309,7 +333,9 @@ def train_model(model, state: TrainState, config,
                   f"--overwrite.")
 
         # ---- callbacks (reference: get_callbacks) ----
-        val_loss = row["val_loss"]
+        # without validation the monitored quantity falls back to the
+        # training loss (see the warning at loop start)
+        val_loss = row["val_loss"] if has_validation else row["loss"]
         improved = val_loss < best_val
         if improved:
             best_val = val_loss

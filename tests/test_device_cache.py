@@ -700,3 +700,23 @@ def test_cached_resume_bitwise_identical(data_file, tmp_path):
     for e in sorted(rows_c):
         assert rows_c[e] == rows_r[e], \
             f"epoch {e} diverged (cached resume): {rows_c[e]} != {rows_r[e]}"
+
+
+def test_cache_on_with_whole_volume_config_raises(tmp_path):
+    """device_case_cache='on' must raise for whole-volume configs
+    (patch_shape=None) like every other ineligibility — not silently fall
+    back to host staging."""
+    import pytest
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.pipeline.device_cache import (
+        maybe_build_device_cache)
+
+    cfg = Config(patch_shape=None, device_case_cache="on",
+                 data_file=str(tmp_path / "none.h5"))
+    with pytest.raises(ValueError, match="patch_shape"):
+        maybe_build_device_cache(None, cfg)
+    # 'auto' quietly keeps host staging for the same config
+    cfg2 = Config(patch_shape=None, device_case_cache="auto",
+                  data_file=str(tmp_path / "none.h5"))
+    assert maybe_build_device_cache(None, cfg2) is None

@@ -201,3 +201,91 @@ def test_skip_batches_negative_rejected(data_file):
         next(data_generator(data_file, [0, 1], batch_size=2, n_labels=1,
                             patch_shape=(8, 8, 8), skip_blank=False,
                             seed=0, skip_batches=-1))
+
+
+@pytest.fixture(scope="module")
+def blank_tail_file(tmp_path_factory):
+    """2 cases: case 0 all-blank truth, case 1 normal — lets tests force an
+    epoch whose FINAL pops are blank-skipped."""
+    from fetal_mri_segmentation_tpu.utils.nifti import save_nifti
+
+    d = tmp_path_factory.mktemp("blanktail")
+    files = []
+    for i in range(2):
+        c = d / f"case_{i}"
+        c.mkdir()
+        vol = np.random.default_rng(i).random((12, 12, 12)).astype(np.float32)
+        truth = np.zeros((12, 12, 12), np.uint8)
+        if i == 1:
+            truth[3:9, 3:9, 3:9] = 1
+        save_nifti(vol, str(c / "volume.nii.gz"))
+        save_nifti(truth, str(c / "truth.nii.gz"))
+        files.append([str(c / "volume.nii.gz"), str(c / "truth.nii.gz")])
+    out = str(d / "data.h5")
+    write_data_to_file(files, out, image_shape=(12, 12, 12), normalize=None,
+                       crop=False)
+    f = open_data_file(out)
+    yield f
+    f.close()
+
+
+def test_trailing_partial_emitted_when_final_pops_blank(blank_tail_file):
+    """Reference semantics: the yield check runs after EVERY pop, so a
+    trailing partial batch is emitted even when the epoch's last popped
+    indices were blank-skipped. Previously this epoch raised a spurious
+    'truth volumes appear to be empty' RuntimeError (1 kept patch <
+    batch_size and the final pop blank)."""
+    # whole-volume mode, no shuffle: epoch_list=[0(blank), 1(full)] popped
+    # from the END -> pop order is case 1 (kept), then case 0 (blank)
+    gen = data_generator(blank_tail_file, [0, 1], batch_size=2, n_labels=1,
+                         patch_shape=None, skip_blank=True,
+                         shuffle_index_list=False, seed=0)
+    x, y = next(gen)
+    assert x.shape[0] == 1  # the held partial batch, not dropped
+    assert y.max() == 1.0
+    # and the stream continues epoch after epoch
+    x2, _ = next(gen)
+    assert x2.shape[0] == 1
+
+
+def test_skip_batches_lockstep_across_blank_tail(blank_tail_file):
+    """The fast-forward replay must count the blank-closed partial batch
+    exactly like the emit path (BatchSkipper.note_patch with kept=False at
+    epoch end) — resume stays bitwise on blank-tail epochs."""
+    kw = dict(batch_size=2, n_labels=1, patch_shape=None, skip_blank=True,
+              shuffle_index_list=False, seed=0)
+    fresh = data_generator(blank_tail_file, [0, 1], **kw)
+    for _ in range(3):
+        next(fresh)  # 3 one-sample batches = 3 whole epochs
+    want = [next(fresh) for _ in range(2)]
+    resumed = data_generator(blank_tail_file, [0, 1], skip_batches=3, **kw)
+    for wx, wy in want:
+        gx, gy = next(resumed)
+        np.testing.assert_array_equal(gx, wx)
+        np.testing.assert_array_equal(gy, wy)
+
+
+def test_validation_split_regenerated_when_either_pickle_missing(
+        data_file, tmp_path):
+    import os
+
+    tf, vf = str(tmp_path / "t.pkl"), str(tmp_path / "v.pkl")
+    t1, v1 = get_validation_split(data_file, tf, vf, data_split=0.8,
+                                  overwrite=True, seed=0)
+    os.remove(vf)  # partial run dir: validation pickle lost
+    t2, v2 = get_validation_split(data_file, tf, vf, data_split=0.8,
+                                  overwrite=False, seed=0)
+    assert sorted(t2 + v2) == [0, 1, 2, 3, 4]
+    assert os.path.exists(vf)  # regenerated as a consistent PAIR
+
+
+def test_validation_split_rejects_overlapping_pickles(data_file, tmp_path):
+    """A train pickle from one run + a val pickle from another can put the
+    same case in both lists — validation would silently be contaminated."""
+    from fetal_mri_segmentation_tpu.utils.io_utils import pickle_dump
+
+    tf, vf = str(tmp_path / "t.pkl"), str(tmp_path / "v.pkl")
+    pickle_dump([0, 1, 2], tf)
+    pickle_dump([2, 3], vf)  # case 2 in BOTH
+    with pytest.raises(ValueError, match="OVERLAP"):
+        get_validation_split(data_file, tf, vf, overwrite=False)

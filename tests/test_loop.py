@@ -529,3 +529,51 @@ def test_resume_bitwise_identical_under_dp_mesh(workdir, tmp_path):
                 f"epoch {e} diverged under DP: {cont[e]} != {res[e]}"
     finally:
         data_file.close()
+
+
+def test_train_model_rejects_zero_steps(workdir):
+    cfg = make_cfg(workdir)
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+
+    def empty():
+        while True:
+            yield None
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        train_model(model, state, cfg, empty(), empty(), 0, 1, verbose=False)
+
+
+def test_train_model_without_validation(workdir, tmp_path, capsys):
+    """validation_steps == 0 (1-case dataset, validation_split=1.0) must
+    train monitoring the TRAINING loss — not fabricate val metrics of 0.0
+    that pin best_val and decay the LR every `patience` epochs."""
+    d = tmp_path
+    cfg = make_cfg(workdir, model_file=str(d / "m.ckpt"),
+                   training_file=str(d / "t.pkl"),
+                   validation_file=str(d / "v.pkl"),
+                   training_log=str(d / "novalid.log"), n_epochs=2)
+    model = build_model(cfg)
+    data_file = open_data_file(cfg.data_file)
+    try:
+        tg, n_t, vg, n_v = get_training_and_validation_generators(
+            data_file, batch_size=cfg.batch_size, n_labels=1,
+            training_keys_file=cfg.training_file,
+            validation_keys_file=cfg.validation_file,
+            data_split=1.0, overwrite=True, patch_shape=cfg.patch_shape,
+            validation_batch_size=cfg.validation_batch_size,
+            skip_blank=True, seed=0)
+        assert n_v == 0
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+        train_model(model, state, cfg, tg, vg, n_t, n_v, verbose=True)
+    finally:
+        data_file.close()
+    out = capsys.readouterr().out
+    assert "no validation will run" in out
+    assert "val_loss" not in out  # nothing fabricated in the epoch lines
+    # a best checkpoint WAS written (monitored on training loss)
+    from fetal_mri_segmentation_tpu.training.checkpoint import CheckpointIO
+    assert CheckpointIO(cfg.model_file).exists()
+    # and the CSV rows carry train metrics without val_ columns
+    with open(cfg.training_log) as f:
+        header = f.readline()
+    assert "loss" in header and "val_loss" not in header
