@@ -108,12 +108,28 @@ def dataset_filters(dset) -> Tuple[int, ...]:
 
 
 def is_unreadable_blosc(dset) -> bool:
-    """True when this dataset needs the (absent) blosc HDF5 filter."""
+    """True when this dataset needs the (absent) blosc HDF5 filter.
+
+    Only a PURE blosc pipeline qualifies for the built-in reader: with
+    another filter stacked (e.g. HDF5 shuffle ahead of blosc) the reader
+    would blosc-decompress but never undo the other stage — silently
+    scrambled voxels — and the raw-chunk filter-mask bit would refer to
+    the wrong pipeline stage. Such files are rejected loudly instead.
+    """
     try:
-        return (BLOSC_FILTER_ID in dataset_filters(dset)
-                and not _filter_registered())
+        filters = dataset_filters(dset)
     except Exception:
         return False
+    if BLOSC_FILTER_ID not in filters or _filter_registered():
+        return False
+    if filters != (BLOSC_FILTER_ID,):
+        raise ValueError(
+            f"dataset {dset.name!r}: HDF5 filter pipeline {filters} stacks "
+            f"blosc with other filters — the built-in blosc reader only "
+            f"handles a pure blosc pipeline (decoding anyway would return "
+            f"silently scrambled data). Install the blosc HDF5 filter "
+            f"plugin, or re-export the file without the extra filters.")
+    return True
 
 
 @functools.lru_cache(maxsize=1)
@@ -189,6 +205,15 @@ class BloscDataset:
     def _needs_full(self, index) -> bool:
         return not (len(index) >= 1 and isinstance(index[0], (int, np.integer)))
 
+    def _chunk_allocated(self, chunk_offset) -> Optional[bool]:
+        """False iff the chunk verifiably has no storage allocated;
+        None when the probe API is unavailable (treated as unknown)."""
+        try:
+            info = self._dset.id.get_chunk_info_by_coord(chunk_offset)
+            return info.byte_offset is not None
+        except Exception:
+            return None
+
     def _fill(self, out: np.ndarray, only_row: Optional[int]) -> None:
         """Decompress every chunk overlapping the request into ``out``
         (``out`` covers the full array, or one leading-axis row).
@@ -209,8 +234,21 @@ class BloscDataset:
         for off in itertools.product(lead, *rest_grid):
             try:
                 arr = self._chunk_array(off)
-            except (KeyError, OSError):
+            except KeyError:
                 continue  # never-written chunk -> HDF5 fill value (0)
+            except (OSError, RuntimeError) as e:
+                # h5py raises RuntimeError ("chunk storage is not
+                # allocated") for never-written chunks on some versions;
+                # distinguish "chunk was never allocated" (legitimate fill
+                # value) from a REAL read failure (truncated/corrupt file)
+                # — substituting zeros for the latter would train/predict
+                # on partially-zeroed volumes with no error
+                if self._chunk_allocated(off) is False:
+                    continue
+                raise ValueError(
+                    f"failed to read chunk {off} of "
+                    f"{getattr(self._dset, 'name', '?')}: {e} — the file "
+                    f"appears truncated or corrupt") from e
             # trim to array bounds (edge chunks are stored full-size)
             slices_src, slices_dst = [], []
             for d, (o, c, s) in enumerate(zip(off, self.chunks, self.shape)):

@@ -124,10 +124,18 @@ def write_data_to_file(training_data_files: Sequence[Sequence[str]],
     """Convert per-case NIfTI file lists ``[mod1.nii, ..., truth.nii]`` into
     one HDF5 file. Reference: data.py::write_data_to_file.
 
-    ``normalize``: None | "per_volume" | "global" (see data/normalize.py for
-    the semantics split — the upstream lineage uses a single global (mean,std),
-    the fetal adaptation per-volume z-score; both are supported).
+    ``normalize``: None | "per_volume" | "global" | "windowed" (see
+    data/normalize.py for the semantics split — the upstream lineage uses a
+    single global (mean,std), the fetal adaptation per-volume z-score).
     """
+    if normalize not in (None, "per_volume", "global", "windowed"):
+        # the serving-time twin (normalize.py::normalize_case) validates;
+        # the builder must too — silently applying per_volume for a typo
+        # like "per-volume" and PERSISTING the bogus string in attrs would
+        # poison every later consumer of attrs["normalization"]
+        raise ValueError(
+            f"normalize={normalize!r} — must be None, 'per_volume', "
+            f"'global' or 'windowed'")
     n_samples = len(training_data_files)
     n_channels = len(training_data_files[0]) - 1
 

@@ -149,16 +149,24 @@ def read_image_files(image_files: Sequence[str],
     return images
 
 
-def compute_shared_crop_images(images, pad: int = 1) -> Tuple[slice, ...]:
-    """`compute_shared_crop` over ALREADY-LOADED NiftiImages (no re-read)."""
+def _union_crop(arrays, pad: int = 1) -> Tuple[slice, ...]:
+    """Union bounding box of the per-array background crops — THE shared
+    crop-union logic; both ingest paths (path-based and single-read) call
+    this so they cannot diverge."""
     starts, ends = None, None
-    for img in images:
-        sl = crop_img_to_slices(img.get_fdata(dtype=np.float32), pad=pad)
+    for arr in arrays:
+        sl = crop_img_to_slices(arr, pad=pad)
         s = np.array([x.start for x in sl])
         e = np.array([x.stop for x in sl])
         starts = s if starts is None else np.minimum(starts, s)
         ends = e if ends is None else np.maximum(ends, e)
     return tuple(slice(int(s), int(e)) for s, e in zip(starts, ends))
+
+
+def compute_shared_crop_images(images, pad: int = 1) -> Tuple[slice, ...]:
+    """`compute_shared_crop` over ALREADY-LOADED NiftiImages (no re-read)."""
+    return _union_crop([img.get_fdata(dtype=np.float32) for img in images],
+                       pad=pad)
 
 
 def compute_shared_crop(image_files: Sequence[str], pad: int = 1
@@ -198,17 +206,7 @@ def process_case_images(images, image_shape: Optional[Sequence[int]] = None,
     images = [img if arr.shape == tuple(img.shape)
               else NiftiImage(arr, img.affine)
               for img, arr in zip(images, arrays)]
-    slices = None
-    if crop:
-        starts, ends = None, None
-        for arr in arrays:
-            sl = crop_img_to_slices(arr, pad=pad)
-            s = np.array([x.start for x in sl])
-            e = np.array([x.stop for x in sl])
-            starts = s if starts is None else np.minimum(starts, s)
-            ends = e if ends is None else np.maximum(ends, e)
-        slices = tuple(slice(int(s), int(e))
-                       for s, e in zip(starts, ends))
+    slices = _union_crop(arrays, pad=pad) if crop else None
     out = []
     for i, (img, arr) in enumerate(zip(images, arrays)):
         if slices is not None:

@@ -54,14 +54,12 @@ class NiftiImage:
         return {"dim": self.dataobj.shape}
 
 
-def _open(path: str, mode: str):
+def _open(path: str, mode: str = "rb"):
+    """READ opener (gzip auto-detected by suffix). Writes go through
+    save_nifti's atomic temp+rename path, which owns the compression
+    policy (gzip level 1 — the default 9 cost seconds per volume on the
+    serving path for a few percent smaller files)."""
     if str(path).endswith(".gz"):
-        # compresslevel 1 for WRITES: the default (9) costs seconds per
-        # volume on the serving path for a few percent smaller files
-        # (measured 4.4 s -> 0.4 s for a 128^3 label map on one core);
-        # reads auto-detect and are unaffected.
-        if "w" in mode:
-            return gzip.open(path, mode, compresslevel=1)
         return gzip.open(path, mode)
     return open(path, mode)
 
@@ -180,6 +178,11 @@ def load_nifti(path: str) -> NiftiImage:
         scl_slope, scl_inter = 0.0, 0.0
     if not np.isfinite(scl_inter):
         scl_inter = 0.0
+    if scl_slope == 0.0:
+        # nibabel semantics (get_slope_inter): slope 0 means NO scaling
+        # information — the intercept is ignored too. Applying a garbage
+        # scl_inter like -1024 would silently shift every label value.
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         data = data.astype(np.float32) * slope + scl_inter
@@ -206,7 +209,10 @@ def save_nifti(image_or_data, path: str, affine: Optional[np.ndarray] = None
                ) -> None:
     """Write a NIfTI-1 single file; gzip iff path ends with .gz."""
     if isinstance(image_or_data, NiftiImage):
-        data, affine = image_or_data.dataobj, image_or_data.affine
+        # an explicitly passed affine OVERRIDES the image's (a caller
+        # re-stamping a resampled image must not silently get the stale one)
+        data = image_or_data.dataobj
+        affine = image_or_data.affine if affine is None else np.asarray(affine)
     else:
         data = np.asarray(image_or_data)
         affine = np.eye(4) if affine is None else np.asarray(affine)
@@ -233,7 +239,7 @@ def save_nifti(image_or_data, path: str, affine: Optional[np.ndarray] = None
         struct.pack_into("<4f", hdr, 280 + 16 * i, *[float(v) for v in affine[i]])
     hdr[344:348] = b"n+1\x00"
 
-    payload = bytes(hdr) + b"\x00" * 4 + np.asfortranarray(data).tobytes(order="F")
+    payload = bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F")
     # atomic publish: write a sibling temp file and rename into place, so a
     # failed/interrupted write can never leave a truncated .nii[.gz] that
     # downstream consumers (e.g. serve.py's already-predicted check) would

@@ -178,3 +178,59 @@ def test_filter_skipped_raw_chunk(tmp_path):
         np.testing.assert_array_equal(view[0], arr[0])   # compressed chunk
         np.testing.assert_array_equal(view[3], arr[3])   # raw chunk
         np.testing.assert_array_equal(view[...], arr)    # full read
+
+
+def test_multi_filter_blosc_pipeline_rejected(tmp_path):
+    """blosc stacked with another HDF5 filter (e.g. shuffle) must be
+    rejected loudly — decoding only the blosc stage would return silently
+    scrambled voxels."""
+    p = str(tmp_path / "stacked.h5")
+    arr = np.arange(8, dtype=np.float32).reshape(2, 4)
+    with h5py.File(p, "w") as h5:
+        dset = h5.create_dataset(
+            "data", shape=arr.shape, dtype=arr.dtype, chunks=(2, 4),
+            shuffle=True,  # HDF5 shuffle filter AHEAD of blosc
+            compression=BLOSC_FILTER_ID,
+            compression_opts=(2, 2, 4, 32, 5, 1, 0),
+            allow_unknown_filter=True)
+        dset.id.write_direct_chunk((0, 0), blosc_compress(arr))
+    with h5py.File(p, "r") as h5:
+        with pytest.raises(ValueError, match="pipeline"):
+            is_unreadable_blosc(h5["data"])
+
+
+def test_corrupt_blosc_chunk_raises_not_zeros(tmp_path):
+    """A chunk that EXISTS but cannot be decoded (truncated/corrupt frame)
+    must raise, not silently read back as fill-value zeros."""
+    rng = np.random.default_rng(2)
+    arr = rng.normal(size=(2, 4, 4)).astype(np.float32)
+    p = str(tmp_path / "corrupt.h5")
+    with h5py.File(p, "w") as h5:
+        _write_blosc_dataset(h5, "data", arr, chunks=(1, 4, 4))
+    with h5py.File(p, "w" if False else "r+") as h5:
+        # overwrite chunk 0 with a garbage frame (allocated but undecodable)
+        h5["data"].id.write_direct_chunk((0, 0, 0), b"\x13" * 24)
+    with h5py.File(p, "r") as h5:
+        view = BloscDataset(h5["data"])
+        np.testing.assert_array_equal(view[1], arr[1])  # intact chunk fine
+        with pytest.raises((ValueError, OSError)):
+            view[0]
+
+
+def test_unallocated_chunk_reads_as_fill_value(tmp_path):
+    """A chunk that was never written is the HDF5 fill value (zeros) — the
+    legitimate case the corrupt-chunk error path must not break."""
+    arr = np.ones((2, 4, 4), np.float32)
+    p = str(tmp_path / "sparse.h5")
+    with h5py.File(p, "w") as h5:
+        dset = h5.create_dataset(
+            "data", shape=arr.shape, dtype=arr.dtype, chunks=(1, 4, 4),
+            compression=BLOSC_FILTER_ID,
+            compression_opts=(2, 2, 4, 64, 5, 1, 0),
+            allow_unknown_filter=True)
+        # write ONLY row 1; row 0's chunk is never allocated
+        dset.id.write_direct_chunk((1, 0, 0), blosc_compress(arr[1:2]))
+    with h5py.File(p, "r") as h5:
+        view = BloscDataset(h5["data"])
+        np.testing.assert_array_equal(view[1], arr[1])
+        np.testing.assert_array_equal(view[0], np.zeros((4, 4), np.float32))

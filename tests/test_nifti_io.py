@@ -278,3 +278,47 @@ def test_nan_scl_slope_means_no_scaling(tmp_path):
     p2 = tmp_path / "nan_inter.nii"
     p2.write_bytes(_synth_nifti1(data, np.eye(4), scl=(2.0, np.nan)))
     assert np.array_equal(load_nifti(str(p2)).get_fdata(), data * 2.0)
+
+
+def test_scl_slope_zero_means_no_scaling(tmp_path):
+    """nibabel semantics: scl_slope == 0 means NO scaling information — a
+    garbage scl_inter (e.g. -1024 from a scanner export) must be ignored,
+    not applied as a shift (it would corrupt every label value)."""
+    import struct
+
+    p = str(tmp_path / "slope0.nii")
+    labels = np.arange(8, dtype=np.uint8).reshape(2, 2, 2)
+    save_nifti(labels, p)
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<2f", raw, 112, 0.0, -1024.0)  # slope=0, inter=-1024
+    open(p, "wb").write(bytes(raw))
+    img = load_nifti(p)
+    np.testing.assert_array_equal(
+        np.asarray(img.get_fdata(dtype=np.float32)), labels)
+
+
+def test_save_nifti_explicit_affine_overrides_image(tmp_path):
+    """save_nifti(image, path, affine=new) must write the EXPLICIT affine —
+    silently keeping the image's stale affine would mis-place the volume
+    in world space for any caller re-stamping a resampled image."""
+    p = str(tmp_path / "restamped.nii.gz")
+    data = np.ones((3, 3, 3), np.float32)
+    stale = np.diag([1.0, 1.0, 1.0, 1.0])
+    img = NiftiImage(data, stale)
+    new = np.diag([2.0, 2.0, 2.0, 1.0])
+    new[:3, 3] = (5.0, 6.0, 7.0)
+    save_nifti(img, p, affine=new)
+    np.testing.assert_allclose(load_nifti(p).affine, new)
+    # and without an explicit affine the image's own is kept
+    save_nifti(img, p)
+    np.testing.assert_allclose(load_nifti(p).affine, stale)
+
+
+def test_builder_rejects_unknown_normalize_mode(tmp_path):
+    import pytest
+
+    from fetal_mri_segmentation_tpu.data import write_data_to_file
+
+    with pytest.raises(ValueError, match="normalize"):
+        write_data_to_file([["a.nii", "b.nii"]], str(tmp_path / "x.h5"),
+                           image_shape=(8, 8, 8), normalize="per-volume")
