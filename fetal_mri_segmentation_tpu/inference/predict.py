@@ -135,7 +135,7 @@ def load_serving_model(config):
     return model, variables
 
 
-def make_device_preprocessor(model, config):
+def make_device_preprocessor(model, config, moments=None):
     """Shared CLI plumbing: the serving-ingest DevicePreprocessor
     (zoom + normalize on device) configured for ``model``'s compute dtype —
     one factory for serve.py and predict.py --input so the staging-dtype
@@ -157,7 +157,8 @@ def make_device_preprocessor(model, config):
                 else jnp.float32)
     return DevicePreprocessor(
         config.image_shape, config.normalization,
-        moments=(load_global_moments(config.data_file)
+        moments=(moments if moments is not None
+                 else load_global_moments(config.data_file)
                  if config.normalization == "global" else None),
         compute_dtype=transfer, transfer_dtype=transfer)
 

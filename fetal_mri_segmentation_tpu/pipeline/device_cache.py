@@ -366,15 +366,6 @@ class _DictTruth:
         return self._d[index]
 
 
-def _TruthCache(data_file, max_cases: int = 64):
-    """LRU of truth volumes only — shared implementation lives beside the
-    host generator it must stay in lockstep with
-    (pipeline/generator.py::TruthCache)."""
-    from fetal_mri_segmentation_tpu.pipeline.generator import TruthCache
-
-    return TruthCache(data_file, max_cases=max_cases)
-
-
 def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
                           patch_shape=None, patch_overlap: int = 0,
                           patch_start_offset=None,
@@ -401,12 +392,12 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
     generators avoid re-reading the HDF5 truth already loaded at build.
     """
     from fetal_mri_segmentation_tpu.pipeline.generator import (
-        BatchSkipper, create_patch_index_list)
+        BatchSkipper, TruthCache, create_patch_index_list)
 
     if patch_shape is None:
         raise ValueError("device case cache requires patch_shape training")
     skipper = BatchSkipper(skip_batches)
-    cache = truth_cache or _TruthCache(data_file, max_cases=cache_cases)
+    cache = truth_cache or TruthCache(data_file, max_cases=cache_cases)
     base_list = list(index_list)
     image_shape = tuple(data_file.root.data.shape[-3:])
     epoch = 0

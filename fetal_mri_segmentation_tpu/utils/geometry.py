@@ -164,8 +164,13 @@ def _union_crop(arrays, pad: int = 1) -> Tuple[slice, ...]:
 
 
 def compute_shared_crop_images(images, pad: int = 1) -> Tuple[slice, ...]:
-    """`compute_shared_crop` over ALREADY-LOADED NiftiImages (no re-read)."""
-    return _union_crop([img.get_fdata(dtype=np.float32) for img in images],
+    """`compute_shared_crop` over ALREADY-LOADED NiftiImages (no re-read).
+
+    Generator, not list: only one float32 conversion is live at a time —
+    a 4-modality high-res case would otherwise hold every converted volume
+    simultaneously at peak.
+    """
+    return _union_crop((img.get_fdata(dtype=np.float32) for img in images),
                        pad=pad)
 
 

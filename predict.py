@@ -99,7 +99,7 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
         # training-distribution moments loaded ONCE, not per case
         moments = (load_global_moments(config.data_file)
                    if config.normalization == "global" else None)
-        device_pre = (make_device_preprocessor(model, config)
+        device_pre = (make_device_preprocessor(model, config, moments=moments)
                       if device_preprocess else None)
         # pipelined batch: case i's preprocessing+H2D overlaps case i-1's
         # device compute+D2H (same two-stage overlap as serve.py and

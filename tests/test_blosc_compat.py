@@ -234,3 +234,40 @@ def test_unallocated_chunk_reads_as_fill_value(tmp_path):
         view = BloscDataset(h5["data"])
         np.testing.assert_array_equal(view[1], arr[1])
         np.testing.assert_array_equal(view[0], np.zeros((4, 4), np.float32))
+
+
+def test_unallocated_chunk_without_probe_api(tmp_path, monkeypatch):
+    """h5py < 3.0 has no ``get_chunk_info_by_coord`` (the allocation probe
+    returns None = unknown). A never-written chunk that surfaces as h5py's
+    'chunk storage is not allocated' RuntimeError must still read as the
+    fill value there; a GENERIC read error must still raise."""
+    arr = np.ones((2, 4, 4), np.float32)
+    p = str(tmp_path / "sparse_old_h5py.h5")
+    with h5py.File(p, "w") as h5:
+        dset = h5.create_dataset(
+            "data", shape=arr.shape, dtype=arr.dtype, chunks=(1, 4, 4),
+            compression=BLOSC_FILTER_ID,
+            compression_opts=(2, 2, 4, 64, 5, 1, 0),
+            allow_unknown_filter=True)
+        dset.id.write_direct_chunk((1, 0, 0), blosc_compress(arr[1:2]))
+    with h5py.File(p, "r") as h5:
+        view = BloscDataset(h5["data"])
+        monkeypatch.setattr(BloscDataset, "_chunk_allocated",
+                            lambda self, off: None)
+        real = BloscDataset._chunk_array
+
+        def not_allocated(self, off):
+            if off == (0, 0, 0):
+                raise RuntimeError("chunk storage is not allocated")
+            return real(self, off)
+
+        monkeypatch.setattr(BloscDataset, "_chunk_array", not_allocated)
+        np.testing.assert_array_equal(view[0], np.zeros((4, 4), np.float32))
+        np.testing.assert_array_equal(view[1], arr[1])
+
+        def generic_error(self, off):
+            raise OSError("read failed (disk error)")
+
+        monkeypatch.setattr(BloscDataset, "_chunk_array", generic_error)
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            view[1]
