@@ -105,7 +105,8 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
                       stats: Optional[dict] = None,
                       stats_file: Optional[str] = None,
                       verbose: bool = True,
-                      device_pre=None) -> int:
+                      device_pre=None,
+                      moments=None) -> int:
     """Serve until ``stop.is_set()`` (or forever; one pass with ``once``).
 
     Returns the number of cases predicted AND durably written. ``predictor``
@@ -146,8 +147,11 @@ def watch_and_predict(watch_dir: str, output_dir: str, model, variables,
     from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(output_dir, exist_ok=True)
-    moments = (load_global_moments(config.data_file)
-               if config.normalization == "global" else None)
+    if moments is None and config.normalization == "global":
+        # callers that already loaded the training-distribution moments
+        # (serve.py wires them into the device preprocessor too) pass them
+        # in; everyone else pays the HDF5 read once here
+        moments = load_global_moments(config.data_file)
     pending_sigs: Dict[str, Tuple] = {}
     failed: Dict[str, Tuple] = {}  # name -> (signature, monotonic time) at
     #                                failure

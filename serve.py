@@ -41,11 +41,18 @@ def main(config, watch: str, output: str = "served", overlap: int = None,
         model, config, direct=direct, tta=tta, overlap=overlap,
         patch_batch_size=patch_batch_size)
 
+    # training-distribution moments loaded ONCE, shared by the device
+    # preprocessor and the watch loop (same injection as predict.py --input)
+    moments = None
+    if config.normalization == "global":
+        from fetal_mri_segmentation_tpu.inference.predict import (
+            load_global_moments)
+        moments = load_global_moments(config.data_file)
     device_pre = None
     if device_preprocess:
         from fetal_mri_segmentation_tpu.inference.predict import (
             make_device_preprocessor)
-        device_pre = make_device_preprocessor(model, config)
+        device_pre = make_device_preprocessor(model, config, moments=moments)
 
     stop = threading.Event()
     signal.signal(signal.SIGINT, lambda *_: stop.set())
@@ -59,7 +66,8 @@ def main(config, watch: str, output: str = "served", overlap: int = None,
                           poll_interval=poll, once=once, stop=stop,
                           threshold=threshold, overlap=overlap,
                           save_inputs=save_inputs, stats=stats,
-                          stats_file=stats_file, device_pre=device_pre)
+                          stats_file=stats_file, device_pre=device_pre,
+                          moments=moments)
     print(f"[serve] done: {n} case(s) predicted")
     if once and stats.get("aux_write_failures"):
         # served cases whose --save-inputs copies were lost: the predictions
