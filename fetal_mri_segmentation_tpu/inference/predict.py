@@ -362,7 +362,7 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
                  permute: bool = False, patch_batch_size: int = 8,
                  save_inputs: bool = True, crop: bool = True,
                  global_moments=None, io_submit=None,
-                 device_pre=None) -> np.ndarray:
+                 device_pre=None, output_label_map: bool = True) -> np.ndarray:
     """Predict a case straight from NIfTI files — no HDF5 ingest required.
 
     The reference can only predict cases already written into its HDF5
@@ -395,6 +395,15 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
         predictor = SlidingWindowPredictor(
             model, config, image_shape=config.image_shape, overlap=overlap,
             patch_batch_size=patch_batch_size, tta_permute=permute)
+    if not output_label_map:
+        # probability map instead of the thresholded/argmaxed labels
+        # (reference: run_validation_case with output_label_map=False)
+        probability = predictor(variables, data)
+        image = prediction_to_image(probability, affine, label_map=False,
+                                    threshold=threshold, labels=config.labels)
+        path = os.path.join(out_dir, "prediction.nii.gz")
+        submit(path, save_nifti, image, path)
+        return probability
     label_map = predictor.predict_labels(variables, data,
                                          threshold=threshold)
     return _write_prediction(label_map, config, out_dir, affine, submit)
@@ -460,7 +469,8 @@ def _drive_label_pipeline(case_stream, predictor, variables, config,
 def predict_cases_pipelined(cases, model, variables, config, predictor,
                             *, threshold: float = 0.5, global_moments=None,
                             save_inputs: bool = True, device_pre=None,
-                            verbose: bool = True) -> int:
+                            verbose: bool = True,
+                            output_label_map: bool = True) -> int:
     """Predict a SEQUENCE of ad-hoc NIfTI cases with the two-stage pipeline.
 
     ``cases``: iterable of ``(input_path, out_dir)``. Same artifacts as
@@ -475,14 +485,18 @@ def predict_cases_pipelined(cases, model, variables, config, predictor,
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    if not (hasattr(predictor, "predict_labels_async")
-            and hasattr(predictor, "unpack_labels")):
+    if not output_label_map or not (hasattr(predictor, "predict_labels_async")
+                                    and hasattr(predictor, "unpack_labels")):
+        # probability output (or a predictor without the async surface)
+        # runs serially — the pipelined driver is label-map-specific
+        # (bit-packed D2H)
         n = 0
         for path, out_dir in cases:
             predict_case(path, out_dir, model, variables, config,
                          predictor=predictor, threshold=threshold,
                          global_moments=global_moments,
-                         save_inputs=save_inputs, device_pre=device_pre)
+                         save_inputs=save_inputs, device_pre=device_pre,
+                         output_label_map=output_label_map)
             if verbose:
                 print(f"{path} -> {out_dir}/prediction.nii.gz")
             n += 1

@@ -44,7 +44,8 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
          tta: bool = False, patch_batch_size: int = 8,
          num_devices: int = 1, spatial_devices: int = 1,
          direct: bool = False, export_path: str = None,
-         inputs=None, device_preprocess: bool = False):
+         inputs=None, device_preprocess: bool = False,
+         prob_map: bool = False, threshold: float = 0.5):
     if overlap is None:
         # follow the config's validation grid: a patch_shape smaller than
         # the old hardcoded 16 would otherwise reject its own config
@@ -63,6 +64,9 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
         raise ValueError("--device-preprocess applies to raw-NIfTI ingest "
                          "(--input); the validation set is already "
                          "preprocessed inside the HDF5 dataset")
+    if prob_map and export_path:
+        raise ValueError("--export serializes the LABEL-MAP program; "
+                         "probability output (--prob-map) is not exportable")
 
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
@@ -108,7 +112,8 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
             [(path, os.path.join(output_dir, name))
              for path, name in zip(inputs, assign_output_names(inputs))],
             model, variables, config, predictor, global_moments=moments,
-            device_pre=device_pre)
+            device_pre=device_pre, output_label_map=not prob_map,
+            threshold=threshold)
         return
 
     mesh = None
@@ -132,7 +137,9 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
                              data_file, config, output_dir=output_dir,
                              overlap=overlap, permute=tta,
                              patch_batch_size=patch_batch_size, mesh=mesh,
-                             spatial_mesh=spatial_mesh)
+                             spatial_mesh=spatial_mesh,
+                             output_label_map=not prob_map,
+                             threshold=threshold)
     finally:
         data_file.close()
     print(f"predictions written under {output_dir}/")
@@ -181,6 +188,15 @@ if __name__ == "__main__":
                          "on the TPU (host does read + crop only; "
                          "shape-bucketed compiles, fp-level parity with "
                          "the host path — same option as serve.py)")
+    ap.add_argument("--prob-map", action="store_true",
+                    help="write the raw probability map instead of the "
+                         "thresholded/argmaxed label map (reference: "
+                         "run_validation_cases output_label_map=False; "
+                         "multi-class writes one channel per label as a "
+                         "4-D NIfTI) — for QA, calibration, or ensembling")
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="binary label-map threshold (default 0.5; "
+                         "reference: prediction_to_image)")
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config
@@ -192,4 +208,5 @@ if __name__ == "__main__":
          num_devices=args.num_devices,
          spatial_devices=args.spatial_devices, direct=args.direct,
          export_path=args.export, inputs=args.input,
-         device_preprocess=args.device_preprocess)
+         device_preprocess=args.device_preprocess,
+         prob_map=args.prob_map, threshold=args.threshold)

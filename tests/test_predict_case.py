@@ -302,3 +302,53 @@ def test_predict_cases_pipelined_matches_serial(tmp_path):
     b = load_nifti(str(tmp_path / "serial" / "case_0" / "prediction.nii.gz"))
     np.testing.assert_array_equal(np.asarray(a.get_fdata()),
                                   np.asarray(b.get_fdata()))
+
+
+def test_predict_case_prob_map_matches_thresholded_labels(tmp_path):
+    """--prob-map surface: output_label_map=False writes the raw
+    probability volume (reference: run_validation_case with
+    output_label_map=False); thresholding it must reproduce the label-map
+    run exactly."""
+    cfg, model, variables = _setup(tmp_path)
+    predictor = SlidingWindowPredictor(model, cfg,
+                                       image_shape=cfg.image_shape,
+                                       overlap=4)
+    case = str(tmp_path / "cases" / "case_0")
+    predict_case(case, str(tmp_path / "labels"), model, variables, cfg,
+                 predictor=predictor, save_inputs=False)
+    prob = predict_case(case, str(tmp_path / "prob"), model, variables, cfg,
+                        predictor=predictor, save_inputs=False,
+                        output_label_map=False)
+    img = load_nifti(str(tmp_path / "prob" / "prediction.nii.gz"))
+    p = img.get_fdata(dtype=np.float32)
+    assert p.shape == cfg.image_shape  # binary: single 3-D channel
+    assert 0.0 <= p.min() and p.max() <= 1.0
+    np.testing.assert_allclose(p, np.asarray(prob)[0], atol=1e-6)
+    labels = load_nifti(
+        str(tmp_path / "labels" / "prediction.nii.gz")).get_fdata()
+    lab = cfg.labels[0] if cfg.labels else 1
+    np.testing.assert_array_equal((p > 0.5).astype(np.uint8) * lab, labels)
+
+
+def test_predict_cases_pipelined_prob_map(tmp_path):
+    """predict.py --input --prob-map: the batch driver falls back to the
+    serial path for probability output and produces the same artifact as
+    predict_case(output_label_map=False)."""
+    from fetal_mri_segmentation_tpu.inference.predict import (
+        predict_cases_pipelined)
+
+    cfg, model, variables = _setup(tmp_path)
+    predictor = SlidingWindowPredictor(model, cfg,
+                                       image_shape=cfg.image_shape,
+                                       overlap=4)
+    case = str(tmp_path / "cases" / "case_0")
+    n = predict_cases_pipelined([(case, str(tmp_path / "batch"))],
+                                model, variables, cfg, predictor,
+                                verbose=False, output_label_map=False)
+    assert n == 1
+    predict_case(case, str(tmp_path / "single"), model, variables, cfg,
+                 predictor=predictor, output_label_map=False)
+    a = load_nifti(str(tmp_path / "batch" / "prediction.nii.gz"))
+    b = load_nifti(str(tmp_path / "single" / "prediction.nii.gz"))
+    np.testing.assert_array_equal(np.asarray(a.get_fdata()),
+                                  np.asarray(b.get_fdata()))
