@@ -352,3 +352,33 @@ def test_predict_cases_pipelined_prob_map(tmp_path):
     b = load_nifti(str(tmp_path / "single" / "prediction.nii.gz"))
     np.testing.assert_array_equal(np.asarray(a.get_fdata()),
                                   np.asarray(b.get_fdata()))
+
+
+def test_run_validation_cases_prob_map(tmp_path):
+    """predict.py --prob-map on the VALIDATION-SET path: per-case
+    probability NIfTIs whose thresholding matches the label-map run."""
+    from fetal_mri_segmentation_tpu.inference import run_validation_cases
+    from fetal_mri_segmentation_tpu.utils.io_utils import pickle_dump
+
+    cfg, model, variables = _setup(tmp_path)
+    cfg.validation_file = str(tmp_path / "val_ids.pkl")
+    pickle_dump([0, 1], cfg.validation_file)
+    data_file = open_data_file(cfg.data_file)
+    try:
+        run_validation_cases(cfg.validation_file, model, variables,
+                             data_file, cfg,
+                             output_dir=str(tmp_path / "lab"), overlap=4)
+        run_validation_cases(cfg.validation_file, model, variables,
+                             data_file, cfg,
+                             output_dir=str(tmp_path / "prob"), overlap=4,
+                             output_label_map=False)
+    finally:
+        data_file.close()
+    for i in (0, 1):
+        p = load_nifti(str(tmp_path / "prob" / f"validation_case_{i}" /
+                           "prediction.nii.gz")).get_fdata(dtype=np.float32)
+        lab = load_nifti(str(tmp_path / "lab" / f"validation_case_{i}" /
+                             "prediction.nii.gz")).get_fdata()
+        assert p.shape == cfg.image_shape
+        v = cfg.labels[0] if cfg.labels else 1
+        np.testing.assert_array_equal((p > 0.5).astype(np.uint8) * v, lab)
