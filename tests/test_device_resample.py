@@ -179,3 +179,35 @@ def test_preprocessor_bf16_transfer_close():
     err_mean = np.abs(b16 - f32).mean() / f32.std()
     assert err_max < 5e-2, err_max
     assert err_mean < 1e-2, err_mean
+
+
+def test_preprocess_case_device_multimodal(tmp_path):
+    """Two-modality case through the device ingest: both channels ride one
+    zoom+normalize program and match the host path channel-for-channel."""
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference.predict import preprocess_case
+    from fetal_mri_segmentation_tpu.ops.resample import DevicePreprocessor
+    from fetal_mri_segmentation_tpu.utils.nifti import save_nifti
+
+    rng = np.random.default_rng(4)
+    shape = (40, 36, 32)
+    base = np.zeros(shape, np.float32)
+    base[6:34, 5:30, 4:28] = rng.normal(
+        loc=150, scale=40, size=(28, 25, 24)).astype(np.float32)
+    affine = np.diag([1.1, 0.9, 1.3, 1.0]).astype(np.float64)
+    case = tmp_path / "case_mm"
+    case.mkdir()
+    save_nifti(base, str(case / "t1.nii.gz"), affine=affine)
+    save_nifti(base * 0.5 + 10, str(case / "t2.nii.gz"), affine=affine)
+    save_nifti((base > 170).astype(np.float32),
+               str(case / "truth.nii.gz"), affine=affine)
+
+    cfg = Config(image_shape=(32, 32, 32), all_modalities=("t1", "t2"),
+                 normalization="per_volume", n_labels=1)
+    host_data, host_aff, _ = preprocess_case(str(case), cfg)
+    pre = DevicePreprocessor(cfg.image_shape, cfg.normalization)
+    dev_data, dev_aff, _ = preprocess_case(str(case), cfg, device_pre=pre)
+    assert np.asarray(dev_data).shape == (2, 32, 32, 32)
+    np.testing.assert_allclose(np.asarray(dev_data), host_data,
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(dev_aff, host_aff, atol=1e-9)
