@@ -150,8 +150,14 @@ def load_nifti(path: str) -> NiftiImage:
         return struct.unpack_from(bo + fmt, hdr, off)
 
     dim = field("dim")
-    ndim = dim[0]
+    ndim = int(dim[0])
+    if not 0 <= ndim <= 7:
+        raise ValueError(f"{path}: corrupt NIfTI header (dim[0]={ndim}, "
+                         "must be 0..7)")
     shape = tuple(int(d) for d in dim[1:1 + ndim])
+    if any(d < 0 for d in shape):
+        raise ValueError(f"{path}: corrupt NIfTI header (negative dim "
+                         f"in {shape})")
     (datatype,) = field("datatype")
     (vox_offset,) = field("vox_offset")
     scl_slope, scl_inter = field("scl")
@@ -169,6 +175,13 @@ def load_nifti(path: str) -> NiftiImage:
     dt = np.dtype(_DTYPES[datatype]).newbyteorder(bo)
     n = int(np.prod(shape)) if shape else 0
     off = int(vox_offset) if vox_offset else lay["default_offset"]
+    if off < lay["hdr_size"] or off + n * dt.itemsize > len(raw):
+        # dims/offset inconsistent with the actual byte count — a clear
+        # "truncated or corrupt" error instead of numpy's buffer message
+        raise ValueError(
+            f"{path}: truncated or corrupt NIfTI file — header promises "
+            f"{n} voxels of {dt.base.name} at offset {off} but the file "
+            f"holds {len(raw)} bytes")
     data = np.frombuffer(raw, dtype=dt, count=n, offset=off)
     data = data.reshape(shape, order="F")
     # nibabel semantics: non-finite scale fields mean NO scaling (scanner

@@ -322,3 +322,37 @@ def test_builder_rejects_unknown_normalize_mode(tmp_path):
     with pytest.raises(ValueError, match="normalize"):
         write_data_to_file([["a.nii", "b.nii"]], str(tmp_path / "x.h5"),
                            image_shape=(8, 8, 8), normalize="per-volume")
+
+
+def test_corrupt_headers_raise_clear_valueerror(tmp_path):
+    """Garbage headers must fail with a clear ValueError, never numpy's
+    cryptic buffer message, a struct.error, or a silent wrong read —
+    serving-path error classification keys on ValueError."""
+    import gzip as _gzip
+
+    good = _synth_nifti1(np.zeros((4, 4, 4), np.float32), np.eye(4))
+
+    import pytest
+
+    def mutate(off, fmt, *vals):
+        raw = bytearray(good)
+        _struct.pack_into("<" + fmt, raw, off, *vals)
+        return bytes(raw)
+
+    cases = {
+        "ndim_out_of_range": mutate(40, "h", 9),
+        "negative_dim": mutate(40, "4h", 3, -4, 4, 4),
+        "huge_dims_vs_bytes": mutate(40, "4h", 3, 30000, 30000, 30000),
+        "vox_offset_into_header": mutate(108, "f", 8.0),
+    }
+    for name, raw in cases.items():
+        p = str(tmp_path / f"{name}.nii.gz")
+        with open(p, "wb") as f:
+            f.write(_gzip.compress(raw))
+        with pytest.raises(ValueError, match="NIfTI"):
+            load_nifti(p)
+    # and the untouched stream still loads
+    p = str(tmp_path / "good.nii")
+    with open(p, "wb") as f:
+        f.write(good)
+    assert load_nifti(p).shape == (4, 4, 4)
