@@ -211,3 +211,26 @@ def test_preprocess_case_device_multimodal(tmp_path):
     np.testing.assert_allclose(np.asarray(dev_data), host_data,
                                atol=5e-3, rtol=1e-3)
     np.testing.assert_allclose(dev_aff, host_aff, atol=1e-9)
+
+
+def test_make_device_preprocessor_moments_injection(tmp_path):
+    """Callers that already hold the training moments (predict.py --input,
+    serve.py) pass them in — the factory must NOT re-open the HDF5 file
+    (which may not even exist on a serving box that got moments another
+    way); without injected moments the global mode still loads from the
+    dataset."""
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference.predict import (
+        make_device_preprocessor)
+    from fetal_mri_segmentation_tpu.models import build_model
+
+    cfg = Config(image_shape=(16, 16, 16), model_name="unet", depth=3,
+                 n_base_filters=4, normalization="global",
+                 data_file=str(tmp_path / "does_not_exist.h5"),
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    pre = make_device_preprocessor(model, cfg, moments=(12.5, 3.25))
+    assert pre._host_moments == (12.5, 3.25)
+    # without injection the missing dataset is a clear error, not silence
+    with pytest.raises((FileNotFoundError, OSError, ValueError)):
+        make_device_preprocessor(model, cfg)
