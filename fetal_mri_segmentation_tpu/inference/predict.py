@@ -21,41 +21,23 @@ from fetal_mri_segmentation_tpu.utils.io_utils import pickle_load
 from fetal_mri_segmentation_tpu.utils.nifti import NiftiImage, save_nifti
 
 
-def get_prediction_labels(prediction: np.ndarray, threshold: float = 0.5,
-                          labels: Optional[Sequence[int]] = None) -> np.ndarray:
-    """(L, D, H, W) probabilities → integer label map.
-
-    Reference: prediction.py::get_prediction_labels — argmax over label
-    channels, voxels below threshold → 0, channel i → labels[i].
-    """
-    n_labels = prediction.shape[0]
-    label_arr = np.asarray(labels if labels is not None
-                           else range(1, n_labels + 1))
-    argmax = prediction.argmax(axis=0)
-    label_map = label_arr[argmax]
-    label_map[prediction.max(axis=0) <= threshold] = 0
-    return label_map.astype(np.uint8)
+# conversion semantics live in the numpy-only labelmaps module (host
+# tooling imports them without the jax stack); re-exported here so every
+# established import path keeps working
+from fetal_mri_segmentation_tpu.inference.labelmaps import (  # noqa: F401
+    get_prediction_labels, prediction_to_image)
 
 
-def prediction_to_image(prediction: np.ndarray, affine: np.ndarray,
-                        label_map: bool = False, threshold: float = 0.5,
-                        labels: Optional[Sequence[int]] = None) -> NiftiImage:
-    """Probability map → NIfTI (binary threshold or multi-class argmax).
-
-    Reference: prediction.py::prediction_to_image.
-    """
-    if prediction.shape[0] == 1:
-        data = prediction[0]
-        if label_map:
-            lab = labels[0] if labels else 1
-            data = np.where(data > threshold, lab, 0).astype(np.uint8)
-    elif label_map:
-        data = get_prediction_labels(prediction, threshold=threshold,
-                                     labels=labels)
-    else:
-        # multi-channel probability image (4D)
-        data = np.moveaxis(prediction, 0, -1)
-    return NiftiImage(np.asarray(data), np.asarray(affine))
+def _write_probability(probability, config, out_dir: str, affine,
+                       submit) -> np.ndarray:
+    """ONE probability-write implementation for both serving surfaces
+    (run_validation_case and predict_case) — same no-drift rule as
+    _write_prediction."""
+    image = prediction_to_image(probability, affine, label_map=False,
+                                labels=config.labels)
+    path = os.path.join(out_dir, "prediction.nii.gz")
+    submit(path, save_nifti, image, path)
+    return probability
 
 
 def _load_case(case_index, out_dir, data_file, config, submit,
@@ -109,12 +91,7 @@ def run_validation_case(case_index: int, out_dir: str, model, variables,
                                              threshold=threshold)
         return _write_prediction(label_map, config, out_dir, affine, submit)
     probability = predictor(variables, data)
-    image = prediction_to_image(probability, affine,
-                                label_map=False,
-                                threshold=threshold, labels=config.labels)
-    path = os.path.join(out_dir, "prediction.nii.gz")
-    submit(path, save_nifti, image, path)
-    return probability
+    return _write_probability(probability, config, out_dir, affine, submit)
 
 
 def load_serving_model(config):
@@ -399,11 +376,8 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
         # probability map instead of the thresholded/argmaxed labels
         # (reference: run_validation_case with output_label_map=False)
         probability = predictor(variables, data)
-        image = prediction_to_image(probability, affine, label_map=False,
-                                    threshold=threshold, labels=config.labels)
-        path = os.path.join(out_dir, "prediction.nii.gz")
-        submit(path, save_nifti, image, path)
-        return probability
+        return _write_probability(probability, config, out_dir, affine,
+                                  submit)
     label_map = predictor.predict_labels(variables, data,
                                          threshold=threshold)
     return _write_prediction(label_map, config, out_dir, affine, submit)

@@ -151,9 +151,11 @@ def load_nifti(path: str) -> NiftiImage:
 
     dim = field("dim")
     ndim = int(dim[0])
-    if not 0 <= ndim <= 7:
+    if not 1 <= ndim <= 7:
+        # the spec mandates 1..7; 0 would reshape a 0-element buffer into
+        # a scalar with a cryptic numpy message downstream
         raise ValueError(f"{path}: corrupt NIfTI header (dim[0]={ndim}, "
-                         "must be 0..7)")
+                         "must be 1..7)")
     shape = tuple(int(d) for d in dim[1:1 + ndim])
     if any(d < 0 for d in shape):
         raise ValueError(f"{path}: corrupt NIfTI header (negative dim "

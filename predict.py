@@ -82,7 +82,8 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
         from fetal_mri_segmentation_tpu.utils.export import export_predictor
         export_predictor(model, config, variables, config.image_shape,
                          export_path, overlap=overlap,
-                         patch_batch_size=patch_batch_size, tta=tta)
+                         patch_batch_size=patch_batch_size, tta=tta,
+                         threshold=threshold)
         print(f"exported portable label-map program to {export_path}")
         return
 

@@ -94,3 +94,17 @@ def test_grid_mismatch_rejected(tmp_path):
     with pytest.raises(ValueError, match="affine"):
         ensemble_main([str(tmp_path / "a"), str(tmp_path / "b")],
                       str(tmp_path / "out"))
+
+
+def test_binary_mask_input_rejected(tmp_path):
+    """A {0,1}-only volume (binary label map from a labels=[1] config —
+    the DEFAULT prediction output) must be rejected too; the [0,1] range
+    check alone cannot catch it."""
+    rng = np.random.default_rng(5)
+    mask = (rng.uniform(size=(4, 4, 4)) > 0.5).astype(np.float32)
+    _write_tree(str(tmp_path / "a"), {"c": mask})
+    _write_tree(str(tmp_path / "b"),
+                {"c": np.full((4, 4, 4), 0.5, np.float32)})
+    with pytest.raises(ValueError, match="LABEL map"):
+        ensemble_main([str(tmp_path / "a"), str(tmp_path / "b")],
+                      str(tmp_path / "out"))

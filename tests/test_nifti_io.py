@@ -341,6 +341,7 @@ def test_corrupt_headers_raise_clear_valueerror(tmp_path):
 
     cases = {
         "ndim_out_of_range": mutate(40, "h", 9),
+        "ndim_zero": mutate(40, "h", 0),
         "negative_dim": mutate(40, "4h", 3, -4, 4, 4),
         "huge_dims_vs_bytes": mutate(40, "4h", 3, 30000, 30000, 30000),
         "vox_offset_into_header": mutate(108, "f", 8.0),

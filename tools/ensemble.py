@@ -33,7 +33,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from fetal_mri_segmentation_tpu.inference.predict import prediction_to_image
+# numpy-only imports: this tool must run cheaply on hosts without the
+# jax/model stack (inference.labelmaps carries the reference conversion
+# semantics without pulling inference.predict's device imports)
+from fetal_mri_segmentation_tpu.inference.labelmaps import prediction_to_image
 from fetal_mri_segmentation_tpu.utils.nifti import load_nifti, save_nifti
 
 
@@ -75,6 +78,16 @@ def _load_prob(path: str):
             f"{path}: values outside [0, 1] (min {arr.min():.3g}, max "
             f"{arr.max():.3g}) — this looks like a LABEL map; ensemble "
             "inputs must be probability maps (predict.py --prob-map)")
+    if np.isin(arr, (0.0, 1.0)).all():
+        # a binary label map (labels=[1], the default config) also lands
+        # in [0,1] — catch it too. A REAL sigmoid/softmax volume saturated
+        # to exact 0/1 everywhere is indistinguishable, but averaging such
+        # a volume is a majority vote either way; re-predict with
+        # --prob-map if that is genuinely what this file is.
+        raise ValueError(
+            f"{path}: every voxel is exactly 0 or 1 — this looks like a "
+            "hard LABEL map, not probabilities; re-run predict.py with "
+            "--prob-map")
     return arr, np.asarray(img.affine)
 
 
@@ -130,6 +143,12 @@ def main(inputs, output: str, weights=None, threshold: float = 0.5,
         print(f"[ensemble] WARNING: {msg}", file=sys.stderr)
     if not common:
         raise ValueError("no case is present in every input tree")
+    if labels is None:
+        # reference get_prediction_labels default: channel i -> i+1. Models
+        # trained with other label values (e.g. labels=[4]) need --labels
+        # or evaluate.py will score 0 against their truth.
+        print("[ensemble] note: --labels not given; writing default label "
+              "values 1..L (channel i -> i+1)", file=sys.stderr)
     for name in sorted(common):
         ensemble_case([t[name] for t in trees], weights, threshold, labels,
                       os.path.join(output, name), save_prob=save_prob)
