@@ -108,3 +108,37 @@ def test_binary_mask_input_rejected(tmp_path):
     with pytest.raises(ValueError, match="LABEL map"):
         ensemble_main([str(tmp_path / "a"), str(tmp_path / "b")],
                       str(tmp_path / "out"))
+
+
+def test_assume_prob_accepts_saturated_maps(tmp_path):
+    """--assume-prob bypasses the exact-0/1 hard-label heuristic: a
+    genuinely saturated sigmoid volume (all voxels exactly 0.0/1.0) can
+    still be ensembled when the user vouches for it."""
+    rng = np.random.default_rng(7)
+    sat = (rng.uniform(size=(4, 4, 4)) > 0.5).astype(np.float32)
+    _write_tree(str(tmp_path / "a"), {"c": sat})
+    _write_tree(str(tmp_path / "b"), {"c": sat})
+    # default: rejected, and the error names the override
+    with pytest.raises(ValueError, match="assume-prob"):
+        ensemble_main([str(tmp_path / "a"), str(tmp_path / "b")],
+                      str(tmp_path / "out"))
+    n = ensemble_main([str(tmp_path / "a"), str(tmp_path / "b")],
+                      str(tmp_path / "out"), assume_prob=True)
+    assert n == 1
+    lab = load_nifti(str(tmp_path / "out" / "c" / "prediction.nii.gz")
+                     ).get_fdata()
+    np.testing.assert_array_equal(lab, sat)
+
+
+def test_large_label_values_widen_dtype(tmp_path):
+    """--labels 500 must not wrap modulo 256 (uint8) in the output map."""
+    rng = np.random.default_rng(11)
+    p = rng.uniform(0.05, 0.95, size=(4, 4, 4)).astype(np.float32)
+    _write_tree(str(tmp_path / "a"), {"c": p})
+    _write_tree(str(tmp_path / "b"), {"c": p})
+    ensemble_main([str(tmp_path / "a"), str(tmp_path / "b")],
+                  str(tmp_path / "out"), labels=[500])
+    lab = load_nifti(str(tmp_path / "out" / "c" / "prediction.nii.gz")
+                     ).get_fdata()
+    assert set(np.unique(lab)) <= {0.0, 500.0}
+    assert (lab == 500).any()

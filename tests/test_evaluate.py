@@ -84,3 +84,89 @@ def test_evaluate_skips_truthless_cases(tmp_path, capsys):
     with open(tmp_path / "s.csv") as f:
         names = [r[0] for r in csv.reader(f)][1:]
     assert names == ["case_b"]
+
+
+def test_parse_regions():
+    from evaluate import parse_regions
+    assert parse_regions(["whole:1,2,4", "core:1,4"]) == {
+        "whole": [1, 2, 4], "core": [1, 4]}
+    assert parse_regions(None) == {}
+    for bad in (["whole"], ["whole:"], [":1,2"], ["whole:a,b"],
+                ["w:1", "w:2"]):
+        with pytest.raises(SystemExit):
+            parse_regions(bad)
+
+
+def test_merged_region_dice_nested_structures(tmp_path):
+    """The exact failure docs/PARITY.md (multi-class mode 3) measures:
+    argmax maps a nested core to the shell's label, so per-label core
+    Dice collapses to 0 — but the label UNION is segmented perfectly,
+    which merged-region evaluation (the reference's BRATS-era
+    get_whole_tumor_mask-style masks) is built to see."""
+    truth = np.zeros((16, 16, 16), np.uint8)
+    truth[4:12, 4:12, 4:12] = 1          # shell
+    truth[6:10, 6:10, 6:10] = 2          # nested core
+    pred = np.zeros_like(truth)
+    pred[4:12, 4:12, 4:12] = 1           # argmax gave everything the shell label
+    d = tmp_path / "case_n"
+    d.mkdir()
+    save_nifti(truth, str(d / "truth.nii.gz"))
+    save_nifti(pred, str(d / "prediction.nii.gz"))
+
+    df = evaluate.main(str(tmp_path), labels=[1, 2],
+                       output_csv=str(tmp_path / "s.csv"), plot=False,
+                       regions={"whole": [1, 2]})
+    row = df.loc["case_n"]
+    assert row["label_2_dice"] == 0.0          # per-label: core lost to argmax
+    assert row["label_1_dice"] < 1.0           # shell polluted by core voxels
+    assert abs(row["region_whole_dice"] - 1.0) < 1e-12  # union: perfect
+    # region columns flow into the CSV and (ending in _dice) the boxplot set
+    import csv
+    with open(tmp_path / "s.csv") as f:
+        header = next(csv.reader(f))
+    assert "region_whole_dice" in header
+
+
+def test_merged_region_surface_metrics(tmp_path):
+    truth = np.zeros((12, 12, 12), np.uint8)
+    truth[2:8, 2:8, 2:8] = 1
+    truth[4:6, 4:6, 4:6] = 2
+    pred = truth.copy()
+    d = tmp_path / "case_s"
+    d.mkdir()
+    save_nifti(truth, str(d / "truth.nii.gz"))
+    save_nifti(pred, str(d / "prediction.nii.gz"))
+    df = evaluate.main(str(tmp_path), labels=[1, 2],
+                       output_csv=str(tmp_path / "s.csv"), plot=False,
+                       surface_metrics=True, regions={"whole": [1, 2]})
+    row = df.loc["case_s"]
+    assert row["region_whole_hd95_mm"] == 0.0
+    assert row["region_whole_assd_mm"] == 0.0
+
+
+def test_prob_map_predictions_rejected(tmp_path):
+    """A --prob-map tree scored as labels must error, not emit garbage
+    Dice: 4-D multi-channel and non-integer 3-D volumes are both
+    probability-map signatures."""
+    truth = np.zeros((8, 8, 8), np.uint8)
+    truth[0:4] = 1
+
+    d4 = tmp_path / "four_d" / "case_a"
+    d4.mkdir(parents=True)
+    save_nifti(truth, str(d4 / "truth.nii.gz"))
+    save_nifti(np.random.default_rng(0).uniform(
+        size=(8, 8, 8, 3)).astype(np.float32),
+        str(d4 / "prediction.nii.gz"))
+    with pytest.raises(SystemExit, match="probability map"):
+        evaluate.main(str(tmp_path / "four_d"), labels=[1],
+                      output_csv=str(tmp_path / "s.csv"), plot=False)
+
+    d3 = tmp_path / "float3d" / "case_a"
+    d3.mkdir(parents=True)
+    save_nifti(truth, str(d3 / "truth.nii.gz"))
+    save_nifti(np.random.default_rng(1).uniform(
+        size=(8, 8, 8)).astype(np.float32),
+        str(d3 / "prediction.nii.gz"))
+    with pytest.raises(SystemExit, match="probability map"):
+        evaluate.main(str(tmp_path / "float3d"), labels=[1],
+                      output_csv=str(tmp_path / "s.csv"), plot=False)

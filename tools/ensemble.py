@@ -60,7 +60,7 @@ def _case_dirs(root: str) -> dict:
     return out
 
 
-def _load_prob(path: str):
+def _load_prob(path: str, assume_prob: bool = False):
     """(channels-first probability array, affine). 3-D volumes get a
     leading singleton channel; 4-D NIfTIs (multi-class, channel-last on
     disk) are moved back to channel-first."""
@@ -78,25 +78,28 @@ def _load_prob(path: str):
             f"{path}: values outside [0, 1] (min {arr.min():.3g}, max "
             f"{arr.max():.3g}) — this looks like a LABEL map; ensemble "
             "inputs must be probability maps (predict.py --prob-map)")
-    if np.isin(arr, (0.0, 1.0)).all():
+    if not assume_prob and np.isin(arr, (0.0, 1.0)).all():
         # a binary label map (labels=[1], the default config) also lands
-        # in [0,1] — catch it too. A REAL sigmoid/softmax volume saturated
-        # to exact 0/1 everywhere is indistinguishable, but averaging such
-        # a volume is a majority vote either way; re-predict with
-        # --prob-map if that is genuinely what this file is.
+        # in [0,1] — catch it too. A REAL sigmoid/softmax volume from a
+        # very confident model can saturate to exact 0/1 everywhere
+        # (sigmoid rounds to 1.0 above logit ~17), so this heuristic has
+        # a legitimate false positive; --assume-prob bypasses it.
         raise ValueError(
             f"{path}: every voxel is exactly 0 or 1 — this looks like a "
-            "hard LABEL map, not probabilities; re-run predict.py with "
-            "--prob-map")
+            "hard LABEL map, not probabilities. If it IS a genuine "
+            "(saturated) probability map from predict.py --prob-map, "
+            "re-run with --assume-prob; otherwise re-run predict.py with "
+            "--prob-map to get probabilities")
     return arr, np.asarray(img.affine)
 
 
 def ensemble_case(paths, weights, threshold: float, labels, out_dir: str,
-                  save_prob: bool = False) -> np.ndarray:
+                  save_prob: bool = False,
+                  assume_prob: bool = False) -> np.ndarray:
     """Average one case's probability maps -> write label map; returns it."""
     acc, affine0, shape0 = None, None, None
     for path, w in zip(paths, weights):
-        prob, affine = _load_prob(path)
+        prob, affine = _load_prob(path, assume_prob=assume_prob)
         if acc is None:
             acc, affine0, shape0 = w * prob, affine, prob.shape
         else:
@@ -120,7 +123,8 @@ def ensemble_case(paths, weights, threshold: float, labels, out_dir: str,
 
 
 def main(inputs, output: str, weights=None, threshold: float = 0.5,
-         labels=None, save_prob: bool = False, strict: bool = False) -> int:
+         labels=None, save_prob: bool = False, strict: bool = False,
+         assume_prob: bool = False) -> int:
     if len(inputs) < 2:
         raise ValueError("need at least two prediction trees to ensemble")
     if weights is None:
@@ -151,7 +155,8 @@ def main(inputs, output: str, weights=None, threshold: float = 0.5,
               "values 1..L (channel i -> i+1)", file=sys.stderr)
     for name in sorted(common):
         ensemble_case([t[name] for t in trees], weights, threshold, labels,
-                      os.path.join(output, name), save_prob=save_prob)
+                      os.path.join(output, name), save_prob=save_prob,
+                      assume_prob=assume_prob)
     print(f"[ensemble] {len(common)} case(s) -> {output}/")
     return len(common)
 
@@ -173,6 +178,12 @@ if __name__ == "__main__":
                     help="also write the averaged probability.nii.gz")
     ap.add_argument("--strict", action="store_true",
                     help="error (instead of warn+skip) when case sets differ")
+    ap.add_argument("--assume-prob", action="store_true",
+                    help="trust inputs as probability maps even when every "
+                         "voxel is exactly 0/1 (a very confident model's "
+                         "sigmoid can saturate; the hard-label heuristic "
+                         "cannot tell the difference)")
     a = ap.parse_args()
     main(a.inputs, a.output, weights=a.weights, threshold=a.threshold,
-         labels=a.labels, save_prob=a.save_prob, strict=a.strict)
+         labels=a.labels, save_prob=a.save_prob, strict=a.strict,
+         assume_prob=a.assume_prob)

@@ -86,8 +86,14 @@ def main(out_dir: str, epochs: int, softmax: bool = False):
 
     import evaluate as evaluate_cli
     scores_csv = os.path.join(out_dir, "scores.csv")
+    # merged-region row alongside per-label Dice: the union mask is how
+    # the reference's BRATS-era evaluate scores nested structures, and it
+    # is robust to the argmax failure (PARITY mode 3) where a shell claims
+    # its nested core — per-label core Dice collapses, region Dice doesn't
+    regions = {"whole": list(FOREGROUND)}
     evaluate_cli.main(pred_dir, list(FOREGROUND), scores_csv,
-                      training_log=cfg.training_log, plot=False)
+                      training_log=cfg.training_log, plot=False,
+                      regions=regions)
 
     # summarize per-label held-out hard Dice
     import csv
@@ -99,6 +105,11 @@ def main(out_dir: str, epochs: int, softmax: bool = False):
         vals = [float(r[f"label_{lab}_dice"]) for r in rows]
         summary[lab] = (float(np.mean(vals)), float(np.min(vals)))
         print(f"label {lab}: mean dice {np.mean(vals):.4f} "
+              f"min {np.min(vals):.4f}")
+    for name in regions:
+        vals = [float(r[f"region_{name}_dice"]) for r in rows]
+        summary[f"region_{name}"] = (float(np.mean(vals)), float(np.min(vals)))
+        print(f"region {name}: mean dice {np.mean(vals):.4f} "
               f"min {np.min(vals):.4f}")
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump({str(k): v for k, v in summary.items()}, f, indent=1)
