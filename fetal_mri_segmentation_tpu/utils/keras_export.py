@@ -27,11 +27,19 @@ def _weighted_layers(keras_model) -> List[object]:
     return [l for l in keras_model.layers if l.get_weights()]
 
 
-def export_keras_unet_weights(params: dict, keras_model) -> None:
+def _set_weights(layer, arrays) -> None:
+    layer.set_weights([np.asarray(a, np.float32) for a in arrays])
+
+
+def export_keras_unet_weights(params: dict, keras_model,
+                              assign=_set_weights) -> None:
     """Write a UNet3D params tree onto a twin Keras plain-UNet, in place.
 
     ``params``: ``variables["params"]`` of our `models.UNet3D` (no
     batch/instance norm — mirror of `import_keras_unet_weights`'s scope).
+    ``assign(layer, arrays)`` receives the layout-transformed arrays per
+    layer; the default sets the layer weights, `utils/keras_opt.py`
+    redirects the same traversal at Adam slot variables.
     """
     import jax
 
@@ -78,17 +86,19 @@ def export_keras_unet_weights(params: dict, keras_model) -> None:
             raise ValueError(
                 f"{target}: kernel shape {kernel.shape} != keras layer "
                 f"{layer.name} expects {tuple(want)}")
-        layer.set_weights([np.ascontiguousarray(kernel, np.float32),
-                           np.asarray(bias, np.float32)])
+        assign(layer, [np.ascontiguousarray(kernel, np.float32),
+                       np.asarray(bias, np.float32)])
 
 
-def export_keras_isensee_weights(params: dict, keras_model) -> None:
+def export_keras_isensee_weights(params: dict, keras_model,
+                                 assign=_set_weights) -> None:
     """Write an Isensee2017 params tree onto a twin Keras graph, in place.
 
     Pairs each Keras conv with its immediately-following InstanceNorm
     (GroupNormalization(groups=-1)) as one conv block and treats bare 1^3
     convs as segmentation heads — the same structural invariant
-    `import_keras_isensee_weights` relies on.
+    `import_keras_isensee_weights` relies on. ``assign`` as in
+    `export_keras_unet_weights`.
     """
     import jax
 
@@ -128,11 +138,11 @@ def export_keras_isensee_weights(params: dict, keras_model) -> None:
                 f"{target}: kernel shape {kernel.shape} != keras layer "
                 f"{conv_l.name} expects "
                 f"{tuple(conv_l.get_weights()[0].shape)}")
-        conv_l.set_weights([kernel,
-                            np.asarray(sub["conv"]["bias"], np.float32)])
-        norm_l.set_weights([np.asarray(sub["in"]["scale"], np.float32),
-                            np.asarray(sub["in"]["bias"], np.float32)])
+        assign(conv_l, [kernel,
+                        np.asarray(sub["conv"]["bias"], np.float32)])
+        assign(norm_l, [np.asarray(sub["in"]["scale"], np.float32),
+                        np.asarray(sub["in"]["bias"], np.float32)])
     for target, layer in zip(head_order, heads_q):
         sub = params[target]
-        layer.set_weights([np.ascontiguousarray(sub["kernel"], np.float32),
-                           np.asarray(sub["bias"], np.float32)])
+        assign(layer, [np.ascontiguousarray(sub["kernel"], np.float32),
+                       np.asarray(sub["bias"], np.float32)])
