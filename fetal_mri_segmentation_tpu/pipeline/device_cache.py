@@ -117,6 +117,8 @@ class DeviceCaseCache:
         self.margin_lo = tuple(int(m) for m in margin_lo)
         self.patch_shape = tuple(int(p) for p in patch_shape)
         self.host_truth = None  # optional {case_idx: uint8 array}, see build
+        self.partial = False    # True when only a subset is resident
+        self.n_total_cases = len(self.row_of)
 
     @property
     def nbytes(self) -> int:
@@ -455,18 +457,161 @@ def index_batch_generator(data_file, index_list, row_of, batch_size: int = 1,
                 "truth volumes appear to be empty")
 
 
+def partial_index_batch_generator(data_file, index_list, row_of,
+                                  batch_size: int = 1,
+                                  patch_shape=None, patch_overlap: int = 0,
+                                  patch_start_offset=None,
+                                  shuffle_index_list: bool = True,
+                                  skip_blank: bool = True,
+                                  seed: Optional[int] = None,
+                                  cache_cases: int = 8,
+                                  truth_cache=None,
+                                  skip_batches: int = 0,
+                                  n_labels: int = 1, labels=None
+                                  ) -> Iterator[tuple]:
+    """Tagged twin of `index_batch_generator` for a PARTIALLY resident cache.
+
+    Emits either ``("idx", rows, corners, n_valid)`` (all cases resident —
+    the ~100-byte step input) or ``("host", x, y, n_valid)`` (host-gathered
+    float32 patches + converted labels, exactly what the host staging path
+    would upload). Each epoch derives the SAME rng stream as the host/full
+    generators (same epoch grids, same shuffle, same blank-skip decisions),
+    then routes each kept patch by residency, filling the two batch kinds
+    independently — so the epoch's PATCH MULTISET is identical to the host
+    pipeline's while the batch grouping differs (a documented deviation of
+    partial mode: resident and non-resident patches do not share batches).
+    Trailing partials of both kinds flush at epoch end (zero-padded, masked
+    by n_valid like everything else).
+
+    ``skip_batches`` fast-forward replays the full routing deterministically
+    and suppresses the first N emissions (exact resume, same guarantee as
+    the full-cache generator; slower per skipped batch because it re-reads
+    truth for blank checks).
+    """
+    from fetal_mri_segmentation_tpu.pipeline.generator import (
+        CaseCache, TruthCache, convert_data, create_patch_index_list)
+
+    if patch_shape is None:
+        raise ValueError("device case cache requires patch_shape training")
+    tcache = truth_cache or TruthCache(data_file, max_cases=64)
+    dcache = CaseCache(data_file, max_cases=cache_cases)
+    base_list = list(index_list)
+    image_shape = tuple(data_file.root.data.shape[-3:])
+    epoch = 0
+    to_skip = int(skip_batches)
+
+    def emit_idx(pairs):
+        n_valid = len(pairs)
+        while len(pairs) < batch_size:
+            pairs.append(pairs[0])
+        rows = np.asarray([row_of[c] for c, _ in pairs], dtype=np.int32)
+        corners = np.asarray([corner for _, corner in pairs],
+                             dtype=np.int32).reshape(batch_size, 3)
+        return "idx", rows, corners, n_valid
+
+    def emit_host(pairs):
+        xs, ys = [], []
+        for case_index, corner in pairs:
+            data, truth = dcache.get(case_index)
+            xs.append(get_patch_from_3d_data(data, patch_shape, corner))
+            ys.append(get_patch_from_3d_data(truth, patch_shape, corner))
+        x, y = convert_data(xs, ys, n_labels=n_labels, labels=labels)
+        return "host", x, y, len(pairs)
+
+    while True:
+        rng = np.random.default_rng(
+            None if seed is None else (seed, epoch))
+        epoch += 1
+        epoch_list = create_patch_index_list(
+            base_list, image_shape, patch_shape, patch_overlap,
+            patch_start_offset, rng)
+        if shuffle_index_list:
+            rng.shuffle(epoch_list)
+        res: List[Tuple[int, np.ndarray]] = []
+        mis: List[Tuple[int, np.ndarray]] = []
+        yielded = False
+
+        def boundary(pairs, emit):
+            """One batch boundary: skip (fast-forward) or build + emit."""
+            nonlocal to_skip, yielded
+            yielded = True
+            if to_skip > 0:
+                to_skip -= 1
+                return None
+            return emit(list(pairs))
+
+        while epoch_list:
+            case_index, corner = epoch_list.pop()
+            if skip_blank:
+                truth = tcache.get(case_index)
+                if not np.any(get_patch_from_3d_data(truth, patch_shape,
+                                                     corner)):
+                    continue
+            bucket = res if case_index in row_of else mis
+            bucket.append((case_index, corner))
+            if len(res) == batch_size:
+                out = boundary(res, emit_idx)
+                res = []
+                if out is not None:
+                    yield out
+            if len(mis) == batch_size:
+                out = boundary(mis, emit_host)
+                mis = []
+                if out is not None:
+                    yield out
+        # flush trailing partials (resident first — deterministic order)
+        for pairs, emit in ((res, emit_idx), (mis, emit_host)):
+            if pairs:
+                out = boundary(pairs, emit)
+                if out is not None:
+                    yield out
+        if not yielded:
+            raise RuntimeError(
+                "partial_index_batch_generator produced no batches for an "
+                f"entire epoch (skip_blank={skip_blank}, {len(base_list)} "
+                "cases) — truth volumes appear to be empty")
+
+
 # ---------------------------------------------------------------------------
 # The auto decision
 # ---------------------------------------------------------------------------
 
-#: "auto" keeps the cache within this HBM budget (v5e has 16 GB; the model,
-#: optimizer and step working set need the rest).
+#: fallback HBM budget when the device does not report memory stats
+#: (v5e has 16 GB; the model, optimizer and step working set need the rest).
 AUTO_BUDGET_BYTES = 4 << 30
+
+#: fraction of the device's reported FREE HBM the cache may claim — the
+#: remainder absorbs the step working set, XLA scratch, and fragmentation.
+HBM_SAFETY_FRACTION = 0.8
+
+
+def hbm_budget_bytes(device=None, safety: float = HBM_SAFETY_FRACTION,
+                     fallback: Optional[int] = None) -> int:
+    """Cache budget from the device's ACTUAL free HBM.
+
+    ``safety * (bytes_limit - bytes_in_use)`` via ``device.memory_stats()``;
+    backends that report nothing (CPU, some plugins) get the static
+    ``fallback`` (module-level AUTO_BUDGET_BYTES when None, read at call
+    time so tests can patch it).
+    """
+    import jax
+
+    if fallback is None:
+        fallback = AUTO_BUDGET_BYTES
+    try:
+        device = device or jax.local_devices()[0]
+        stats = device.memory_stats()
+        limit = int(stats["bytes_limit"])
+        in_use = int(stats.get("bytes_in_use", 0))
+    except (RuntimeError, KeyError, TypeError, AttributeError, IndexError):
+        return fallback
+    return max(0, int(safety * (limit - in_use)))
 
 
 def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
                              train_skip_batches: int = 0,
                              val_skip_batches: int = 0,
+                             budget_bytes: Optional[int] = None,
                              verbose: bool = False):
     """Returns ``(cache, train_index_gen, val_index_gen)`` when the device
     case cache applies, else None (host staging path).
@@ -475,9 +620,19 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
     single device or a pure data-parallel mesh (stacks built directly into
     the replicated sharding; the spatial/hybrid paths keep host staging),
     the split pickles exist, the truth is integral uint8, and ("auto") the
-    padded stacks fit AUTO_BUDGET_BYTES per device. "on" raises instead of
-    falling back for everything except the mesh check, and skips the
-    budget check.
+    padded stacks fit the HBM budget — derived from the device's ACTUAL
+    free memory (`hbm_budget_bytes`; ``budget_bytes`` overrides for tests).
+    "on" raises instead of falling back for everything except the mesh
+    check, and skips the budget check.
+
+    PARTIAL mode (single device, "auto"): when the full dataset exceeds
+    the budget but at least two cases fit, the K hottest cases are cached
+    (training cases first — they are revisited every epoch; then
+    validation) and the rest host-stage per batch. The generators then
+    emit TAGGED batches (`partial_index_batch_generator`) and
+    ``cache.partial`` is True; the epoch's patch multiset is identical to
+    the host pipeline's, but resident and non-resident patches fill
+    separate batches (grouping deviation, documented).
     """
     import os
 
@@ -525,37 +680,80 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
     est = estimate_cache_bytes(data_file, len(all_cases), margin_lo,
                                margin_hi,
                                dtype_bytes=2 if dtype == jnp.bfloat16 else 4)
-    if knob == "auto" and est > AUTO_BUDGET_BYTES:
-        if verbose:
-            print(f"[device-cache] dataset would need {est / 2**30:.1f} GiB "
-                  f"HBM (> {AUTO_BUDGET_BYTES / 2**30:.0f} GiB budget) — "
-                  "keeping host staging")
-        return None
+    budget = (int(budget_bytes) if budget_bytes is not None
+              else hbm_budget_bytes())
+    resident = all_cases
+    if knob == "auto" and est > budget:
+        # partial mode: cache what fits (single-device only — a partially
+        # resident stack replicated over a mesh would need per-shard
+        # host routing; host staging stays correct there)
+        case_bytes = max(1, est // max(1, len(all_cases)))
+        k = int(budget // case_bytes)
+        if dp_mesh or k < 2:
+            if verbose:
+                why = ("data-parallel mesh" if dp_mesh
+                       else f"only {k} case(s) fit")
+                print(f"[device-cache] dataset needs {est / 2**30:.2f} GiB "
+                      f"HBM (> {budget / 2**30:.2f} GiB budget) and partial "
+                      f"mode is unavailable ({why}) — keeping host staging")
+            return None
+        # hottest first: training cases are revisited every epoch at full
+        # grid weight; validation cases only at validation time
+        ordered = list(dict.fromkeys(
+            list(training_list)
+            + [v for v in validation_list if v not in set(training_list)]))
+        resident = ordered[:k]
     device = None
     if dp_mesh:
         # build straight into the replicated placement — a plain device_put
         # then replicate would leave a dead full copy on device 0
         from jax.sharding import NamedSharding, PartitionSpec as P
         device = NamedSharding(mesh, P())
+    partial = len(resident) < len(all_cases)
     try:
         cache = DeviceCaseCache.build(
-            data_file, all_cases, patch_shape=config.patch_shape,
+            data_file, resident, patch_shape=config.patch_shape,
             margin_lo=margin_lo, margin_hi=margin_hi, dtype=dtype,
-            device=device, keep_host_truth=config.skip_blank)
+            device=device,
+            keep_host_truth=config.skip_blank and not partial)
     except ValueError as e:
         # non-integral truth etc. — a representation problem, not a bug
         return skip(str(e))
     except (RuntimeError, MemoryError) as e:
-        # the 4 GiB budget is a static estimate: a device whose HBM is
-        # already busy can still fail the upload (XlaRuntimeError is a
-        # RuntimeError). The documented auto contract is host-staging
-        # fallback, not a crash.
+        # the budget is an estimate: a device whose HBM is already busy
+        # can still fail the upload (XlaRuntimeError is a RuntimeError).
+        # The documented auto contract is host-staging fallback, not a
+        # crash.
         return skip(f"cache upload failed ({type(e).__name__}: {e})")
+    cache.partial = partial
+    cache.n_total_cases = len(all_cases)
     if verbose:
-        print(f"[device-cache] {len(all_cases)} cases resident on device "
-              f"({cache.nbytes / 2**20:.0f} MiB"
+        frac = len(resident) / max(1, len(all_cases))
+        part = (f"{len(resident)}/{len(all_cases)} cases "
+                f"({frac:.0%}) resident — PARTIAL cache, non-resident "
+                "patches host-stage" if partial
+                else f"{len(all_cases)} cases resident on device")
+        print(f"[device-cache] {part} ({cache.nbytes / 2**20:.0f} MiB"
               f"{' per device, replicated' if dp_mesh else ''}); "
               "steps feed int32 indices")
+    if partial:
+        train_gen = partial_index_batch_generator(
+            data_file, training_list, cache.row_of,
+            batch_size=config.batch_size, patch_shape=config.patch_shape,
+            patch_overlap=0,
+            patch_start_offset=config.training_patch_start_offset,
+            skip_blank=config.skip_blank, seed=seed,
+            skip_batches=train_skip_batches,
+            n_labels=config.n_labels, labels=config.labels)
+        val_gen = partial_index_batch_generator(
+            data_file, validation_list, cache.row_of,
+            batch_size=config.validation_batch_size or config.batch_size,
+            patch_shape=config.patch_shape,
+            patch_overlap=config.validation_patch_overlap,
+            shuffle_index_list=False, skip_blank=config.skip_blank,
+            seed=seed, skip_batches=val_skip_batches,
+            n_labels=config.n_labels, labels=config.labels)
+        return cache, train_gen, val_gen
     truth_lookup = (_DictTruth(cache.host_truth)
                     if cache.host_truth is not None else None)
     train_gen = index_batch_generator(

@@ -140,6 +140,17 @@ def train_model(model, state: TrainState, config,
             "pass device_cache=None and (x, y) generators; "
             "maybe_build_device_cache makes this decision automatically")
     use_cache = device_cache is not None
+    partial_cache = use_cache and getattr(device_cache, "partial", False)
+    host_train_step = host_eval_step = None
+    if partial_cache and mesh is not None and len(mesh.devices.flat) > 1:
+        raise ValueError(
+            "a partial device cache is single-device only (per-shard host "
+            "routing is not implemented) — maybe_build_device_cache makes "
+            "this decision automatically")
+    if partial_cache:
+        # non-resident batches ride the plain host-staging step
+        host_train_step = make_train_step(model, config)
+        host_eval_step = make_eval_step(model, config)
     if use_cache and mesh is not None and len(mesh.devices.flat) > 1:
         # data-parallel cached path: stacks replicated over the mesh once,
         # per-step index arrays sharded on "data"
@@ -247,19 +258,31 @@ def train_model(model, state: TrainState, config,
         return x, y
 
     def _batches(gen, n_steps, bs):
-        """Pad + device_put in the prefetch thread so H2D overlaps compute."""
+        """Pad + device_put in the prefetch thread so H2D overlaps compute.
+
+        Every batch is normalized to ``(kind, a, b, n_valid)``: kind "idx"
+        = cached-gather indices (rows, corners), kind "host" = staged
+        (x, y) patches. Non-partial paths emit a constant kind.
+        """
         def producer():
             for _ in range(n_steps):
+                if partial_cache:
+                    kind, a, b, n_valid = next(gen)
+                    if kind == "host":
+                        a, b, n_valid = pad_batch(a, b, bs)
+                        a, b = _compress(a, b)
+                    yield kind, a, b, n_valid
+                    continue
                 if use_cache:
                     # index generator: already (rows, corners, n_valid)
-                    yield next(gen)
+                    yield ("idx", *next(gen))
                     continue
                 x, y = next(gen)
                 x, y, n_valid = pad_batch(x, y, bs)
                 x, y = _compress(x, y)
-                yield x, y, n_valid
+                yield "host", x, y, n_valid
         return prefetch(producer(), size=2,
-                        device_put=lambda b: (*put(b[:2]), b[2]))
+                        device_put=lambda b: (b[0], *put(b[1:3]), b[3]))
 
     stop = False
     dice_history: list = []
@@ -270,10 +293,12 @@ def train_model(model, state: TrainState, config,
         meter.reset()
         t0 = time.perf_counter()
         train_metrics, weights = [], []
-        for x, y, n_valid in _batches(training_generator, steps_per_epoch,
-                                      batch_size):
+        for kind, a, b, n_valid in _batches(training_generator,
+                                            steps_per_epoch, batch_size):
             rng, k = jax.random.split(rng)
-            state, metrics = train_step(state, x, y, k, n_valid)
+            fn = (host_train_step if (partial_cache and kind == "host")
+                  else train_step)
+            state, metrics = fn(state, a, b, k, n_valid)
             train_metrics.append(metrics)
             weights.append(n_valid)
             meter.add(n_valid)
@@ -293,9 +318,12 @@ def train_model(model, state: TrainState, config,
         # ---- validate ----
         val_metrics, vweights = [], []
         if has_validation:
-            for x, y, n_valid in _batches(validation_generator,
-                                          validation_steps, val_batch_size):
-                val_metrics.append(eval_step(state, x, y, n_valid))
+            for kind, a, b, n_valid in _batches(validation_generator,
+                                                validation_steps,
+                                                val_batch_size):
+                fn = (host_eval_step if (partial_cache and kind == "host")
+                      else eval_step)
+                val_metrics.append(fn(state, a, b, n_valid))
                 vweights.append(n_valid)
 
         def agg(metric_dicts, ws, key):

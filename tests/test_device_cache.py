@@ -720,3 +720,177 @@ def test_cache_on_with_whole_volume_config_raises(tmp_path):
     cfg2 = Config(patch_shape=None, device_case_cache="auto",
                   data_file=str(tmp_path / "none.h5"))
     assert maybe_build_device_cache(None, cfg2) is None
+
+
+# ---------------------------------------------------------------------------
+# HBM budget + partial cache
+# ---------------------------------------------------------------------------
+
+def test_hbm_budget_bytes(monkeypatch):
+    from fetal_mri_segmentation_tpu.pipeline.device_cache import (
+        hbm_budget_bytes)
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 16 << 30, "bytes_in_use": 6 << 30}
+
+    assert hbm_budget_bytes(FakeDev()) == int(0.8 * (10 << 30))
+
+    class NoStats:
+        def memory_stats(self):
+            return None
+
+    assert hbm_budget_bytes(NoStats(), fallback=123) == 123
+    # CPU backend reports None -> module fallback, patchable at call time
+    import fetal_mri_segmentation_tpu.pipeline.device_cache as dc_mod
+    monkeypatch.setattr(dc_mod, "AUTO_BUDGET_BYTES", 77)
+    assert hbm_budget_bytes(NoStats()) == 77
+
+
+def test_partial_cache_engages_and_covers_epoch(data_file, tmp_path):
+    """Dataset ~1.5x over budget -> partial cache: majority of cases
+    resident, uploaded patch slots cut by more than half, and the epoch's
+    patch multiset identical to the full-cache (== host) pipeline's."""
+    config = _cfg(data_file, tmp_path, skip_blank=False)
+    get_validation_split(data_file, config.training_file,
+                         config.validation_file, overwrite=True, seed=0,
+                         data_split=0.8)
+    # budget that fits ~2/3 of the 5 cases
+    est = estimate_cache_bytes(
+        data_file, 5, *plan_margins((16, 16, 16), (8, 8, 8), 2, (4, 4, 4)),
+        dtype_bytes=4)
+    out = maybe_build_device_cache(data_file, config,
+                                   budget_bytes=int(est / 1.5), verbose=True)
+    assert out is not None
+    cache, tg, vg = out
+    assert cache.partial
+    n_res = len(cache.row_of)
+    assert 2 <= n_res < 5
+    assert cache.n_total_cases == 5
+
+    # reference stream: the full-cache index generator (bitwise host parity
+    # is already pinned for it) over the SAME training split + seed
+    from fetal_mri_segmentation_tpu.utils.io_utils import pickle_load
+    training_list = [int(i) for i in pickle_load(config.training_file)]
+    full_row_of = {i: r for r, i in enumerate(sorted(training_list))}
+    ref = index_batch_generator(
+        data_file, training_list, full_row_of, batch_size=3,
+        patch_shape=(8, 8, 8), patch_overlap=0,
+        patch_start_offset=(4, 4, 4), skip_blank=False, seed=0)
+    row_to_case = {r: c for c, r in full_row_of.items()}
+    part_row_to_case = {r: c for c, r in cache.row_of.items()}
+
+    # one epoch = ceil(n_patches / B) reference batches; count patches
+    n_patches = 0
+    ref_pairs = []
+    while True:
+        rows, corners, n_valid = next(ref)
+        for rr, cc in zip(rows[:n_valid], corners[:n_valid]):
+            ref_pairs.append((row_to_case[int(rr)], tuple(int(v) for v in cc)))
+        n_patches += n_valid
+        if n_valid < 3:  # trailing partial batch ends the epoch
+            break
+
+    got_pairs = []
+    uploaded_slots = 0
+    total = 0
+    while total < n_patches:
+        kind, a, b, n_valid = next(tg)
+        total += n_valid
+        if kind == "idx":
+            for rr, cc in zip(a[:n_valid], b[:n_valid]):
+                got_pairs.append((part_row_to_case[int(rr)],
+                                  tuple(int(v) for v in cc)))
+        else:
+            uploaded_slots += n_valid
+            assert a.shape[1:] == (1, 8, 8, 8)  # staged float32 patches
+            assert b.shape[1:] == (1, 8, 8, 8)
+            got_pairs.extend([(None, None)] * n_valid)
+    assert total == n_patches
+    # same multiset of resident patches as the reference epoch (the host
+    # slots are opaque here; count them instead)
+    ref_resident = sorted(p for p in ref_pairs if p[0] in cache.row_of)
+    got_resident = sorted(p for p in got_pairs if p[0] is not None)
+    assert got_resident == ref_resident
+    # >50% upload reduction: non-resident share of the epoch
+    assert uploaded_slots == n_patches - len(ref_resident)
+    assert uploaded_slots < n_patches / 2, (uploaded_slots, n_patches)
+
+
+def test_partial_cache_train_model_end_to_end(data_file, tmp_path):
+    """train_model runs the tagged partial pipeline (both step kinds) and
+    is deterministic across identical runs."""
+    import shutil
+
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.pipeline.generator import (
+        get_number_of_steps)
+    from fetal_mri_segmentation_tpu.training import create_train_state
+    from fetal_mri_segmentation_tpu.training.loop import train_model
+
+    def run(tag):
+        d = tmp_path / tag
+        d.mkdir()
+        config = _cfg(data_file, d, n_epochs=2, skip_blank=False,
+                      training_file=str(d / "t.pkl"),
+                      validation_file=str(d / "v.pkl"),
+                      model_file=str(d / "model.ckpt"),
+                      training_log=str(d / "training.log"))
+        get_validation_split(data_file, config.training_file,
+                             config.validation_file, overwrite=True, seed=0,
+                             data_split=0.8)
+        est = estimate_cache_bytes(
+            data_file, 5,
+            *plan_margins((16, 16, 16), (8, 8, 8), 2, (4, 4, 4)),
+            dtype_bytes=4)
+        out = maybe_build_device_cache(data_file, config,
+                                       budget_bytes=int(est / 1.5))
+        assert out is not None and out[0].partial
+        cache, tg, vg = out
+        model = build_model(config)
+        state = create_train_state(model, config, jax.random.PRNGKey(0))
+        # 4 cases x 8 patches / B=3 -> 11 steps; val 1 case x grid
+        state = train_model(model, state, config, tg, vg, 11, 4,
+                            seed=0, verbose=False, device_cache=cache)
+        import csv
+        with open(config.training_log) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        for r in rows:
+            assert np.isfinite(float(r["loss"]))
+            assert np.isfinite(float(r["val_loss"]))
+        return [r["loss"] for r in rows], state
+
+    losses_a, state_a = run("a")
+    losses_b, state_b = run("b")
+    assert losses_a == losses_b  # deterministic given the seed
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_partial_generator_skip_batches_resume(data_file, tmp_path):
+    """skip_batches fast-forward: generator restarted with skip N yields
+    exactly the stream an uninterrupted one yields after N batches."""
+    config = _cfg(data_file, tmp_path, skip_blank=False)
+    get_validation_split(data_file, config.training_file,
+                         config.validation_file, overwrite=True, seed=0,
+                         data_split=0.8)
+    from fetal_mri_segmentation_tpu.pipeline.device_cache import (
+        partial_index_batch_generator)
+    from fetal_mri_segmentation_tpu.utils.io_utils import pickle_load
+    training_list = [int(i) for i in pickle_load(config.training_file)]
+    row_of = {training_list[0]: 0, training_list[1]: 1}  # 2 of 4 resident
+    kw = dict(batch_size=3, patch_shape=(8, 8, 8), patch_overlap=0,
+              patch_start_offset=(4, 4, 4), skip_blank=False, seed=3)
+    a = partial_index_batch_generator(data_file, training_list, row_of, **kw)
+    for _ in range(7):
+        next(a)
+    b = partial_index_batch_generator(data_file, training_list, row_of,
+                                      skip_batches=7, **kw)
+    for _ in range(6):
+        ka, *va = next(a)
+        kb, *vb = next(b)
+        assert ka == kb
+        for x, y in zip(va, vb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
