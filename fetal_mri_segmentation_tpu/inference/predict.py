@@ -383,21 +383,17 @@ def predict_case(input_path: str, out_dir: str, model, variables, config,
     return _write_prediction(label_map, config, out_dir, affine, submit)
 
 
-def _drive_label_pipeline(case_stream, predictor, variables, config,
-                          threshold, submit) -> int:
-    """The two-stage overlap core shared by `run_validation_cases` and
-    `predict_cases_pipelined` (serve.py has its own copy because its
-    quarantine semantics differ per stage) — ONE implementation so pipeline
-    fixes cannot drift between the batch surfaces.
+def _drive_pipeline(case_stream, dispatch, finalize) -> int:
+    """The two-stage overlap skeleton shared by the label and probability
+    pipelines (serve.py has its own copy because its quarantine semantics
+    differ per stage).
 
     ``case_stream`` yields ``(data, affine, out_dir, done_msg_or_None)``
     per case, doing its own host preprocessing as it is pulled — that is
     what overlaps the previous case's device compute. Each case's device
-    program is dispatched immediately; case *i* is finalized (D2H + label
-    map + queued NIfTI write) after case *i+1*'s dispatch is in flight.
-    ``done_msg``, when given, is printed from the IO worker AFTER that
-    case's prediction write has actually executed — never before (a
-    success line must not precede a write that can still fail).
+    program is dispatched immediately; case *i* is finalized (D2H +
+    conversion + queued NIfTI write) after case *i+1*'s dispatch is in
+    flight.
 
     The LAST dispatched case is guaranteed to be finalized even when a
     later case's preprocessing raises (a completed prediction must not be
@@ -407,23 +403,9 @@ def _drive_label_pipeline(case_stream, predictor, variables, config,
     """
     n = 0
     pending = None  # (out_dev, out_dir, affine, done_msg)
-
-    def finalize(p):
-        out_dev, out_dir, affine, msg = p
-        label_map = predictor.unpack_labels(out_dev)
-        write_submit = submit
-        if msg is not None:
-            def write_submit(target, fn, *a, _msg=msg, **kw):
-                def run():
-                    fn(*a, **kw)
-                    print(_msg, flush=True)
-                submit(target, run)
-        _write_prediction(label_map, config, out_dir, affine, write_submit)
-
     try:
         for data, affine, out_dir, msg in case_stream:
-            out_dev = predictor.predict_labels_async(variables, data,
-                                                     threshold=threshold)
+            out_dev = dispatch(data)
             if pending is not None:
                 finalize(pending)
             pending = (out_dev, out_dir, affine, msg)
@@ -440,11 +422,62 @@ def _drive_label_pipeline(case_stream, predictor, variables, config,
     return n
 
 
+def _msg_submit(submit, msg):
+    """Wrap a submit so ``msg`` prints from the IO worker AFTER that case's
+    prediction write has actually executed — never before (a success line
+    must not precede a write that can still fail)."""
+    if msg is None:
+        return submit
+
+    def write_submit(target, fn, *a, _msg=msg, **kw):
+        def run():
+            fn(*a, **kw)
+            print(_msg, flush=True)
+        submit(target, run)
+    return write_submit
+
+
+def _drive_label_pipeline(case_stream, predictor, variables, config,
+                          threshold, submit) -> int:
+    """Label-map pipeline: packed-bit D2H, threshold/argmax on device."""
+    def finalize(p):
+        out_dev, out_dir, affine, msg = p
+        label_map = predictor.unpack_labels(out_dev)
+        _write_prediction(label_map, config, out_dir, affine,
+                          _msg_submit(submit, msg))
+
+    return _drive_pipeline(
+        case_stream,
+        lambda data: predictor.predict_labels_async(variables, data,
+                                                    threshold=threshold),
+        finalize)
+
+
+def _drive_prob_pipeline(case_stream, predictor, variables, config,
+                         submit, transfer_dtype: str = "float32") -> int:
+    """Probability pipeline: same overlap core for `--prob-map` surfaces
+    (ensembling workflows move L x volume floats per case — the async
+    dispatch + IO-worker overlap the label path gets, plus an optional
+    fp16-packed D2H that halves the transfer at <=4.9e-4 quantization)."""
+    def finalize(p):
+        out_dev, out_dir, affine, msg = p
+        probability = predictor.unpack_prob(out_dev)
+        _write_probability(probability, config, out_dir, affine,
+                           _msg_submit(submit, msg))
+
+    return _drive_pipeline(
+        case_stream,
+        lambda data: predictor.predict_prob_async(
+            variables, data, transfer_dtype=transfer_dtype),
+        finalize)
+
+
 def predict_cases_pipelined(cases, model, variables, config, predictor,
                             *, threshold: float = 0.5, global_moments=None,
                             save_inputs: bool = True, device_pre=None,
                             verbose: bool = True,
-                            output_label_map: bool = True) -> int:
+                            output_label_map: bool = True,
+                            prob_dtype: str = "float32") -> int:
     """Predict a SEQUENCE of ad-hoc NIfTI cases with the two-stage pipeline.
 
     ``cases``: iterable of ``(input_path, out_dir)``. Same artifacts as
@@ -456,14 +489,20 @@ def predict_cases_pipelined(cases, model, variables, config, predictor,
     (a CLI batch should fail loudly, not quarantine) — but cases already
     predicted before the failing one keep their artifacts. Returns the
     number of cases predicted.
+
+    ``output_label_map=False`` rides the same pipeline with the async
+    probability surface; ``prob_dtype="float16"`` additionally halves the
+    probability D2H (<=4.9e-4 quantization on [0,1] — opt-in; the written
+    NIfTI stays float32-typed).
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    if not output_label_map or not (hasattr(predictor, "predict_labels_async")
-                                    and hasattr(predictor, "unpack_labels")):
-        # probability output (or a predictor without the async surface)
-        # runs serially — the pipelined driver is label-map-specific
-        # (bit-packed D2H)
+    label_async = (hasattr(predictor, "predict_labels_async")
+                   and hasattr(predictor, "unpack_labels"))
+    prob_async = hasattr(predictor, "predict_prob_async")
+    pipelined = label_async if output_label_map else prob_async
+    if not pipelined:
+        # predictor without the async surface runs serially
         n = 0
         for path, out_dir in cases:
             predict_case(path, out_dir, model, variables, config,
@@ -494,8 +533,12 @@ def predict_cases_pipelined(cases, model, variables, config, predictor,
                        f"{path} -> {out_dir}/prediction.nii.gz"
                        if verbose else None)
 
-        n = _drive_label_pipeline(stream(), predictor, variables, config,
-                                  threshold, submit)
+        if output_label_map:
+            n = _drive_label_pipeline(stream(), predictor, variables,
+                                      config, threshold, submit)
+        else:
+            n = _drive_prob_pipeline(stream(), predictor, variables, config,
+                                     submit, transfer_dtype=prob_dtype)
     for f in futures:  # surface any write error after all IO drained
         f.result()
     return n
@@ -537,7 +580,8 @@ def run_validation_cases(validation_keys_file: str, model, variables,
                          output_label_map: bool = True,
                          permute: bool = False,
                          patch_batch_size: int = 8,
-                         mesh=None, spatial_mesh=None) -> None:
+                         mesh=None, spatial_mesh=None,
+                         prob_dtype: str = "float32") -> None:
     """Predict every validation case into ``output_dir/validation_case_<i>``.
 
     Reference: prediction.py::run_validation_cases (same output layout; the
@@ -594,8 +638,9 @@ def run_validation_cases(validation_keys_file: str, model, variables,
     # dispatch/D2H overhead), and all NIfTI gzip+disk writes run on a worker
     # pool overlapping both. The overlap core is shared with
     # predict_cases_pipelined (_drive_label_pipeline).
-    pipelined = (output_label_map
-                 and hasattr(predictor, "predict_labels_async"))
+    pipelined = (hasattr(predictor, "predict_labels_async")
+                 if output_label_map
+                 else hasattr(predictor, "predict_prob_async"))
     futures = []
     with ThreadPoolExecutor(max_workers=2) as pool:
         def submit(target, fn, *a, **kw):
@@ -623,7 +668,11 @@ def run_validation_cases(validation_keys_file: str, model, variables,
                                               config, submit,
                                               save_inputs=True)
                     yield data, affine, case_dir, None
-            _drive_label_pipeline(stream(), predictor, variables, config,
-                                  threshold, submit)
+            if output_label_map:
+                _drive_label_pipeline(stream(), predictor, variables,
+                                      config, threshold, submit)
+            else:
+                _drive_prob_pipeline(stream(), predictor, variables, config,
+                                     submit, transfer_dtype=prob_dtype)
     for f in futures:  # surface any write error after all IO drained
         f.result()

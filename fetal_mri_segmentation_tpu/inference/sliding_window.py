@@ -141,6 +141,13 @@ class SlidingWindowPredictor(ResidentParamsMixin):
         self._jitted = jax.jit(self._predict_volume)
         self._jitted_labels = jax.jit(self._predict_labels_packed,
                                       static_argnames=("threshold",))
+        # fp16 probability transfer: probabilities live in [0,1], where
+        # float16 is exact to ~4.9e-4 — half the D2H bytes for probability
+        # surfaces (ensembling workflows move L x volume floats per case;
+        # labels ride the packed path instead). Cast INSIDE the program so
+        # only fp16 crosses the link.
+        self._jitted_prob16 = jax.jit(
+            lambda v, d: self._predict_volume(v, d).astype(jnp.float16))
         # params stay device-resident across volumes: device_variables()
         # from ResidentParamsMixin (utils/residency.py)
 
@@ -236,6 +243,24 @@ class SlidingWindowPredictor(ResidentParamsMixin):
         """(C, D, H, W) → uint8 label map (D, H, W), minimal D2H transfer."""
         return self.unpack_labels(
             self.predict_labels_async(variables, data_cdhw, threshold))
+
+    def predict_prob_async(self, variables, data_cdhw,
+                           transfer_dtype: str = "float32"):
+        """Dispatch the probability program without blocking (async twin of
+        `predict_labels_async` for `--prob-map` surfaces); finish with
+        ``unpack_prob``. ``transfer_dtype="float16"`` halves the D2H bytes
+        (max quantization error ~4.9e-4 on [0,1] — documented opt-in;
+        threshold/argmax label maps derived from the two are identical
+        except exactly at the decision boundary)."""
+        variables = self.device_variables(variables)
+        data = self._stage_volume(data_cdhw)
+        if str(transfer_dtype) in ("float16", "fp16", "half"):
+            return self._jitted_prob16(variables, data)
+        return self._jitted(variables, data)
+
+    def unpack_prob(self, out) -> np.ndarray:
+        """Materialize an async probability result as float32 (L, D, H, W)."""
+        return np.asarray(out).astype(np.float32)
 
     # ------------------------------------------------------------------
     def _apply_model(self, variables, patches_dhwc):

@@ -45,7 +45,8 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
          num_devices: int = 1, spatial_devices: int = 1,
          direct: bool = False, export_path: str = None,
          inputs=None, device_preprocess: bool = False,
-         prob_map: bool = False, threshold: float = 0.5):
+         prob_map: bool = False, threshold: float = 0.5,
+         prob_dtype: str = "float32"):
     if overlap is None:
         # follow the config's validation grid: a patch_shape smaller than
         # the old hardcoded 16 would otherwise reject its own config
@@ -114,7 +115,7 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
              for path, name in zip(inputs, assign_output_names(inputs))],
             model, variables, config, predictor, global_moments=moments,
             device_pre=device_pre, output_label_map=not prob_map,
-            threshold=threshold)
+            threshold=threshold, prob_dtype=prob_dtype)
         return
 
     mesh = None
@@ -140,7 +141,7 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
                              patch_batch_size=patch_batch_size, mesh=mesh,
                              spatial_mesh=spatial_mesh,
                              output_label_map=not prob_map,
-                             threshold=threshold)
+                             threshold=threshold, prob_dtype=prob_dtype)
     finally:
         data_file.close()
     print(f"predictions written under {output_dir}/")
@@ -198,6 +199,14 @@ if __name__ == "__main__":
     ap.add_argument("--threshold", type=float, default=0.5,
                     help="binary label-map threshold (default 0.5; "
                          "reference: prediction_to_image)")
+    ap.add_argument("--prob-dtype", choices=["float32", "float16"],
+                    default="float32",
+                    help="with --prob-map: device->host transfer dtype. "
+                         "float16 halves the D2H bytes at <=4.9e-4 "
+                         "quantization on [0,1] (the written NIfTI stays "
+                         "float32-typed; threshold/argmax label maps are "
+                         "identical except exactly at the decision "
+                         "boundary)")
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config
@@ -210,4 +219,5 @@ if __name__ == "__main__":
          spatial_devices=args.spatial_devices, direct=args.direct,
          export_path=args.export, inputs=args.input,
          device_preprocess=args.device_preprocess,
-         prob_map=args.prob_map, threshold=args.threshold)
+         prob_map=args.prob_map, threshold=args.threshold,
+         prob_dtype=args.prob_dtype)

@@ -331,9 +331,9 @@ def test_predict_case_prob_map_matches_thresholded_labels(tmp_path):
 
 
 def test_predict_cases_pipelined_prob_map(tmp_path):
-    """predict.py --input --prob-map: the batch driver falls back to the
-    serial path for probability output and produces the same artifact as
-    predict_case(output_label_map=False)."""
+    """predict.py --input --prob-map: the batch driver pipelines
+    probability output (async prob dispatch + IO worker, round 4) and
+    produces the same artifact as predict_case(output_label_map=False)."""
     from fetal_mri_segmentation_tpu.inference.predict import (
         predict_cases_pipelined)
 
@@ -382,3 +382,67 @@ def test_run_validation_cases_prob_map(tmp_path):
         assert p.shape == cfg.image_shape
         v = cfg.labels[0] if cfg.labels else 1
         np.testing.assert_array_equal((p > 0.5).astype(np.uint8) * v, lab)
+
+
+def test_prob_pipeline_fp16_transfer(tmp_path):
+    """--prob-map --prob-dtype float16: the fp16-packed D2H stays within
+    the documented quantization (<=4.9e-4 on [0,1]) of the fp32 maps, and
+    the derived label maps agree except exactly at the threshold boundary
+    (ensemble workflows are therefore unchanged)."""
+    from fetal_mri_segmentation_tpu.inference.predict import (
+        predict_cases_pipelined)
+
+    cfg, model, variables = _setup(tmp_path, n_cases=3)
+    predictor = SlidingWindowPredictor(model, cfg,
+                                       image_shape=cfg.image_shape,
+                                       overlap=4)
+    cases32 = [(str(tmp_path / "cases" / f"case_{i}"),
+                str(tmp_path / "p32" / f"case_{i}")) for i in range(3)]
+    cases16 = [(str(tmp_path / "cases" / f"case_{i}"),
+                str(tmp_path / "p16" / f"case_{i}")) for i in range(3)]
+    assert predict_cases_pipelined(
+        cases32, model, variables, cfg, predictor, verbose=False,
+        output_label_map=False, prob_dtype="float32") == 3
+    assert predict_cases_pipelined(
+        cases16, model, variables, cfg, predictor, verbose=False,
+        output_label_map=False, prob_dtype="float16") == 3
+    for i in range(3):
+        p32 = load_nifti(str(tmp_path / "p32" / f"case_{i}" /
+                             "prediction.nii.gz")).get_fdata(np.float32)
+        p16 = load_nifti(str(tmp_path / "p16" / f"case_{i}" /
+                             "prediction.nii.gz")).get_fdata(np.float32)
+        assert np.abs(p32 - p16).max() <= 4.9e-4
+        # label agreement away from the knife-edge
+        safe = np.abs(p32 - 0.5) > 1e-3
+        np.testing.assert_array_equal((p32 > 0.5)[safe], (p16 > 0.5)[safe])
+
+
+def test_run_validation_cases_prob_pipelined_identical(tmp_path):
+    """The validation-set --prob-map path rides the async pipeline now;
+    artifacts must equal the serial run_validation_case output bitwise
+    (fp32 transfer)."""
+    from fetal_mri_segmentation_tpu.inference import run_validation_cases
+    from fetal_mri_segmentation_tpu.utils.io_utils import pickle_dump
+
+    cfg, model, variables = _setup(tmp_path, n_cases=3)
+    keys = str(tmp_path / "val.pkl")
+    pickle_dump([0, 2], keys)
+    df = open_data_file(cfg.data_file)
+    try:
+        run_validation_cases(keys, model, variables, df, cfg,
+                             output_dir=str(tmp_path / "piped"), overlap=4,
+                             output_label_map=False)
+        predictor = SlidingWindowPredictor(model, cfg,
+                                           image_shape=cfg.image_shape,
+                                           overlap=4)
+        for i in (0, 2):
+            run_validation_case(i, str(tmp_path / "serial" / f"c{i}"),
+                                model, variables, df, cfg, predictor,
+                                output_label_map=False)
+            a = load_nifti(str(tmp_path / "piped" / f"validation_case_{i}" /
+                               "prediction.nii.gz")).get_fdata(np.float32)
+            b = load_nifti(str(tmp_path / "serial" / f"c{i}" /
+                               "prediction.nii.gz")).get_fdata(np.float32)
+            np.testing.assert_array_equal(a, b)
+    finally:
+        df.close()
