@@ -353,6 +353,165 @@ def _serve_case_sec(raw_shape=None, device_preprocess=False, n_cases=4,
     return round(float(np.median(times[1:])), 5)
 
 
+def _serve_backlog_sec_per_case(n_cases=8, raw_shape=(170, 170, 110)):
+    """The PIPELINED serving number: serve.py's ``watch_and_predict`` on an
+    n-case backlog (``once=True``) with the direct predictor + device
+    preprocessing — wall/case. This is the round-2 verdict item-2 claim
+    (docs/PERF.md addendum 8) as a driver-captured row; the serial
+    ``serve_case_*`` rows above time per-case `predict_case` calls for
+    comparison (the pipeline overlaps case i+1's host work with case i's
+    device compute, so backlog wall/case < serial per-case wall)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference.serve import watch_and_predict
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.ops.resample import DevicePreprocessor
+    from fetal_mri_segmentation_tpu.parallel.spatial import (
+        make_direct_predictor)
+    from fetal_mri_segmentation_tpu.utils.nifti import save_nifti
+
+    config = Config(model_name="unet", depth=4, n_base_filters=32,
+                    image_shape=VOLUME, patch_shape=PATCH,
+                    compute_dtype="bfloat16")
+    model = build_model(config)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1,) + PATCH + (1,), jnp.float32))
+    predictor = make_direct_predictor(model, config)
+    device_pre = DevicePreprocessor(config.image_shape, config.normalization,
+                                    compute_dtype=jnp.bfloat16,
+                                    transfer_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        watch, out = os.path.join(d, "in"), os.path.join(d, "out")
+        os.makedirs(watch)
+        # croppable scanner-resolution volumes (the reference's data shape)
+        for i in range(n_cases):
+            case = os.path.join(watch, f"case_{i}")
+            os.makedirs(case)
+            vol = np.zeros(raw_shape, np.float32)
+            box = tuple(slice(int(0.17 * n), int(0.80 * n))
+                        for n in raw_shape)
+            vol[box] = rng.normal(200, 50, [s.stop - s.start for s in box]
+                                  ).astype(np.float32)
+            save_nifti(vol, os.path.join(case, "volume.nii.gz"))
+        # warm the compile on a copy of case_0 in a separate sweep so the
+        # timed backlog measures steady state (first compile is server-side
+        # and load-dependent)
+        warm = os.path.join(d, "warm")
+        os.makedirs(os.path.join(warm))
+        import shutil
+        shutil.copytree(os.path.join(watch, "case_0"),
+                        os.path.join(warm, "case_w"))
+        watch_and_predict(warm, out, model, variables, config, predictor,
+                          once=True, verbose=False, device_pre=device_pre)
+        t0 = time.perf_counter()
+        n = watch_and_predict(watch, out, model, variables, config,
+                              predictor, once=True, verbose=False,
+                              device_pre=device_pre)
+        dt = time.perf_counter() - t0
+    assert n == n_cases, n
+    return round(dt / n_cases, 5)
+
+
+def _prob_batch_rows(n_cases=8):
+    """--prob-map batch throughput: the pipelined probability stream
+    (fp32 D2H and the opt-in fp16-packed transfer), sec/case — the
+    K-model-ensemble workflow's unit of work."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference import SlidingWindowPredictor
+    from fetal_mri_segmentation_tpu.inference.predict import (
+        predict_cases_pipelined)
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.utils.nifti import save_nifti
+
+    config = Config(model_name="unet", depth=3, n_base_filters=32,
+                    image_shape=VOLUME, patch_shape=PATCH,
+                    compute_dtype="bfloat16")
+    model = build_model(config)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1,) + PATCH + (1,), jnp.float32))
+    predictor = SlidingWindowPredictor(model, config, image_shape=VOLUME,
+                                       patch_shape=PATCH, overlap=OVERLAP,
+                                       patch_batch_size=27)
+    rng = np.random.default_rng(0)
+    out = {}
+    with tempfile.TemporaryDirectory() as d:
+        cases = []
+        for i in range(n_cases):
+            case = os.path.join(d, f"case_{i}")
+            os.makedirs(case)
+            save_nifti(rng.normal(0, 1, VOLUME).astype(np.float32),
+                       os.path.join(case, "volume.nii.gz"))
+            cases.append(case)
+        for dtype, key in (("float32", "prob_batch_sec_per_case_f32"),
+                           ("float16", "prob_batch_sec_per_case_f16")):
+            pairs = [(c, os.path.join(d, f"out_{dtype}", f"case_{i}"))
+                     for i, c in enumerate(cases)]
+            # compile warmup on the first case alone
+            predict_cases_pipelined(pairs[:1], model, variables, config,
+                                    predictor, verbose=False,
+                                    save_inputs=False,
+                                    output_label_map=False, prob_dtype=dtype)
+            t0 = time.perf_counter()
+            n = predict_cases_pipelined(pairs, model, variables, config,
+                                        predictor, verbose=False,
+                                        save_inputs=False,
+                                        output_label_map=False,
+                                        prob_dtype=dtype)
+            out[key] = round((time.perf_counter() - t0) / n, 5)
+    return out
+
+
+def _distort_step_rows():
+    """Scale-distortion augmentation cost (VERDICT round-3 item 4): the
+    train step with distort=0.25 ON vs the flip/permute/contrast trio, at
+    B=1 and B=8 — measuring the 'gather-bound on TPU' belief the PARITY
+    deviation rested on."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.training import (create_train_state,
+                                                     make_train_step)
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for B in (1, 8):
+        for distort, key in ((None, f"train_step_b{B}_aug_sec"),
+                             (0.25, f"train_step_b{B}_aug_distort_sec")):
+            config = Config(model_name="unet", depth=3, n_base_filters=32,
+                            patch_shape=PATCH, batch_size=B,
+                            augment=True, flip=True, permute=True,
+                            contrast=0.1, distort=distort,
+                            compute_dtype="bfloat16",
+                            initial_learning_rate=1e-5)
+            model = build_model(config)
+            state = create_train_state(model, config, jax.random.PRNGKey(0))
+            step = make_train_step(model, config)
+            y = (rng.random((B, 1) + PATCH) > 0.7).astype(np.float32)
+            x = (y * 2 + rng.normal(0, 0.3, y.shape)).astype(np.float32)
+            x, y = jnp.asarray(x), jnp.asarray(y)
+            key_rng = jax.random.PRNGKey(1)
+            state, m = step(state, x, y, key_rng, None)
+            float(m["loss"])  # compile + forced readback
+            t0 = time.perf_counter()
+            for _ in range(10):
+                state, m = step(state, x, y, key_rng, None)
+            float(m["loss"])
+            out[key] = round((time.perf_counter() - t0) / 10, 5)
+    return out
+
+
 def _direct_volume_infer():
     """Beyond-parity serving mode: ONE whole-volume forward (no patch grid,
     no overlap recompute) on a single chip — `predict.py --direct`.
@@ -492,6 +651,14 @@ def main():
             raw_shape=raw, croppable=True)
         detail["serve_case_resample_device_sec"] = _serve_case_sec(
             raw_shape=raw, device_preprocess=True, croppable=True)
+        # PIPELINED serving backlog (the actual serve.py claim): 8-case
+        # once=True sweep with direct predictor + device preprocessing
+        detail["serve_backlog_sec_per_case"] = _serve_backlog_sec_per_case()
+        # --prob-map batch throughput (ensembling workflows), fp32 vs the
+        # opt-in fp16-packed D2H
+        detail.update(_prob_batch_rows())
+        # distortion-augmentation cost (PARITY deviation, now measured)
+        detail.update(_distort_step_rows())
         # throughput-shape training rows (BASELINE #1 pins B=1; these show
         # the realistic epoch shape) + a REAL train.py epoch's logged rate
         detail.update(_batched_train_steps())
