@@ -143,7 +143,80 @@ def measure(name, make_model_cfg, n_iters):
     return {k: round(v, 2) for k, v in row.items()}
 
 
-def main(n_iters=20, json_path=None):
+def measure_grad_depth(n_iters=20):
+    """Backward depth profile (docs/PERF.md addendum-1b method): grads wrt
+    only the modules at-or-after a cut point, frozen before it. The delta
+    over the head-only row (whose backward DCEs to ~the forward) is the
+    cost of extending the input-grad/weight-grad chain to that depth."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.models import build_model
+
+    cfg = Config(model_name="isensee", depth=5, n_base_filters=16,
+                 patch_shape=PATCH, batch_size=1, compute_dtype="bfloat16",
+                 initial_learning_rate=5e-4)
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1,) + PATCH + (1,), jnp.float32))
+    params = variables["params"]
+    x0 = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (1,) + PATCH + (1,)).astype(np.float32)).astype(model.dtype)
+
+    # cut points, shallowest-frozen first: grads wrt heads only, then
+    # + decoder levels, then + encoder levels (full)
+    cuts = [
+        ("seg_heads_only", lambda k: k.startswith("seg")),
+        ("plus_dec0", lambda k: k.startswith("seg") or k.startswith("dec0")),
+        ("plus_decoder", lambda k: k.startswith(("seg", "dec"))),
+        ("plus_enc4..2", lambda k: k.startswith(("seg", "dec")) or
+            (k.startswith("enc") and int(k[3]) >= 2)),
+        ("full", lambda k: True),
+    ]
+    out = {}
+    for name, pred in cuts:
+        live = {k: v for k, v in params.items() if pred(k)}
+        frozen = {k: v for k, v in params.items() if not pred(k)}
+
+        @jax.jit
+        def loop(x, live=live, frozen=frozen):
+            def body(carry, i):
+                v, acc = carry
+
+                def loss_fn(p):
+                    y = model.apply(
+                        {"params": {**frozen, **p}}, v, train=True,
+                        rngs={"dropout": jax.random.fold_in(
+                            jax.random.PRNGKey(0), i)})
+                    y = y.astype(jnp.float32)
+                    return -(2 * (y * 0.3).sum() + 1) / (y.sum() + 0.3 + 1)
+
+                loss, grads = jax.value_and_grad(loss_fn)(live)
+                gsum = sum(jnp.sum(g.astype(jnp.float32))
+                           for g in jax.tree_util.tree_leaves(grads))
+                return (v * 0.999 + (loss * 1e-5).astype(v.dtype),
+                        acc + gsum), loss
+            (v, acc), losses = jax.lax.scan(body, (x, jnp.float32(0)),
+                                            jnp.arange(n_iters))
+            return v + (acc * 1e-20).astype(v.dtype), losses
+
+        out[name] = {"ms": round(1e3 * _scan_time(loop, x0, n_iters), 2),
+                     "n_groups": len(live)}
+        print(name, json.dumps(out[name]), flush=True)
+    return out
+
+
+def main(n_iters=20, json_path=None, only=None, grad_depth=False):
+    if grad_depth:
+        from fetal_mri_segmentation_tpu.utils.compilation_cache import (
+            enable_compilation_cache)
+        enable_compilation_cache()
+        results = measure_grad_depth(n_iters)
+        if json_path:
+            with open(json_path, "w") as f:
+                json.dump(results, f, indent=1)
+        return results
     from fetal_mri_segmentation_tpu.config import Config
     from fetal_mri_segmentation_tpu.models import build_model
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
@@ -180,6 +253,9 @@ def main(n_iters=20, json_path=None):
         ("isensee_unfused_decoder", isensee(fuse_decoder=False)),
         ("unet_d3_ref", unet()),
     ]
+    if only:
+        probes = [(n, mk) for n, mk in probes
+                  if any(tok in n for tok in only)]
     for name, mk in probes:
         try:
             results[name] = measure(name, mk, n_iters)
@@ -196,5 +272,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="probe-name substrings to run (compiles on the "
+                         "tunneled runtime cost minutes per probe — chunk "
+                         "long sessions)")
+    ap.add_argument("--grad-depth", action="store_true",
+                    help="backward depth profile instead of the variant "
+                         "probes (grads wrt progressively deeper param "
+                         "groups)")
     a = ap.parse_args()
-    main(a.iters, a.json)
+    main(a.iters, a.json, only=a.only, grad_depth=a.grad_depth)
