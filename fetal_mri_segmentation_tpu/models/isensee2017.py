@@ -80,8 +80,15 @@ class Isensee2017(nn.Module):
         for level in range(self.depth - 2, -1, -1):
             f = level_filters[level]
             # up-sampling module (UpSampling3D + conv block; the fused form
-            # computes the conv at the coarse resolution — exact math)
-            if self.fuse_decoder:
+            # computes the conv at the coarse resolution — exact math).
+            # Measured dispatch (round-4 attribution, v5e, B=1 64^3): fused
+            # wins the forward (7.63 vs 7.82 ms whole model) but its
+            # lhs-dilated backward loses (fwd+bwd 43.4 vs 41.7 ms; train
+            # step 44.6 vs 42.4 — the -5% step win), so training uses the
+            # upsample-then-conv form. Both branches create the identical
+            # dec{level}_up/conv/{kernel,bias} param tree, so checkpoints
+            # and the Keras interop are form-agnostic.
+            if self.fuse_decoder and not train:
                 x = self._block(f, f"dec{level}_up")((x, None))
             else:
                 x = upsample_nearest(x, (2, 2, 2))

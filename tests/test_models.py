@@ -145,6 +145,28 @@ def test_fused_decoder_matches_plain_isensee():
         float(np.abs(np.asarray(y_plain) - np.asarray(y_fused)).max())
 
 
+def test_isensee_train_eval_decoder_dispatch_same_params():
+    """fuse_decoder=True dispatches to the unfused form under train=True
+    (measured -5% step, docs/PERF.md addendum 14) — same param tree, same
+    output (dropout off so train/eval math is otherwise identical)."""
+    x = jnp.asarray(np.random.default_rng(7).normal(0, 1, (1, 16, 16, 16, 1)),
+                    jnp.float32)
+    model = Isensee2017(n_labels=1, depth=3, n_base_filters=4,
+                        n_segmentation_levels=2, dtype=jnp.float32,
+                        dropout_rate=0.0, fuse_decoder=True)
+    params_train = model.init(jax.random.PRNGKey(0), x, train=True)
+    params_eval = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(params_train)
+            == jax.tree_util.tree_structure(params_eval))
+    for a, b in zip(jax.tree_util.tree_leaves(params_train),
+                    jax.tree_util.tree_leaves(params_eval)):
+        assert a.shape == b.shape
+    y_train = model.apply(params_train, x, train=True)
+    y_eval = model.apply(params_train, x, train=False)
+    assert np.allclose(np.asarray(y_train), np.asarray(y_eval), atol=1e-5), \
+        float(np.abs(np.asarray(y_train) - np.asarray(y_eval)).max())
+
+
 def test_fused_decoder_grads_match_plain():
     x = jnp.asarray(np.random.default_rng(5).normal(0, 1, (1, 8, 8, 8, 1)),
                     jnp.float32)

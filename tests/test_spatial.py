@@ -146,7 +146,7 @@ def test_train_model_on_hybrid_mesh(tmp_path):
     from fetal_mri_segmentation_tpu.training import (create_train_state,
                                                      train_model)
 
-    cfg = tiny_config(batch_size=2, n_epochs=3, early_stop=0,
+    cfg = tiny_config(batch_size=2, n_epochs=5, early_stop=0,
                       model_file=str(tmp_path / "m.ckpt"),
                       training_log=str(tmp_path / "t.log"))
     model = build_model(cfg)
@@ -166,8 +166,12 @@ def test_train_model_on_hybrid_mesh(tmp_path):
     import csv
     with open(cfg.training_log) as f:
         rows = list(csv.DictReader(f))
-    assert len(rows) == 3
-    assert float(rows[-1]["loss"]) < float(rows[0]["loss"])
+    assert len(rows) == 5
+    losses = [float(r["loss"]) for r in rows]
+    # single epoch-to-epoch comparisons are noisy at 2 tiny steps/epoch
+    # (the keras-exact Adam eps change legitimately moved the trajectory);
+    # require the tail to improve on the start
+    assert np.mean(losses[-2:]) < losses[0], losses
 
 
 def test_spatial_mode_rejects_incompatible_options(tmp_path):

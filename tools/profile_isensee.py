@@ -236,13 +236,16 @@ def main(n_iters=20, json_path=None, only=None, grad_depth=False):
             return model, cfg
         return make
 
-    def unet():
+    def unet(**kw):
         def make():
             cfg = Config(model_name="unet", depth=3, n_base_filters=32,
                          patch_shape=PATCH, batch_size=1,
                          compute_dtype="bfloat16",
                          initial_learning_rate=1e-5)
-            return build_model(cfg), cfg
+            model = build_model(cfg)
+            if kw:
+                model = model.clone(**kw)
+            return model, cfg
         return make
 
     results = {}
@@ -252,6 +255,9 @@ def main(n_iters=20, json_path=None, only=None, grad_depth=False):
         ("isensee_nodropout", isensee(dropout_rate=0.0)),
         ("isensee_unfused_decoder", isensee(fuse_decoder=False)),
         ("unet_d3_ref", unet()),
+        # same lever as the Isensee measured dispatch: is the fused
+        # decoder's lhs-dilated backward also slower for the unet?
+        ("unet_unfused_decoder", unet(fuse_decoder=False)),
     ]
     if only:
         probes = [(n, mk) for n, mk in probes
