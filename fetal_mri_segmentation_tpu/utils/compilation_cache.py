@@ -10,7 +10,38 @@ FETAL_TPU_CACHE_DIR.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature set.
+
+    XLA:CPU AOT artifacts are compiled for the build host's exact machine
+    features; loading them on a host with different features logs
+    cpu_aot_loader errors and can SIGILL (observed after this box
+    migrated). The cache key doesn't include CPU features, so segregate
+    cache dirs per host fingerprint instead. TPU executables are not
+    host-feature-sensitive, but a per-host dir is harmless there.
+
+    Note: a one-time cpu_aot_loader error can still appear when XLA's
+    backend options change (it embeds pseudo-features like
+    prefer-no-gather in the artifact's feature list); that load failure
+    falls back to recompilation and overwrites the artifact, so it
+    self-heals — verified: the rerun loads clean.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                feats = platform.machine()
+    except OSError:
+        feats = platform.machine()
+    return hashlib.sha1(feats.encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str = None) -> str:
@@ -22,6 +53,7 @@ def enable_compilation_cache(path: str = None) -> str:
     path = path or os.environ.get(
         "FETAL_TPU_CACHE_DIR",
         os.path.expanduser("~/.cache/fetal_mri_segmentation_tpu/xla"))
+    path = os.path.join(path, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
