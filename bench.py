@@ -406,8 +406,16 @@ def _serve_backlog_sec_per_case(n_cases=8, raw_shape=(170, 170, 110)):
         import shutil
         shutil.copytree(os.path.join(watch, "case_0"),
                         os.path.join(warm, "case_w"))
-        watch_and_predict(warm, out, model, variables, config, predictor,
-                          once=True, verbose=False, device_pre=device_pre)
+        nw = watch_and_predict(warm, out, model, variables, config,
+                               predictor, once=True, verbose=False,
+                               device_pre=device_pre)
+        if nw != 1:
+            # watch_and_predict quarantines per-case failures instead of
+            # raising; an un-warmed timed sweep would fold the server-side
+            # first compile into its first case and record it as steady state
+            raise RuntimeError(
+                f"serve-backlog warm sweep predicted {nw}/1 cases — refusing "
+                "to time a cold backlog (check the quarantine dir)")
         t0 = time.perf_counter()
         n = watch_and_predict(watch, out, model, variables, config,
                               predictor, once=True, verbose=False,

@@ -48,6 +48,11 @@ def parse_regions(specs) -> dict:
         except ValueError:
             raise SystemExit(f"bad --regions spec {spec!r}: labels must be "
                              f"integers (got {labs!r})")
+        if not label_list:
+            # 'whole: ,' passes the labs.strip() check above but yields no
+            # labels — an all-False mask would score empty-vs-empty Dice 1.0
+            raise SystemExit(f"bad --regions spec {spec!r}: no label values "
+                             f"(got {labs!r})")
         if name in regions:
             raise SystemExit(f"duplicate region name {name!r} in --regions")
         regions[name] = label_list

@@ -25,7 +25,7 @@ from fetal_mri_segmentation_tpu.utils.nifti import NiftiImage, save_nifti
 # tooling imports them without the jax stack); re-exported here so every
 # established import path keeps working
 from fetal_mri_segmentation_tpu.inference.labelmaps import (  # noqa: F401
-    get_prediction_labels, prediction_to_image)
+    get_prediction_labels, label_map_dtype, prediction_to_image)
 
 
 def _write_probability(probability, config, out_dir: str, affine,
@@ -60,7 +60,9 @@ def _scale_binary_label(label_map, config):
     """Binary maps carry the configured label value (reference:
     prediction_to_image — data>threshold → labels[0])."""
     if config.n_labels == 1 and config.labels:
-        return label_map * np.uint8(config.labels[0])
+        # widen before scaling: labels[0] > 255 must not wrap modulo 256
+        dt = label_map_dtype([config.labels[0]])
+        return label_map.astype(dt) * dt.type(config.labels[0])
     return label_map
 
 
@@ -568,7 +570,8 @@ def _write_prediction(label_map, config, case_dir, affine, submit):
     """The single place the per-case prediction artifact is produced
     (binary label scaling + NIfTI write) — used by both the per-case API
     and the pipelined stream so they cannot diverge."""
-    label_map = _scale_binary_label(label_map, config).astype(np.uint8)
+    label_map = _scale_binary_label(label_map, config).astype(
+        label_map_dtype(config.labels or range(1, config.n_labels + 1)))
     path = os.path.join(case_dir, "prediction.nii.gz")
     submit(path, save_nifti, label_map, path, affine=affine)
     return label_map

@@ -581,23 +581,37 @@ def partial_index_batch_generator(data_file, index_list, row_of,
 AUTO_BUDGET_BYTES = 4 << 30
 
 #: fraction of the device's reported FREE HBM the cache may claim — the
-#: remainder absorbs the step working set, XLA scratch, and fragmentation.
+#: remainder absorbs fragmentation and estimate error.
 HBM_SAFETY_FRACTION = 0.8
+
+#: bytes reserved out of free HBM for the train-step working set
+#: (activations, gradients, XLA scratch) — none of which exists yet at
+#: cache-build time, so "free" HBM measured here systematically
+#: overstates what the cache may take. Without the reserve an 11 GiB
+#: dataset on a 16 GiB chip goes fully resident and the FIRST train step
+#: OOMs (the upload-failure fallback only guards the cache upload, not
+#: the later step). 3 GiB covers the measured B=8 depth-3/32 step with
+#: headroom; module-level so tests (and unusual models) can patch it.
+HBM_STEP_RESERVE_BYTES = 3 << 30
 
 
 def hbm_budget_bytes(device=None, safety: float = HBM_SAFETY_FRACTION,
-                     fallback: Optional[int] = None) -> int:
+                     fallback: Optional[int] = None,
+                     reserve: Optional[int] = None) -> int:
     """Cache budget from the device's ACTUAL free HBM.
 
-    ``safety * (bytes_limit - bytes_in_use)`` via ``device.memory_stats()``;
-    backends that report nothing (CPU, some plugins) get the static
-    ``fallback`` (module-level AUTO_BUDGET_BYTES when None, read at call
-    time so tests can patch it).
+    ``safety * (bytes_limit - bytes_in_use) - reserve`` via
+    ``device.memory_stats()``; backends that report nothing (CPU, some
+    plugins) get the static ``fallback`` (module-level AUTO_BUDGET_BYTES
+    when None, read at call time so tests can patch it — the fallback is
+    already conservative, no reserve is subtracted from it).
     """
     import jax
 
     if fallback is None:
         fallback = AUTO_BUDGET_BYTES
+    if reserve is None:
+        reserve = HBM_STEP_RESERVE_BYTES
     try:
         device = device or jax.local_devices()[0]
         stats = device.memory_stats()
@@ -605,13 +619,14 @@ def hbm_budget_bytes(device=None, safety: float = HBM_SAFETY_FRACTION,
         in_use = int(stats.get("bytes_in_use", 0))
     except (RuntimeError, KeyError, TypeError, AttributeError, IndexError):
         return fallback
-    return max(0, int(safety * (limit - in_use)))
+    return max(0, int(safety * (limit - in_use)) - int(reserve))
 
 
 def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
                              train_skip_batches: int = 0,
                              val_skip_batches: int = 0,
                              budget_bytes: Optional[int] = None,
+                             resume_data_order: Optional[dict] = None,
                              verbose: bool = False):
     """Returns ``(cache, train_index_gen, val_index_gen)`` when the device
     case cache applies, else None (host staging path).
@@ -633,6 +648,19 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
     ``cache.partial`` is True; the epoch's patch multiset is identical to
     the host pipeline's, but resident and non-resident patches fill
     separate batches (grouping deviation, documented).
+
+    ``resume_data_order``: the interrupted run's recorded mode
+    (CheckpointIO.peek_data_order) when this call is a resume with
+    nonzero skip_batches. Because partial-mode batch GROUPING depends on
+    which cases were resident — and the auto decision otherwise reads
+    LIVE free HBM, which can differ between the crashed run and the
+    resume — the recorded mode is pinned: ``{"mode": "lockstep"}``
+    suppresses partial (full cache or host staging share the host batch
+    boundaries, either preserves the order); ``{"mode": "partial",
+    "resident": [...]}`` forces exactly that resident set and RAISES if
+    it cannot be reproduced (a silent fallback would replay the wrong
+    batch sequence). None (fresh run / legacy sidecar) keeps the free
+    auto decision.
     """
     import os
 
@@ -644,12 +672,33 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
     if knob not in ("auto", "on", "off"):
         raise ValueError(
             f"device_case_cache={knob!r} — must be 'auto', 'on' or 'off'")
+
+    forced_partial = (resume_data_order is not None
+                      and resume_data_order.get("mode") == "partial")
+
+    def _resume_break(why):
+        return RuntimeError(
+            "exact-resume violation: the interrupted run trained with a "
+            "PARTIAL device case cache (batch grouping depends on the "
+            f"resident case set), but {why} — resuming differently would "
+            "silently replay a different batch sequence than the "
+            "interrupted run consumed. Reproduce the original environment "
+            "(free HBM / same config), or delete the 'data_order' field "
+            "from the checkpoint's .meta.json to accept an inexact resume.")
+
     if knob == "off":
+        if forced_partial:
+            raise _resume_break("device_case_cache is now 'off'")
         return None
+    if forced_partial and knob == "on":
+        raise _resume_break("device_case_cache='on' forces a FULL cache, "
+                            "whose batch grouping differs from partial")
 
     def skip(reason):
         if knob == "on":
             raise ValueError(f"device_case_cache='on' but {reason}")
+        if forced_partial:
+            raise _resume_break(reason)
         if verbose:
             print(f"[device-cache] {reason} — keeping host staging")
         return None
@@ -663,6 +712,9 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
     if dp_mesh and "spatial" in mesh.axis_names:
         # patch gathers are per-sample; a depth-sharded volume axis would
         # need halo-aware gathers — host staging stays correct there
+        if forced_partial:
+            raise _resume_break("a spatial/hybrid mesh is now active "
+                                "(partial mode is single-device)")
         if verbose:
             print("[device-cache] spatial/hybrid mesh — keeping host staging")
         return None
@@ -683,7 +735,31 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
     budget = (int(budget_bytes) if budget_bytes is not None
               else hbm_budget_bytes())
     resident = all_cases
-    if knob == "auto" and est > budget:
+    if forced_partial:
+        # reproduce the interrupted run's resident set EXACTLY — grouping
+        # (and therefore skip_batches fast-forward) depends on membership
+        recorded = [int(c) for c in (resume_data_order.get("resident")
+                                     or [])]
+        missing = sorted(set(recorded) - set(all_cases))
+        if len(recorded) < 2 or missing:
+            raise _resume_break(
+                "the recorded resident set is "
+                + (f"not in the current splits (cases {missing[:5]})"
+                   if missing else "empty/invalid"))
+        if dp_mesh:
+            raise _resume_break("a multi-device mesh is now active "
+                                "(partial mode is single-device)")
+        resident = recorded
+    elif knob == "auto" and est > budget:
+        if resume_data_order is not None:
+            # the interrupted run used lockstep batch boundaries (host
+            # staging or full cache); engaging partial now would regroup —
+            # host staging preserves the exact sequence
+            if verbose:
+                print("[device-cache] resumed run recorded lockstep data "
+                      "order — partial mode suppressed, keeping host "
+                      "staging")
+            return None
         # partial mode: cache what fits (single-device only — a partially
         # resident stack replicated over a mesh would need per-shard
         # host routing; host staging stays correct there)
@@ -727,6 +803,7 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
         return skip(f"cache upload failed ({type(e).__name__}: {e})")
     cache.partial = partial
     cache.n_total_cases = len(all_cases)
+    cache.resident_cases = sorted(int(c) for c in resident)
     if verbose:
         frac = len(resident) / max(1, len(all_cases))
         part = (f"{len(resident)}/{len(all_cases)} cases "
@@ -737,13 +814,19 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
               f"{' per device, replicated' if dp_mesh else ''}); "
               "steps feed int32 indices")
     if partial:
+        # ONE truth cache across both generators — they blank-check the
+        # same HDF5 file, and the full-cache path below shares its
+        # truth_lookup for the same reason (no duplicate truth RAM or
+        # repeated decompression)
+        from fetal_mri_segmentation_tpu.pipeline.generator import TruthCache
+        shared_truth = TruthCache(data_file, max_cases=64)
         train_gen = partial_index_batch_generator(
             data_file, training_list, cache.row_of,
             batch_size=config.batch_size, patch_shape=config.patch_shape,
             patch_overlap=0,
             patch_start_offset=config.training_patch_start_offset,
             skip_blank=config.skip_blank, seed=seed,
-            skip_batches=train_skip_batches,
+            truth_cache=shared_truth, skip_batches=train_skip_batches,
             n_labels=config.n_labels, labels=config.labels)
         val_gen = partial_index_batch_generator(
             data_file, validation_list, cache.row_of,
@@ -751,7 +834,8 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
             patch_shape=config.patch_shape,
             patch_overlap=config.validation_patch_overlap,
             shuffle_index_list=False, skip_blank=config.skip_blank,
-            seed=seed, skip_batches=val_skip_batches,
+            seed=seed, truth_cache=shared_truth,
+            skip_batches=val_skip_batches,
             n_labels=config.n_labels, labels=config.labels)
         return cache, train_gen, val_gen
     truth_lookup = (_DictTruth(cache.host_truth)

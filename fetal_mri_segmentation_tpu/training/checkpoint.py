@@ -59,8 +59,32 @@ class CheckpointIO:
         # generators' skip_batches (it would fast-forward forever)
         return epoch if epoch >= 0 else None
 
+    def peek_data_order(self) -> Optional[dict]:
+        """The sidecar's recorded data-order mode, without a full restore.
+
+        ``{"mode": "lockstep"}`` (host staging or full device cache — both
+        share the host pipeline's batch boundaries) or ``{"mode":
+        "partial", "resident": [case ids]}`` (partial device cache — batch
+        grouping depends on WHICH cases were resident). A resumed run's
+        ``skip_batches`` fast-forward only lands on the interrupted run's
+        exact batch sequence if the cache mode is reproduced, so
+        maybe_build_device_cache pins its decision to this record instead
+        of re-deriving it from live free HBM (which may differ between the
+        two runs). None for sidecars written before the field existed.
+        """
+        import json
+        if not self.exists():
+            return None
+        try:
+            with open(self.path + ".meta.json") as f:
+                order = json.load(f).get("data_order")
+        except (OSError, ValueError, AttributeError):
+            return None
+        return order if isinstance(order, dict) and "mode" in order else None
+
     def save(self, state: TrainState, *, epoch: int, best_val: float,
-             sched: Optional[dict] = None) -> None:
+             sched: Optional[dict] = None,
+             data_order: Optional[dict] = None) -> None:
         # a caller omitting sched (external tooling, tests) must not persist
         # plateau/early "best" of 0.0 — restore would seed the schedulers
         # with an unbeatable best and the LR would drop every `patience`
@@ -86,7 +110,8 @@ class CheckpointIO:
         # resumed run sees the exact batch sequence an uninterrupted run
         # would (data-order exact resume). Written atomically.
         from fetal_mri_segmentation_tpu.utils.io_utils import atomic_json_dump
-        atomic_json_dump({"epoch": int(epoch), "best_val": float(best_val)},
+        atomic_json_dump({"epoch": int(epoch), "best_val": float(best_val),
+                          "data_order": data_order or {"mode": "lockstep"}},
                          self.path + ".meta.json")
 
     def restore(self, state: TrainState

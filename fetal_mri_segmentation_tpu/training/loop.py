@@ -388,11 +388,20 @@ def train_model(model, state: TrainState, config,
         # (strict <) is not always a plateau improvement (min_delta), so
         # the counters at a best-epoch are NOT necessarily zero.
         if improved:
+            # record the run's data-order mode so a resume reproduces the
+            # exact batch boundaries (partial-cache grouping depends on
+            # WHICH cases are resident — see CheckpointIO.peek_data_order)
+            data_order = (
+                {"mode": "partial",
+                 "resident": sorted(getattr(device_cache, "resident_cases",
+                                            None) or [])}
+                if partial_cache else {"mode": "lockstep"})
             ckpt.save(state, epoch=epoch + 1, best_val=best_val,
                       sched={"plateau_best": plateau.best,
                              "plateau_wait": plateau.wait,
                              "early_best": early.best,
-                             "early_wait": early.wait})
+                             "early_wait": early.wait},
+                      data_order=data_order)
         if stop:
             break
 

@@ -87,7 +87,10 @@ def keras_adam_slots_from_h5(path: str) -> AdamSlots:
             arr = np.asarray(grp[name])
             base = name.rsplit(":", 1)[0]  # strip TF ':0' suffixes
             low = base.lower()
-            if low.endswith("iteration") or low.endswith("iterations"):
+            if low.endswith("iteration") or low.endswith("iterations") \
+                    or low.endswith("/iter") or low == "iter":
+                # 'Adam/iter:0' is the TF2-era (tf.keras 2.4-2.10)
+                # OptimizerV2 step-counter name; 'iterations' is Keras 2.2.
                 iterations = int(arr)
             elif low.endswith("learning_rate") or low.endswith("/lr") \
                     or low == "lr" or low.endswith("_lr"):

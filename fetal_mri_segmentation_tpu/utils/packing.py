@@ -46,10 +46,16 @@ def device_label_map(prob, threshold, n_labels: int, labels):
 
     if n_labels == 1:
         return pack_bit_mask((prob[0] > threshold).reshape(-1))
-    lab = jnp.asarray(list(labels or range(1, n_labels + 1)), jnp.int32)
+    # numpy-only import (labelmaps has no jax dependency); the dtype is
+    # static at trace time — label values >255 widen the D2H artifact
+    # instead of wrapping modulo 256
+    from fetal_mri_segmentation_tpu.inference.labelmaps import label_map_dtype
+
+    lab_list = list(labels or range(1, n_labels + 1))
+    lab = jnp.asarray(lab_list, jnp.int32)
     label_map = jnp.take(lab, jnp.argmax(prob, axis=0))
     return jnp.where(jnp.max(prob, axis=0) > threshold,
-                     label_map, 0).astype(jnp.uint8)
+                     label_map, 0).astype(label_map_dtype(lab_list))
 
 
 def unpack_bit_mask(packed, shape) -> np.ndarray:

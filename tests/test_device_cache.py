@@ -734,7 +734,11 @@ def test_hbm_budget_bytes(monkeypatch):
         def memory_stats(self):
             return {"bytes_limit": 16 << 30, "bytes_in_use": 6 << 30}
 
-    assert hbm_budget_bytes(FakeDev()) == int(0.8 * (10 << 30))
+    assert hbm_budget_bytes(FakeDev()) == int(0.8 * (10 << 30)) - (3 << 30)
+    # the step-working-set reserve is overridable (and patchable)
+    assert hbm_budget_bytes(FakeDev(), reserve=0) == int(0.8 * (10 << 30))
+    # a tiny device never goes negative
+    assert hbm_budget_bytes(FakeDev(), reserve=100 << 30) == 0
 
     class NoStats:
         def memory_stats(self):
@@ -859,6 +863,13 @@ def test_partial_cache_train_model_end_to_end(data_file, tmp_path):
         for r in rows:
             assert np.isfinite(float(r["loss"]))
             assert np.isfinite(float(r["val_loss"]))
+        # the sidecar records PARTIAL + the resident set, so a resume can
+        # reproduce the exact batch grouping (train.py pins the mode)
+        from fetal_mri_segmentation_tpu.training.checkpoint import (
+            CheckpointIO)
+        order = CheckpointIO(config.model_file).peek_data_order()
+        assert order == {"mode": "partial",
+                         "resident": cache.resident_cases}
         return [r["loss"] for r in rows], state
 
     losses_a, state_a = run("a")
@@ -894,3 +905,58 @@ def test_partial_generator_skip_batches_resume(data_file, tmp_path):
         assert ka == kb
         for x, y in zip(va, vb):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_resume_data_order_pins_cache_mode(data_file, tmp_path):
+    """A resume must reproduce the interrupted run's batch boundaries even
+    when live free HBM would pick a different cache mode: lockstep
+    recordings suppress partial (host staging shares host boundaries);
+    partial recordings force the EXACT resident set or raise."""
+    config = _cfg(data_file, tmp_path, skip_blank=False)
+    get_validation_split(data_file, config.training_file,
+                         config.validation_file, overwrite=True, seed=0,
+                         data_split=0.8)
+    est = estimate_cache_bytes(
+        data_file, 5, *plan_margins((16, 16, 16), (8, 8, 8), 2, (4, 4, 4)),
+        dtype_bytes=4)
+    tight = int(est / 1.5)
+
+    # interrupted run trained host-staged/full (lockstep); resumed box has
+    # less free HBM -> partial would regroup -> host staging instead
+    assert maybe_build_device_cache(
+        data_file, config, budget_bytes=tight,
+        resume_data_order={"mode": "lockstep"}) is None
+
+    # interrupted run was PARTIAL; the resume must reproduce that resident
+    # set even when the whole dataset now fits (full cache would regroup)
+    first = maybe_build_device_cache(data_file, config, budget_bytes=tight)
+    assert first is not None and first[0].partial
+    resident = first[0].resident_cases
+    out = maybe_build_device_cache(
+        data_file, config, budget_bytes=int(est * 10),
+        resume_data_order={"mode": "partial", "resident": resident})
+    assert out is not None and out[0].partial
+    assert out[0].resident_cases == sorted(resident)
+
+    # irreproducible partial resumes fail LOUDLY, never silently regroup
+    import pytest
+    with pytest.raises(RuntimeError, match="exact-resume violation"):
+        maybe_build_device_cache(
+            data_file, config, budget_bytes=tight,
+            resume_data_order={"mode": "partial", "resident": [999, 1000]})
+    config.device_case_cache = "off"
+    with pytest.raises(RuntimeError, match="exact-resume violation"):
+        maybe_build_device_cache(
+            data_file, config,
+            resume_data_order={"mode": "partial", "resident": resident})
+    config.device_case_cache = "on"
+    with pytest.raises(RuntimeError, match="exact-resume violation"):
+        maybe_build_device_cache(
+            data_file, config,
+            resume_data_order={"mode": "partial", "resident": resident})
+    config.device_case_cache = "auto"
+
+    # fresh runs / legacy sidecars (None) keep the free auto decision
+    free = maybe_build_device_cache(data_file, config, budget_bytes=tight,
+                                    resume_data_order=None)
+    assert free is not None and free[0].partial

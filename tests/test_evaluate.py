@@ -92,7 +92,11 @@ def test_parse_regions():
         "whole": [1, 2, 4], "core": [1, 4]}
     assert parse_regions(None) == {}
     for bad in (["whole"], ["whole:"], [":1,2"], ["whole:a,b"],
-                ["w:1", "w:2"]):
+                ["w:1", "w:2"],
+                # blank tokens only: labs.strip() is truthy but no labels
+                # survive — an empty label list would score all-False
+                # masks as empty-vs-empty Dice 1.0
+                ["whole: ,"], ["whole:,"], ["whole:,,"]):
         with pytest.raises(SystemExit):
             parse_regions(bad)
 

@@ -281,3 +281,41 @@ def test_import_rejects_mismatched_slots(trained_h5):
     with pytest.raises(ValueError, match="shape"):
         import_keras_adam_state(state, weights, bad,
                                 import_keras_unet_weights)
+
+
+def test_tf2_iter_named_mv_layout(tmp_path, trained_h5):
+    """tf.keras 2.4-2.10 (OptimizerV2) whole-model saves name the step
+    counter 'Adam/iter:0' and the slots '<opt>/<var>/m:0' / '/v:0'; the
+    parser must classify all three (a miss lands 'iter' in unknown and
+    falsely rejects the file as a mixed layout)."""
+    import h5py
+    ref = keras_adam_slots_from_h5(trained_h5)
+    p = str(tmp_path / "tf2.h5")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("optimizer_weights")
+        names = ["Adam/iter:0"]
+        g.create_dataset("it", data=np.int64(ref.iterations))
+        name_to_ds = {"Adam/iter:0": "it"}
+        for i, (arr, kind) in enumerate(
+                [(a, "m") for a in ref.momentum]
+                + [(a, "v") for a in ref.velocity]):
+            ds = f"var{i}"
+            g.create_dataset(ds, data=arr)
+            n = f"Adam/conv3d_{i}/kernel/{kind}:0"
+            names.append(n)
+            name_to_ds[n] = ds
+        g.attrs["weight_names"] = np.array(
+            [n.encode() for n in names], dtype=object)
+        for n, ds in name_to_ds.items():
+            if n != ds:
+                g[n] = g[ds]
+        import json
+        f.attrs["training_config"] = json.dumps(
+            {"optimizer_config": {"class_name": "Adam",
+                                  "config": {"learning_rate": LR}}})
+    got = keras_adam_slots_from_h5(p)
+    assert got.iterations == ref.iterations
+    assert abs(got.learning_rate - LR) < 1e-9
+    for a, b in zip(got.momentum + got.velocity,
+                    ref.momentum + ref.velocity):
+        np.testing.assert_array_equal(a, b)

@@ -326,12 +326,16 @@ def test_peek_epoch_sidecar(workdir, tmp_path):
             training_patch_start_offset=(2, 2, 2), skip_blank=True, seed=0)
         io = CheckpointIO(cfg.model_file)
         assert io.peek_epoch() is None  # no checkpoint yet
+        assert io.peek_data_order() is None
         state = create_train_state(model, cfg, jax.random.PRNGKey(0))
         train_model(model, state, cfg, tg, vg, n_t, n_v, verbose=False)
         assert io.peek_epoch() == 1  # saved at the end of epoch 0
+        # host-staged training records lockstep batch boundaries
+        assert io.peek_data_order() == {"mode": "lockstep"}
         # legacy checkpoint (sidecar removed) degrades to None, not a crash
         os.remove(cfg.model_file + ".meta.json")
         assert io.peek_epoch() is None
+        assert io.peek_data_order() is None
     finally:
         data_file.close()
 

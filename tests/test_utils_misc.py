@@ -106,3 +106,42 @@ def test_trace_writes_xplane(tmp_path):
         jnp.ones(8).sum().block_until_ready()
     files = [os.path.join(dp, f) for dp, _, fs in os.walk(logdir) for f in fs]
     assert files, "jax.profiler trace produced no artifacts"
+
+
+def test_device_label_map_widens_large_labels():
+    """Label values >255 must widen the device label artifact instead of
+    wrapping modulo 256 (ADVICE r3: the ensemble CLI exposes --labels
+    directly; the device argmax path must agree with the host
+    get_prediction_labels dtype)."""
+    from fetal_mri_segmentation_tpu.utils.packing import device_label_map
+
+    prob = jnp.asarray(
+        np.stack([np.full((2, 2, 2), 0.9, np.float32),
+                  np.full((2, 2, 2), 0.1, np.float32)]))
+    out = np.asarray(device_label_map(prob, 0.5, 2, (500, 2)))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, np.full((2, 2, 2), 500, np.uint16))
+    # ordinary label sets keep the reference's uint8 artifact
+    out8 = np.asarray(device_label_map(prob, 0.5, 2, (3, 2)))
+    assert out8.dtype == np.uint8
+
+
+def test_write_prediction_widens_binary_label(tmp_path):
+    """predict.py's binary surface with labels=(500,): the written map
+    carries 500, not 500 % 256 (the ensemble CLI already widened — the
+    two surfaces must agree)."""
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.inference.predict import (
+        _scale_binary_label, _write_prediction)
+    from fetal_mri_segmentation_tpu.utils.nifti import load_nifti
+
+    config = Config(image_shape=(4, 4, 4), n_labels=1, labels=(500,))
+    label_map = np.array([[[0, 1], [1, 0]], [[1, 0], [0, 1]]], np.uint8)
+    scaled = _scale_binary_label(label_map, config)
+    assert scaled.dtype == np.uint16 and scaled.max() == 500
+    out = _write_prediction(
+        label_map, config, str(tmp_path), np.eye(4),
+        lambda target, fn, *a, **kw: fn(*a, **kw))
+    assert out.max() == 500
+    img = load_nifti(str(tmp_path / "prediction.nii.gz"))
+    assert int(np.asarray(img.get_fdata()).max()) == 500

@@ -153,10 +153,20 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
         device_cache = None
         from fetal_mri_segmentation_tpu.pipeline.device_cache import (
             maybe_build_device_cache)
+        # pin the interrupted run's data-order mode: the partial-cache
+        # decision otherwise reads LIVE free HBM, which may differ between
+        # the crashed run and this one — and partial batch grouping must
+        # match for skip_batches to land on the same sequence. Legacy
+        # sidecars (no field) resume as lockstep, the pre-partial behavior.
+        resume_order = None
+        if resuming and start_epoch > 0:
+            resume_order = (ckpt_io.peek_data_order()
+                            or {"mode": "lockstep"})
         dc = maybe_build_device_cache(data_file, config, mesh=mesh,
                                       seed=seed,
                                       train_skip_batches=start_epoch * n_train,
                                       val_skip_batches=start_epoch * n_val,
+                                      resume_data_order=resume_order,
                                       verbose=verbose)
         if dc is not None:
             device_cache, tg, vg = dc
