@@ -960,3 +960,77 @@ def test_resume_data_order_pins_cache_mode(data_file, tmp_path):
     free = maybe_build_device_cache(data_file, config, budget_bytes=tight,
                                     resume_data_order=None)
     assert free is not None and free[0].partial
+
+
+def test_partial_cache_resume_bitwise_identical(data_file, tmp_path):
+    """End-to-end: an interrupted-at-2-epochs PARTIAL-cache run resumed to
+    4 epochs logs bitwise-identical metrics to an uninterrupted 4-epoch
+    run — wired exactly as train.py does it (peek_epoch + peek_data_order
+    -> skip_batches + resume_data_order). The resume is offered a budget
+    that would fit the FULL cache, so only the data-order pin keeps the
+    partial grouping (and therefore the replayed batch sequence) intact."""
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.training import create_train_state
+    from fetal_mri_segmentation_tpu.training.checkpoint import CheckpointIO
+    from fetal_mri_segmentation_tpu.training.loop import train_model
+
+    est = estimate_cache_bytes(
+        data_file, 5, *plan_margins((16, 16, 16), (8, 8, 8), 2, (4, 4, 4)),
+        dtype_bytes=4)
+    tight = int(est / 1.5)
+
+    def metric_rows(path):
+        out = {}
+        with open(path) as f:
+            hdr = f.readline().strip().split(",")
+            cols = [hdr.index(c) for c in
+                    ("epoch", "dice_coefficient", "val_dice_coefficient",
+                     "loss", "val_loss", "lr")]
+            for line in f:
+                v = line.strip().split(",")
+                out[v[cols[0]]] = [v[i] for i in cols[1:]]
+        return out
+
+    def run(tag, n_epochs, budget, resume=False):
+        d = tmp_path / tag
+        d.mkdir(exist_ok=True)
+        config = _cfg(data_file, d, n_epochs=n_epochs, skip_blank=False,
+                      training_file=str(tmp_path / "t.pkl"),
+                      validation_file=str(tmp_path / "v.pkl"),
+                      model_file=str(d / "model.ckpt"),
+                      training_log=str(d / "training.log"))
+        get_validation_split(data_file, config.training_file,
+                             config.validation_file, overwrite=False,
+                             seed=0, data_split=0.8)
+        start, order = 0, None
+        if resume:
+            io = CheckpointIO(config.model_file)
+            # best-only checkpointing: the resume epoch is the last
+            # IMPROVED epoch (reference ModelCheckpoint semantics), so the
+            # replayed epochs re-log — metric_rows is last-row-wins
+            start = io.peek_epoch() or 0
+            assert start > 0
+            order = io.peek_data_order() or {"mode": "lockstep"}
+            assert order["mode"] == "partial"
+        out = maybe_build_device_cache(
+            data_file, config, budget_bytes=budget,
+            train_skip_batches=start * 11, val_skip_batches=start * 4,
+            resume_data_order=order)
+        assert out is not None and out[0].partial
+        cache, tg, vg = out
+        model = build_model(config)
+        state = create_train_state(model, config, jax.random.PRNGKey(0))
+        train_model(model, state, config, tg, vg, 11, 4, seed=0,
+                    verbose=False, device_cache=cache)
+        return config
+
+    cfg_c = run("uninterrupted", 4, tight)
+    cfg_r = run("interrupted", 2, tight)
+    cfg_r4 = run("interrupted", 4, int(est * 10), resume=True)
+    assert cfg_r4.model_file == cfg_r.model_file
+    cont, res = metric_rows(cfg_c.training_log), \
+        metric_rows(cfg_r4.training_log)
+    assert set(cont) == set(res)
+    for e in sorted(cont):
+        assert cont[e] == res[e], \
+            f"epoch {e} diverged: {cont[e]} != {res[e]}"
