@@ -157,15 +157,18 @@ def build_serving_predictor(model, config, *, direct: bool = False,
                             tta: bool = False, overlap: int = 16,
                             patch_batch_size: int = 8):
     """Shared CLI plumbing: one predictor factory for both serving entry
-    points (sliding-window parity path or direct whole-volume mode)."""
-    if direct and tta:
-        raise ValueError("--direct is one whole-volume forward — "
-                         "no patch grid to TTA-average (--tta)")
+    points (sliding-window parity path or direct whole-volume mode).
+
+    ``--direct --tta`` composes: the direct predictor averages the symmetry
+    group over the WHOLE volume (one compiled scan of direct forwards) —
+    ~2x less device time than the sliding window's patch-level TTA because
+    overlap regions are never recomputed. 48-symmetry ("permute") needs a
+    cubic volume; "flips" works for any direct-compatible geometry."""
     if direct:
         from fetal_mri_segmentation_tpu.parallel.spatial import (
             make_direct_predictor)
 
-        return make_direct_predictor(model, config)
+        return make_direct_predictor(model, config, tta=tta)
     return SlidingWindowPredictor(
         model, config, image_shape=config.image_shape, overlap=overlap,
         patch_batch_size=patch_batch_size, tta_permute=tta)
@@ -601,13 +604,6 @@ def run_validation_cases(validation_keys_file: str, model, variables,
     validation_indices = pickle_load(validation_keys_file)
     image_shape = tuple(data_file.root.data.shape[-3:])
     if spatial_mesh is not None:
-        # options that only exist in the sliding-window mode must not be
-        # silently dropped — fail loudly on incompatible combinations.
-        if permute:
-            raise ValueError(
-                "spatial_mesh inference is one whole-volume forward — "
-                "48-symmetry TTA (permute) applies to cubic PATCHES only; "
-                "drop --tta or use patch-grid sharding (--num-devices)")
         if mesh is not None and len(mesh.devices.flat) > 1:
             raise ValueError(
                 "spatial_mesh and patch-grid mesh are mutually exclusive "
@@ -616,8 +612,12 @@ def run_validation_cases(validation_keys_file: str, model, variables,
         from fetal_mri_segmentation_tpu.parallel import make_spatial_predictor
 
         # SpatialPredictor duck-types the serving surface directly
-        # (device-side label maps, resident params)
-        predictor = make_spatial_predictor(model, config, spatial_mesh)
+        # (device-side label maps, resident params). ``permute`` here means
+        # VOLUME-level TTA (the symmetry group acts on the whole volume —
+        # ~2x cheaper than patch-level TTA; 48-symmetry needs cubic volumes,
+        # which the predictor checks with a curated error).
+        predictor = make_spatial_predictor(model, config, spatial_mesh,
+                                           tta=permute)
     else:
         predictor = SlidingWindowPredictor(
             model, config, image_shape=image_shape, overlap=overlap,

@@ -148,12 +148,25 @@ class SpatialPredictor(ResidentParamsMixin):
     staging, and BIT-PACKED binary label D2H — so `run_validation_cases`
     pipelines it identically."""
 
-    def __init__(self, model, config, mesh: Mesh):
+    def __init__(self, model, config, mesh: Mesh, tta=False):
         import jax.numpy as jnp
 
         self.model = model
         self.config = config
         self.n_labels = config.n_labels
+        # Volume-level TTA (beyond-parity): the reference's predict(permute=
+        # True) averages PATCH-level symmetries inside the sliding window;
+        # here the whole volume is one forward, so the symmetry group acts on
+        # the full volume instead. Same estimator family (nnU-Net-style
+        # mirroring generalized to the cube group), ~2x less device time than
+        # patch-level TTA because the direct pass never recomputes overlap
+        # regions (docs/PERF.md addendum 15). False | "flips" (8-way, any
+        # shape) | True/"permute" (48 symmetries, cubic volumes only).
+        self.tta_mode = (tta if isinstance(tta, str)
+                         else ("permute" if tta else None))
+        if self.tta_mode not in (None, "permute", "flips"):
+            raise ValueError(f"unknown TTA mode {self.tta_mode!r} "
+                             "(use 'permute' or 'flips')")
         repl = NamedSharding(mesh, P())
         spatial = ("spatial" if "spatial" in mesh.axis_names
                    else mesh.axis_names[0])
@@ -165,9 +178,53 @@ class SpatialPredictor(ResidentParamsMixin):
         self._resident_sharding = repl
         self._last_shape = None
 
+        tta_mode = self.tta_mode
+
+        def _forward(variables, x):
+            return model.apply(variables, x)  # (1, D, H, W, L)
+
         def _probs(variables, vol_cdhw):
             x = jnp.transpose(vol_cdhw, (1, 2, 3, 0))[None]  # (1, D, H, W, C)
-            y = model.apply(variables, x)                    # (1, D, H, W, L)
+            if tta_mode is None:
+                y = _forward(variables, x)
+            elif tta_mode == "flips":
+                # 8-way axis-flip average (flips are involutions); scanned
+                # over the 3-bit flip index — one compile, 8 passes. Valid
+                # for any volume shape. Same math as
+                # SlidingWindowPredictor._tta_flips_apply, volume-level.
+                def body(acc, idx):
+                    bits = [(idx >> 2) & 1, (idx >> 1) & 1, idx & 1]
+                    xp = x
+                    for ax, b in zip((1, 2, 3), bits):
+                        xp = jnp.where(b, jnp.flip(xp, axis=ax), xp)
+                    yp = _forward(variables, xp)
+                    for ax, b in zip((1, 2, 3), bits):
+                        yp = jnp.where(b, jnp.flip(yp, axis=ax), yp)
+                    return acc + yp.astype(jnp.float32), None
+
+                acc, _ = jax.lax.scan(
+                    body,
+                    jnp.zeros(x.shape[:4] + (self.n_labels,), jnp.float32),
+                    jnp.arange(8))
+                y = acc / 8.0
+            else:  # "permute": all 48 cube symmetries (cubic volumes only)
+                from fetal_mri_segmentation_tpu.ops.augment import (
+                    permute_data, reverse_permute_data)
+
+                def body(acc, idx):
+                    xp = permute_data(vol_cdhw, idx)         # (C, D, H, W)
+                    yp = _forward(
+                        variables, jnp.transpose(xp, (1, 2, 3, 0))[None])
+                    yp_cdhw = jnp.transpose(yp[0], (3, 0, 1, 2))
+                    return acc + reverse_permute_data(
+                        yp_cdhw, idx).astype(jnp.float32), None
+
+                acc, _ = jax.lax.scan(
+                    body,
+                    jnp.zeros((self.n_labels,) + vol_cdhw.shape[1:],
+                              jnp.float32),
+                    jnp.arange(48))
+                return acc / 48.0
             return jnp.transpose(y[0], (3, 0, 1, 2)).astype(jnp.float32)
 
         def _labels(variables, vol_cdhw, threshold):
@@ -180,12 +237,22 @@ class SpatialPredictor(ResidentParamsMixin):
             return device_label_map(prob, threshold, config.n_labels,
                                     config.labels)
 
+        # pure program functions, exposed for utils/export.py (direct-mode
+        # StableHLO artifacts serialize _labels_fn with weights baked in)
+        self._probs_fn = _probs
+        self._labels_fn = _labels
         self._jitted = jax.jit(_probs, in_shardings=(repl, self._vol_spec),
                                out_shardings=repl)
         self._jitted_labels = jax.jit(_labels,
                                       in_shardings=(repl, self._vol_spec),
                                       out_shardings=repl,
                                       static_argnames=("threshold",))
+        # fp16 probability transfer twin (same rationale as
+        # SlidingWindowPredictor._jitted_prob16: probabilities live in
+        # [0,1], fp16 is exact to ~4.9e-4 there, half the D2H bytes)
+        self._jitted_prob16 = jax.jit(
+            lambda v, d: _probs(v, d).astype(jnp.float16),
+            in_shardings=(repl, self._vol_spec), out_shardings=repl)
 
     def _check_volume(self, full_shape):
         """Curated error for a mis-shaped input: must be (C, D, H, W) with
@@ -225,6 +292,11 @@ class SpatialPredictor(ResidentParamsMixin):
             raise ValueError(
                 f"volume depth {shape[0]} not divisible by the mesh's "
                 f"{self._n_spatial} spatial shards")
+        if self.tta_mode == "permute" and len(set(shape)) != 1:
+            raise ValueError(
+                f"48-symmetry TTA (permute) on the whole-volume predictor "
+                f"requires a CUBIC volume, got {tuple(shape)} — use "
+                f"tta='flips' (the 8-way flip subgroup works for any shape)")
 
     def _stage(self, data_cdhw):
         """Host→device staging; rounds to bf16 ON HOST for bf16 models —
@@ -279,19 +351,43 @@ class SpatialPredictor(ResidentParamsMixin):
         return self.unpack_labels(
             self.predict_labels_async(variables, data_cdhw, threshold))
 
+    def predict_prob_async(self, variables, data_cdhw,
+                           transfer_dtype: str = "float32"):
+        """Dispatch the probability program without blocking (async twin of
+        `predict_labels_async`, duck-typing SlidingWindowPredictor's prob
+        surface so `--direct --prob-map` batches ride the same two-stage
+        pipeline); finish with ``unpack_prob``. ``transfer_dtype="float16"``
+        halves the D2H bytes (max quantization ~4.9e-4 on [0,1])."""
+        variables = self.device_variables(variables)
+        staged = self._stage(data_cdhw)
+        if str(transfer_dtype) in ("float16", "fp16", "half"):
+            return self._jitted_prob16(variables, staged)
+        return self._jitted(variables, staged)
 
-def make_direct_predictor(model, config) -> SpatialPredictor:
+    def unpack_prob(self, out) -> np.ndarray:
+        """Materialize an async probability result as float32 (L, D, H, W)."""
+        return np.asarray(out).astype(np.float32)
+
+
+def make_direct_predictor(model, config, tta=False) -> SpatialPredictor:
     """Single-device DIRECT whole-volume predictor (beyond-parity serving
     mode): the fully-convolutional net runs once over the whole volume —
     no patch grid, no overlap recompute, no seams. ~2x less device time
     than the tiled sliding-window on 128^3 (57 vs 115 ms, docs/PERF.md). Requires volume dims
     divisible by 2^(depth-1); numerics near former patch borders differ
     from the Gaussian overlap-add average (tested close on trained models).
+
+    ``tta``: False | "flips" | "permute"/True — VOLUME-level test-time
+    augmentation (the symmetry group acts on the whole volume rather than
+    on patches, so it is ~2x cheaper than the sliding-window's patch-level
+    TTA: the direct pass never recomputes overlap regions).
     """
     return SpatialPredictor(
-        model, config, Mesh(np.asarray(jax.devices()[:1]), ("spatial",)))
+        model, config, Mesh(np.asarray(jax.devices()[:1]), ("spatial",)),
+        tta=tta)
 
 
-def make_spatial_predictor(model, config, mesh: Mesh) -> SpatialPredictor:
+def make_spatial_predictor(model, config, mesh: Mesh,
+                           tta=False) -> SpatialPredictor:
     """See `SpatialPredictor`."""
-    return SpatialPredictor(model, config, mesh)
+    return SpatialPredictor(model, config, mesh, tta=tta)

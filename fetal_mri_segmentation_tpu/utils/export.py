@@ -35,33 +35,51 @@ def export_predictor(model, config, variables, image_shape: Sequence[int],
                      path: str, overlap: int = 16,
                      patch_batch_size: int = 27,
                      threshold: float = 0.5, tta: bool = False,
-                     platforms: Optional[Sequence[str]] = None) -> None:
+                     platforms: Optional[Sequence[str]] = None,
+                     direct: bool = False) -> None:
     """Serialize the whole-volume label-map program with weights baked in.
 
     ``platforms`` defaults to ["tpu", "cpu"] so the artifact runs both where
     it was produced AND on CPU-only consumers — a single-platform export
     would refuse to execute anywhere else (the portability this module
-    exists for). ``tta`` bakes the 48-symmetry averaging into the program
-    (mirrors ``predict.py --tta``).
+    exists for). ``tta`` bakes symmetry averaging into the program (mirrors
+    ``predict.py --tta`` / ``--tta-mode``: True/"permute" = 48 symmetries,
+    "flips" = the 8-way subgroup). ``direct`` serializes the DIRECT
+    whole-volume forward instead of the sliding window (mirrors
+    ``predict.py --direct``: no patch grid, ~2x less device work; volume
+    dims must satisfy the direct-mode divisibility guard, checked here at
+    export time).
     """
     import jax
     from jax import export as jexport
 
-    from fetal_mri_segmentation_tpu.inference.sliding_window import (
-        SlidingWindowPredictor)
-
-    predictor = SlidingWindowPredictor(model, config,
-                                       image_shape=image_shape,
-                                       overlap=overlap,
-                                       patch_batch_size=patch_batch_size,
-                                       tta_permute=tta)
     variables = jax.device_get(variables)  # bake host copies as constants
-
-    def program(vol_cdhw):
-        return predictor._predict_labels_packed(variables, vol_cdhw,
-                                                threshold)
-
     n_ch = len(config.training_modalities)
+
+    if direct:
+        from fetal_mri_segmentation_tpu.parallel.spatial import (
+            make_direct_predictor)
+
+        predictor = make_direct_predictor(model, config, tta=tta)
+        # fail at EXPORT time (curated divisibility/cubic errors), not when
+        # the consumer first calls the artifact
+        predictor._check_volume((n_ch,) + tuple(image_shape))
+
+        def program(vol_cdhw):
+            return predictor._labels_fn(variables, vol_cdhw, threshold)
+    else:
+        from fetal_mri_segmentation_tpu.inference.sliding_window import (
+            SlidingWindowPredictor)
+
+        predictor = SlidingWindowPredictor(model, config,
+                                           image_shape=image_shape,
+                                           overlap=overlap,
+                                           patch_batch_size=patch_batch_size,
+                                           tta_permute=tta)
+
+        def program(vol_cdhw):
+            return predictor._predict_labels_packed(variables, vol_cdhw,
+                                                    threshold)
     spec = jax.ShapeDtypeStruct((n_ch,) + tuple(image_shape), np.float32)
     plats = list(platforms) if platforms else ["tpu", "cpu"]
     # Cross-platform artifacts must not bake the input-dilated decoder
@@ -84,6 +102,7 @@ def export_predictor(model, config, variables, image_shape: Sequence[int],
                        or range(1, int(config.n_labels) + 1)),
         "threshold": threshold,
         "tta": tta,
+        "direct": direct,
         "packed_bits": config.n_labels == 1,
         "model_name": config.model_name,
     }

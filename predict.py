@@ -58,9 +58,6 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
         raise ValueError(
             "--input is single-device; --num-devices/--spatial-devices "
             "apply to the validation-set path only")
-    if inputs and direct and tta:
-        raise ValueError("--direct is one whole-volume forward — "
-                         "no patch grid to TTA-average (--tta)")
     if device_preprocess and not inputs:
         raise ValueError("--device-preprocess applies to raw-NIfTI ingest "
                          "(--input); the validation set is already "
@@ -84,8 +81,9 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
         export_predictor(model, config, variables, config.image_shape,
                          export_path, overlap=overlap,
                          patch_batch_size=patch_batch_size, tta=tta,
-                         threshold=threshold)
-        print(f"exported portable label-map program to {export_path}")
+                         threshold=threshold, direct=direct)
+        print(f"exported portable label-map program to {export_path}"
+              + (" (direct whole-volume mode)" if direct else ""))
         return
 
     if inputs:

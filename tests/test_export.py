@@ -125,3 +125,50 @@ def test_export_pins_portable_decoder_form(tmp_path, monkeypatch):
 
     # the override restored cleanly: the live CPU path still traces
     assert layers_mod._DECODER_FORM_OVERRIDE is None
+
+
+def test_export_direct_roundtrip_matches_live_direct_predictor(tmp_path):
+    """--export --direct serializes the whole-volume forward: the artifact
+    must reproduce the live direct predictor exactly, carry direct=True in
+    its meta, and reject undivisible geometries at EXPORT time."""
+    import pytest
+
+    from fetal_mri_segmentation_tpu.parallel import make_direct_predictor
+
+    cfg = Config(model_name="unet", depth=2, n_base_filters=2,
+                 patch_shape=(8, 8, 8), image_shape=(16, 16, 16),
+                 compute_dtype="float32")
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 8, 8, 8, 1), np.float32))
+    live = make_direct_predictor(model, cfg)
+    p = str(tmp_path / "direct.fetal")
+    export_predictor(model, cfg, variables, (16, 16, 16), p, direct=True)
+
+    predict = load_predictor(p)
+    assert predict.meta["direct"] is True
+    vol = np.random.default_rng(5).normal(
+        0, 1, (1, 16, 16, 16)).astype(np.float32)
+    got = predict(vol)
+    want = live.predict_labels(variables, vol)
+    assert got.shape == (16, 16, 16)
+    assert np.array_equal(got, want)
+
+    # volume-level TTA bakes into the artifact too
+    p2 = str(tmp_path / "direct_tta.fetal")
+    export_predictor(model, cfg, variables, (16, 16, 16), p2, direct=True,
+                     tta="flips")
+    predict2 = load_predictor(p2)
+    want2 = make_direct_predictor(model, cfg, tta="flips").predict_labels(
+        variables, vol)
+    assert np.array_equal(predict2(vol), want2)
+    assert predict2.meta["tta"] == "flips"
+
+    # bad geometry fails at export time with the curated error
+    cfg_bad = Config(model_name="unet", depth=3, n_base_filters=2,
+                     patch_shape=(8, 8, 8), image_shape=(18, 16, 16),
+                     compute_dtype="float32")
+    model_bad = build_model(cfg_bad)
+    with pytest.raises(ValueError, match="divisible"):
+        export_predictor(model_bad, cfg_bad, variables, (18, 16, 16),
+                         str(tmp_path / "bad.fetal"), direct=True)

@@ -175,8 +175,9 @@ def test_train_model_on_hybrid_mesh(tmp_path):
 
 
 def test_spatial_mode_rejects_incompatible_options(tmp_path):
-    """--tta and patch-grid --num-devices must fail loudly with spatial mode
-    instead of being silently ignored."""
+    """Patch-grid --num-devices must fail loudly with spatial mode instead
+    of being silently ignored (volume-level TTA, by contrast, now composes
+    with the whole-volume predictors — see the tta tests below)."""
     from fetal_mri_segmentation_tpu.data import (open_data_file,
                                                  write_data_to_file)
     from fetal_mri_segmentation_tpu.inference import run_validation_cases
@@ -197,10 +198,6 @@ def test_spatial_mode_rejects_incompatible_options(tmp_path):
         model, cfg, jax.random.PRNGKey(0)).params}
     smesh = make_hybrid_mesh(1, 8)
     with open_data_file(h5p) as f:
-        with pytest.raises(ValueError, match="TTA"):
-            run_validation_cases(keys, model, variables, f, cfg,
-                                 output_dir=str(tmp_path / "x"),
-                                 spatial_mesh=smesh, permute=True)
         with pytest.raises(ValueError, match="mutually exclusive"):
             run_validation_cases(keys, model, variables, f, cfg,
                                  output_dir=str(tmp_path / "x"),
@@ -370,3 +367,113 @@ def test_gspmd_steps_accept_omitted_n_valid():
     ev_default = es(create_train_state(model, cfg, jax.random.PRNGKey(0)),
                     xs, ys)
     assert np.isfinite(float(ev_default["loss"]))
+
+
+# ---------------------------------------------------------------- direct TTA
+
+def test_direct_tta_flips_matches_manual_average():
+    """Volume-level 8-way flip TTA on the direct predictor == averaging 8
+    manually flipped direct predictions (any shape — non-cubic here)."""
+    from fetal_mri_segmentation_tpu.parallel import make_direct_predictor
+
+    cfg = tiny_config()
+    model = build_model(cfg)
+    variables = {"params": create_train_state(
+        model, cfg, jax.random.PRNGKey(0)).params}
+    vol = np.random.default_rng(11).normal(
+        0, 1, (1, 32, 16, 16)).astype(np.float32)
+
+    plain = make_direct_predictor(model, cfg)
+    acc = np.zeros((1, 32, 16, 16), np.float32)
+    for idx in range(8):
+        bits = [(idx >> 2) & 1, (idx >> 1) & 1, idx & 1]
+        xp = vol
+        for ax, b in zip((1, 2, 3), bits):  # spatial axes of (C, D, H, W)
+            if b:
+                xp = np.flip(xp, axis=ax)
+        yp = plain(variables, np.ascontiguousarray(xp))
+        for ax, b in zip((1, 2, 3), bits):
+            if b:
+                yp = np.flip(yp, axis=ax)
+        acc += yp
+    want = acc / 8.0
+
+    got = make_direct_predictor(model, cfg, tta="flips")(variables, vol)
+    assert np.allclose(got, want, atol=1e-5), \
+        float(np.abs(got - want).max())
+
+
+def test_direct_tta_permute_matches_single_patch_sliding_window():
+    """Volume-level 48-symmetry TTA == patch-level TTA when the patch IS the
+    whole (cubic) volume: one sliding-window patch covering the full volume
+    makes the two estimators mathematically identical."""
+    from fetal_mri_segmentation_tpu.inference.sliding_window import (
+        SlidingWindowPredictor)
+    from fetal_mri_segmentation_tpu.parallel import make_direct_predictor
+
+    cfg = tiny_config(patch_shape=(16, 16, 16), image_shape=(16, 16, 16))
+    model = build_model(cfg)
+    variables = {"params": create_train_state(
+        model, cfg, jax.random.PRNGKey(0)).params}
+    vol = np.random.default_rng(13).normal(
+        0, 1, (1, 16, 16, 16)).astype(np.float32)
+
+    sw = SlidingWindowPredictor(model, cfg, image_shape=(16, 16, 16),
+                                overlap=0, patch_batch_size=1,
+                                tta_permute="permute")
+    want = sw(variables, vol)
+    got = make_direct_predictor(model, cfg, tta="permute")(variables, vol)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-4), \
+        float(np.abs(got - want).max())
+
+    # the label path must ride the same TTA-averaged probabilities
+    lab = make_direct_predictor(model, cfg, tta="permute").predict_labels(
+        variables, vol)
+    np.testing.assert_array_equal(lab, (got[0] > 0.5).astype(np.uint8))
+
+
+def test_direct_tta_permute_requires_cubic_volume():
+    """48-symmetry TTA transposes axes — a non-cubic volume must fail with
+    the curated error pointing at tta='flips'."""
+    from fetal_mri_segmentation_tpu.parallel import make_direct_predictor
+
+    cfg = tiny_config()
+    model = build_model(cfg)
+    variables = {"params": create_train_state(
+        model, cfg, jax.random.PRNGKey(0)).params}
+    vol = np.zeros((1, 32, 16, 16), np.float32)
+    with pytest.raises(ValueError, match="CUBIC"):
+        make_direct_predictor(model, cfg, tta="permute").predict_labels(
+            variables, vol)
+
+
+def test_direct_tta_unknown_mode_rejected():
+    cfg = tiny_config()
+    model = build_model(cfg)
+    with pytest.raises(ValueError, match="unknown TTA mode"):
+        make_direct_predictor(model, cfg, tta="rotations")
+
+
+def test_direct_predictor_prob_async_surface():
+    """SpatialPredictor duck-types the async probability surface (so
+    --direct --prob-map batches ride the two-stage pipeline): fp32 async ==
+    sync __call__; fp16 transfer within the documented 4.9e-4 quantization."""
+    from fetal_mri_segmentation_tpu.parallel import make_direct_predictor
+
+    cfg = tiny_config()
+    model = build_model(cfg)
+    variables = {"params": create_train_state(
+        model, cfg, jax.random.PRNGKey(0)).params}
+    vol = np.random.default_rng(17).normal(
+        0, 1, (1, 32, 16, 16)).astype(np.float32)
+
+    pred = make_direct_predictor(model, cfg)
+    want = pred(variables, vol)
+    got32 = pred.unpack_prob(pred.predict_prob_async(variables, vol))
+    assert got32.dtype == np.float32
+    np.testing.assert_allclose(got32, want, atol=1e-6)
+    got16 = pred.unpack_prob(
+        pred.predict_prob_async(variables, vol, transfer_dtype="float16"))
+    assert got16.dtype == np.float32  # materialized back to f32
+    assert float(np.abs(got16 - want).max()) <= 5e-4
