@@ -354,6 +354,34 @@ def test_predict_cases_pipelined_prob_map(tmp_path):
                                   np.asarray(b.get_fdata()))
 
 
+def test_predict_cases_pipelined_prob_map_direct(tmp_path):
+    """predict.py --input --direct --prob-map: the DIRECT whole-volume
+    predictor duck-types the async prob surface (round 4), so the batch
+    driver takes the pipelined branch — and the artifact equals the serial
+    predict_case one. Also composes with volume-level TTA (flips)."""
+    from fetal_mri_segmentation_tpu.inference.predict import (
+        predict_cases_pipelined)
+    from fetal_mri_segmentation_tpu.parallel import make_direct_predictor
+
+    cfg, model, variables = _setup(tmp_path)
+    for tta, tag in ((False, "plain"), ("flips", "tta")):
+        predictor = make_direct_predictor(model, cfg, tta=tta)
+        # the hasattr dispatch must pick the pipelined branch for direct mode
+        assert hasattr(predictor, "predict_prob_async")
+        case = str(tmp_path / "cases" / "case_0")
+        n = predict_cases_pipelined(
+            [(case, str(tmp_path / f"batch_{tag}"))], model, variables,
+            cfg, predictor, verbose=False, output_label_map=False)
+        assert n == 1
+        predict_case(case, str(tmp_path / f"single_{tag}"), model,
+                     variables, cfg, predictor=predictor,
+                     output_label_map=False)
+        a = load_nifti(str(tmp_path / f"batch_{tag}" / "prediction.nii.gz"))
+        b = load_nifti(str(tmp_path / f"single_{tag}" / "prediction.nii.gz"))
+        np.testing.assert_array_equal(np.asarray(a.get_fdata()),
+                                      np.asarray(b.get_fdata()))
+
+
 def test_run_validation_cases_prob_map(tmp_path):
     """predict.py --prob-map on the VALIDATION-SET path: per-case
     probability NIfTIs whose thresholding matches the label-map run."""
