@@ -154,7 +154,7 @@ def resolve_tta(tta: bool, tta_mode):
 
 
 def build_serving_predictor(model, config, *, direct: bool = False,
-                            tta: bool = False, overlap: int = 16,
+                            tta=False, overlap: int = 16,
                             patch_batch_size: int = 8):
     """Shared CLI plumbing: one predictor factory for both serving entry
     points (sliding-window parity path or direct whole-volume mode).
@@ -163,12 +163,23 @@ def build_serving_predictor(model, config, *, direct: bool = False,
     group over the WHOLE volume (one compiled scan of direct forwards) —
     ~2x less device time than the sliding window's patch-level TTA because
     overlap regions are never recomputed. 48-symmetry ("permute") needs a
-    cubic volume; "flips" works for any direct-compatible geometry."""
+    cubic volume; "flips" works for any direct-compatible geometry.
+
+    ``tta``: False | True/"permute" | "flips" (see ``resolve_tta``).
+
+    Direct-mode geometry (divisibility by 2^(depth-1), cubic volume for
+    permute TTA) is validated HERE against ``config.image_shape`` — every
+    served case is preprocessed to that shape, so a bad combination must
+    fail at predictor construction (server startup / CLI launch), not
+    surface per-case inside serve.py's quarantine loop where a permanently
+    misconfigured server would look healthy while predicting nothing."""
     if direct:
         from fetal_mri_segmentation_tpu.parallel.spatial import (
             make_direct_predictor)
 
-        return make_direct_predictor(model, config, tta=tta)
+        predictor = make_direct_predictor(model, config, tta=tta)
+        predictor._check_shape(tuple(config.image_shape))
+        return predictor
     return SlidingWindowPredictor(
         model, config, image_shape=config.image_shape, overlap=overlap,
         patch_batch_size=patch_batch_size, tta_permute=tta)
@@ -584,7 +595,7 @@ def run_validation_cases(validation_keys_file: str, model, variables,
                          data_file, config, output_dir: str = "prediction",
                          overlap: int = 16, threshold: float = 0.5,
                          output_label_map: bool = True,
-                         permute: bool = False,
+                         permute=False,
                          patch_batch_size: int = 8,
                          mesh=None, spatial_mesh=None,
                          prob_dtype: str = "float32") -> None:
@@ -594,6 +605,9 @@ def run_validation_cases(validation_keys_file: str, model, variables,
     predictor executable is built once and reused across cases — all volumes
     share the dataset's uniform image_shape).
 
+    ``permute``: False | True/"permute" (48-symmetry TTA, the reference's
+    ``predict(permute=True)``) | "flips" (8-way subgroup) — the normalized
+    value from ``resolve_tta``, not just a bool.
     ``mesh``: optional multi-device ``jax.sharding.Mesh`` — the patch grid is
     sharded across devices (net-new; parallel/distributed.py).
     ``spatial_mesh``: alternative inference mode — ONE whole-volume forward

@@ -59,11 +59,10 @@ class SlidingWindowPredictor(ResidentParamsMixin):
         # ``tta_permute``: False | True/"permute" (all 48 cube symmetries,
         # cubic patches only — reference predict(permute=True)) | "flips"
         # (the 8-element axis-flip subgroup: ~6x cheaper, any patch shape).
-        self.tta_mode = (tta_permute if isinstance(tta_permute, str)
-                         else ("permute" if tta_permute else None))
-        if self.tta_mode not in (None, "permute", "flips"):
-            raise ValueError(f"unknown TTA mode {self.tta_mode!r} "
-                             f"(expected 'permute' or 'flips')")
+        from fetal_mri_segmentation_tpu.utils.residency import (
+            normalize_tta_mode)
+
+        self.tta_mode = normalize_tta_mode(tta_permute)
         if (self.tta_mode == "permute"
                 and len(set(self.patch_shape)) != 1):
             raise ValueError(
@@ -252,15 +251,20 @@ class SlidingWindowPredictor(ResidentParamsMixin):
         (max quantization error ~4.9e-4 on [0,1] — documented opt-in;
         threshold/argmax label maps derived from the two are identical
         except exactly at the decision boundary)."""
+        from fetal_mri_segmentation_tpu.utils.residency import (
+            is_fp16_transfer)
+
         variables = self.device_variables(variables)
         data = self._stage_volume(data_cdhw)
-        if str(transfer_dtype) in ("float16", "fp16", "half"):
+        if is_fp16_transfer(transfer_dtype):
             return self._jitted_prob16(variables, data)
         return self._jitted(variables, data)
 
     def unpack_prob(self, out) -> np.ndarray:
         """Materialize an async probability result as float32 (L, D, H, W)."""
-        return np.asarray(out).astype(np.float32)
+        from fetal_mri_segmentation_tpu.utils.residency import unpack_prob_f32
+
+        return unpack_prob_f32(out)
 
     # ------------------------------------------------------------------
     def _apply_model(self, variables, patches_dhwc):

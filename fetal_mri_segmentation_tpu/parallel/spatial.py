@@ -162,11 +162,10 @@ class SpatialPredictor(ResidentParamsMixin):
         # patch-level TTA because the direct pass never recomputes overlap
         # regions (docs/PERF.md addendum 15). False | "flips" (8-way, any
         # shape) | True/"permute" (48 symmetries, cubic volumes only).
-        self.tta_mode = (tta if isinstance(tta, str)
-                         else ("permute" if tta else None))
-        if self.tta_mode not in (None, "permute", "flips"):
-            raise ValueError(f"unknown TTA mode {self.tta_mode!r} "
-                             "(use 'permute' or 'flips')")
+        from fetal_mri_segmentation_tpu.utils.residency import (
+            normalize_tta_mode)
+
+        self.tta_mode = normalize_tta_mode(tta)
         repl = NamedSharding(mesh, P())
         spatial = ("spatial" if "spatial" in mesh.axis_names
                    else mesh.axis_names[0])
@@ -358,15 +357,20 @@ class SpatialPredictor(ResidentParamsMixin):
         surface so `--direct --prob-map` batches ride the same two-stage
         pipeline); finish with ``unpack_prob``. ``transfer_dtype="float16"``
         halves the D2H bytes (max quantization ~4.9e-4 on [0,1])."""
+        from fetal_mri_segmentation_tpu.utils.residency import (
+            is_fp16_transfer)
+
         variables = self.device_variables(variables)
         staged = self._stage(data_cdhw)
-        if str(transfer_dtype) in ("float16", "fp16", "half"):
+        if is_fp16_transfer(transfer_dtype):
             return self._jitted_prob16(variables, staged)
         return self._jitted(variables, staged)
 
     def unpack_prob(self, out) -> np.ndarray:
         """Materialize an async probability result as float32 (L, D, H, W)."""
-        return np.asarray(out).astype(np.float32)
+        from fetal_mri_segmentation_tpu.utils.residency import unpack_prob_f32
+
+        return unpack_prob_f32(out)
 
 
 def make_direct_predictor(model, config, tta=False) -> SpatialPredictor:

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import json
 import struct
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 import numpy as np
 
@@ -34,7 +34,7 @@ _MAGIC = b"FETALTPU1"
 def export_predictor(model, config, variables, image_shape: Sequence[int],
                      path: str, overlap: int = 16,
                      patch_batch_size: int = 27,
-                     threshold: float = 0.5, tta: bool = False,
+                     threshold: float = 0.5, tta: Union[bool, str] = False,
                      platforms: Optional[Sequence[str]] = None,
                      direct: bool = False) -> None:
     """Serialize the whole-volume label-map program with weights baked in.

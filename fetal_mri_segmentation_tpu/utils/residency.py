@@ -9,7 +9,41 @@ between the sliding-window and spatial predictors.
 
 from __future__ import annotations
 
+from typing import Optional, Union
+
 import jax
+import numpy as np
+
+
+def normalize_tta_mode(tta: Union[bool, str, None]) -> Optional[str]:
+    """Normalize a predictor's ``tta`` argument to None | "permute" | "flips".
+
+    One implementation for both serving predictors (sliding-window and
+    spatial/direct) so the accepted spellings — and the error text — cannot
+    drift between the two duck-typed surfaces: False/None → no TTA, True →
+    "permute" (the reference's ``predict(permute=True)`` 48-symmetry
+    average), strings pass through validated."""
+    mode = tta if isinstance(tta, str) else ("permute" if tta else None)
+    if mode not in (None, "permute", "flips"):
+        raise ValueError(f"unknown TTA mode {mode!r} "
+                         "(expected 'permute' or 'flips')")
+    return mode
+
+
+def is_fp16_transfer(transfer_dtype) -> bool:
+    """True when a ``transfer_dtype`` argument asks for the fp16-packed D2H
+    path (halves probability-map transfer bytes; max quantization ~4.9e-4 on
+    [0,1]). Shared so both predictors accept the same spellings."""
+    return str(transfer_dtype) in ("float16", "fp16", "half")
+
+
+def unpack_prob_f32(out) -> np.ndarray:
+    """Materialize an async probability result as float32 (L, D, H, W).
+
+    ``copy=False``: on the default fp32 path the D2H array is already
+    float32 — a second full-volume copy here would double host memory
+    traffic for nothing; fp16-packed results still convert."""
+    return np.asarray(out).astype(np.float32, copy=False)
 
 
 def host_round_for_model(arr, model):

@@ -477,3 +477,24 @@ def test_direct_predictor_prob_async_surface():
         pred.predict_prob_async(variables, vol, transfer_dtype="float16"))
     assert got16.dtype == np.float32  # materialized back to f32
     assert float(np.abs(got16 - want).max()) <= 5e-4
+
+
+def test_build_serving_predictor_direct_fails_fast_on_bad_geometry():
+    """A misconfigured --direct server must die at STARTUP, not quarantine
+    every case forever: build_serving_predictor validates config.image_shape
+    (what serving preprocesses every case to) at construction — permute TTA
+    on a non-cubic shape, and the 2^(depth-1) divisibility guard."""
+    from fetal_mri_segmentation_tpu.inference.predict import (
+        build_serving_predictor)
+
+    cfg = tiny_config(image_shape=(32, 16, 16))
+    model = build_model(cfg)
+    with pytest.raises(ValueError, match="CUBIC"):
+        build_serving_predictor(model, cfg, direct=True, tta="permute")
+    cfg_odd = tiny_config(image_shape=(18, 16, 16), depth=3)
+    model_odd = build_model(cfg_odd)
+    with pytest.raises(ValueError, match="divisible"):
+        build_serving_predictor(model_odd, cfg_odd, direct=True)
+    # the good geometry still constructs (cubic, divisible)
+    cfg_ok = tiny_config(image_shape=(16, 16, 16))
+    build_serving_predictor(model, cfg_ok, direct=True, tta="permute")
