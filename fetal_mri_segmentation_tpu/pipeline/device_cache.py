@@ -464,7 +464,7 @@ def partial_index_batch_generator(data_file, index_list, row_of,
                                   shuffle_index_list: bool = True,
                                   skip_blank: bool = True,
                                   seed: Optional[int] = None,
-                                  cache_cases: int = 8,
+                                  cache_cases: int = 64,
                                   truth_cache=None,
                                   skip_batches: int = 0,
                                   n_labels: int = 1, labels=None
@@ -479,9 +479,12 @@ def partial_index_batch_generator(data_file, index_list, row_of,
     then routes each kept patch by residency, filling the two batch kinds
     independently — so the epoch's PATCH MULTISET is identical to the host
     pipeline's while the batch grouping differs (a documented deviation of
-    partial mode: resident and non-resident patches do not share batches).
-    Trailing partials of both kinds flush at epoch end (zero-padded, masked
-    by n_valid like everything else).
+    partial mode: resident and non-resident patches share a batch only in
+    the merged trailing flush below). Trailing partials flush at epoch end
+    (zero-padded, masked by n_valid like everything else); when both kinds
+    have remainders that fit one batch they merge into a single host batch
+    so the per-epoch emission count exactly equals the host generator's
+    ``ceil(kept/batch_size)`` — the loop consumes that many per epoch.
 
     ``skip_batches`` fast-forward replays the full routing deterministically
     and suppresses the first N emissions (exact resume, same guarantee as
@@ -559,7 +562,23 @@ def partial_index_batch_generator(data_file, index_list, row_of,
                 mis = []
                 if out is not None:
                     yield out
-        # flush trailing partials (resident first — deterministic order)
+        # flush trailing partials. The host generator emits exactly
+        # ceil(kept/batch_size) batches per epoch and the training loop
+        # consumes exactly that many (train.py passes it as steps/epoch);
+        # flushing the two streams' remainders independently would emit
+        # ONE EXTRA batch whenever both have remainders that fit a single
+        # batch, drifting trained-epoch boundaries from generator epochs
+        # by one batch per epoch. Merge such remainders into one host
+        # batch (resident cases live in the data file too), which makes
+        # the per-epoch emission count equal the host generator's in
+        # every case; when the remainders overflow one batch, two flushes
+        # match the host's two trailing batches. Resident-first order
+        # keeps the replayed routing (skip_batches resume) deterministic.
+        if res and mis and len(res) + len(mis) <= batch_size:
+            out = boundary(res + mis, emit_host)
+            res, mis = [], []
+            if out is not None:
+                yield out
         for pairs, emit in ((res, emit_idx), (mis, emit_host)):
             if pairs:
                 out = boundary(pairs, emit)
@@ -775,9 +794,8 @@ def maybe_build_device_cache(data_file, config, *, mesh=None, seed=0,
             return None
         # hottest first: training cases are revisited every epoch at full
         # grid weight; validation cases only at validation time
-        ordered = list(dict.fromkeys(
-            list(training_list)
-            + [v for v in validation_list if v not in set(training_list)]))
+        ordered = list(dict.fromkeys(list(training_list)
+                                     + list(validation_list)))
         resident = ordered[:k]
     device = None
     if dp_mesh:

@@ -13,7 +13,9 @@ NO dependency on this package's model classes or flax.
 
     # consumer (only needs jax)
     predict = load_predictor("model.fetal")
-    labels = predict(volume)          # (C, D, H, W) f32 -> uint8 labels
+    labels = predict(volume)  # (C, D, H, W) f32 -> integer label map
+                              # (uint8; widens to uint16/uint32 when any
+                              # configured label value exceeds the dtype)
 
 The exported program is the SAME compiled path `predict.py` serves, so
 outputs are identical by construction (round-trip test in
@@ -115,7 +117,9 @@ def export_predictor(model, config, variables, image_shape: Sequence[int],
 
 
 def load_predictor(path: str):
-    """Load an exported artifact; returns ``predict(vol) -> uint8 labels``.
+    """Load an exported artifact; returns ``predict(vol) -> label map``
+    (unsigned integer array — uint8 unless the configured label values
+    required widening to uint16/uint32 at export time).
 
     Needs only jax — no model classes, no flax, no checkpoint files.
     """

@@ -65,6 +65,10 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
     if prob_map and export_path:
         raise ValueError("--export serializes the LABEL-MAP program; "
                          "probability output (--prob-map) is not exportable")
+    if prob_dtype != "float32" and not prob_map:
+        raise ValueError("--prob-dtype applies to the probability-map "
+                         "transfer only — pass --prob-map (label-map "
+                         "output already uses the bit-packed transfer)")
 
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)

@@ -90,3 +90,17 @@ def test_predict_cli_input(experiment):
               "--num-devices", "2"], timeout=120)
     assert r.returncode != 0
     assert "--input is single-device" in (r.stderr + r.stdout)
+
+
+def test_predict_cli_prob_dtype_requires_prob_map(experiment):
+    """--prob-dtype float16 without --prob-map is a no-op path — it must
+    fail fast like every other incompatible flag combination, not let the
+    user believe they exercised the fp16 transfer."""
+    d = experiment
+    r = _run([os.path.join(REPO, "predict.py"),
+              "--config", str(d / "exp.json"),
+              "--input", str(d / "watch" / "case_0"),
+              "--prob-dtype", "float16"], timeout=120)
+    assert r.returncode != 0
+    assert "--prob-dtype applies to the probability-map" in (
+        r.stderr + r.stdout)

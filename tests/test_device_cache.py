@@ -1034,3 +1034,39 @@ def test_partial_cache_resume_bitwise_identical(data_file, tmp_path):
     for e in sorted(cont):
         assert cont[e] == res[e], \
             f"epoch {e} diverged: {cont[e]} != {res[e]}"
+
+
+def test_partial_generator_epoch_emission_count_matches_host(data_file,
+                                                             tmp_path):
+    """Per-epoch emission count must equal the host generator's
+    ceil(kept/batch_size) — the loop consumes EXACTLY that many batches
+    per epoch (train.py passes it as steps/epoch), so an extra trailing
+    batch would drift trained-epoch boundaries by one batch per epoch.
+
+    Constructed to hit the old bug: resident kept = 8 (one case, 2^3
+    centered grid), non-resident kept = 16, batch_size = 5 -> remainders
+    3 and 1 fit one batch. Independent flushes emit 6/epoch; the host
+    emits ceil(24/5) = 5. The merged trailing flush restores 5.
+    """
+    from fetal_mri_segmentation_tpu.pipeline.device_cache import (
+        partial_index_batch_generator)
+
+    training_list = [0, 1, 2]
+    row_of = {0: 0}  # one resident case -> 8 resident, 16 host patches
+    gen = partial_index_batch_generator(
+        data_file, training_list, row_of, batch_size=5,
+        patch_shape=(8, 8, 8), patch_overlap=0, patch_start_offset=None,
+        skip_blank=False, seed=11)
+    per_epoch = 24 // 5 + 1  # == host get_number_of_steps(24, 5)
+    for _ in range(3):  # three epochs: boundaries must not drift
+        seen = 0
+        kinds = []
+        while seen < 24:
+            kind, a, b, n_valid = next(gen)
+            kinds.append((kind, n_valid))
+            seen += n_valid
+        assert seen == 24, kinds
+        assert len(kinds) == per_epoch, kinds
+        # the merged trailing batch carries both remainders as ONE host
+        # batch (3 resident + 1 non-resident patches)
+        assert kinds[-1] == ("host", 4), kinds
