@@ -1070,3 +1070,28 @@ def test_partial_generator_epoch_emission_count_matches_host(data_file,
         # the merged trailing batch carries both remainders as ONE host
         # batch (3 resident + 1 non-resident patches)
         assert kinds[-1] == ("host", 4), kinds
+
+
+def test_partial_generator_resume_across_merged_flush(data_file):
+    """skip_batches fast-forward must count the merged trailing flush as
+    exactly one emission — a resume landing just past an epoch boundary
+    replays the same merge decision and continues bitwise identically."""
+    from fetal_mri_segmentation_tpu.pipeline.device_cache import (
+        partial_index_batch_generator)
+
+    kw = dict(batch_size=5, patch_shape=(8, 8, 8), patch_overlap=0,
+              patch_start_offset=None, skip_blank=False, seed=11)
+    # same arithmetic as the emission-count test: 5 emissions per epoch,
+    # the 5th is the merged trailing host batch. Skip 6 = one full epoch
+    # + one batch: the replay must cross the merge boundary correctly.
+    a = partial_index_batch_generator(data_file, [0, 1, 2], {0: 0}, **kw)
+    for _ in range(6):
+        next(a)
+    b = partial_index_batch_generator(data_file, [0, 1, 2], {0: 0},
+                                      skip_batches=6, **kw)
+    for _ in range(5):  # rest of epoch 2 incl. its merged flush
+        ka, *va = next(a)
+        kb, *vb = next(b)
+        assert ka == kb
+        for x, y in zip(va, vb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
