@@ -481,7 +481,9 @@ def partial_index_batch_generator(data_file, index_list, row_of,
     pipeline's while the batch grouping differs (a documented deviation of
     partial mode: resident and non-resident patches share a batch only in
     the merged trailing flush below). Trailing partials flush at epoch end
-    (zero-padded, masked by n_valid like everything else); when both kinds
+    (padded to the static batch size — idx batches by duplicating the first
+    row in ``emit_idx``, host batches downstream in ``loop.py::pad_batch`` —
+    and masked by n_valid like everything else); when both kinds
     have remainders that fit one batch they merge into a single host batch
     so the per-epoch emission count exactly equals the host generator's
     ``ceil(kept/batch_size)`` — the loop consumes that many per epoch.

@@ -46,7 +46,14 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
          direct: bool = False, export_path: str = None,
          inputs=None, device_preprocess: bool = False,
          prob_map: bool = False, threshold: float = 0.5,
-         prob_dtype: str = "float32"):
+         prob_dtype: str = "float32", from_keras: str = None):
+    if from_keras:
+        # config-free reference migration (reference: predict.py loads the
+        # model .h5 directly via load_old_model — SURVEY.md section 3.2):
+        # architecture from the file's model_config, weights imported below
+        from fetal_mri_segmentation_tpu.utils.keras_migrate import (
+            derive_config_from_keras_h5)
+        config = derive_config_from_keras_h5(from_keras, base=config)
     if overlap is None:
         # follow the config's validation grid: a patch_shape smaller than
         # the old hardcoded 16 would otherwise reject its own config
@@ -78,7 +85,17 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
     from fetal_mri_segmentation_tpu.inference.predict import (
         build_serving_predictor, load_serving_model)
 
-    model, variables = load_serving_model(config)
+    if from_keras:
+        import jax.tree_util as jtu
+        import jax.numpy as jnp
+
+        from fetal_mri_segmentation_tpu.utils.keras_migrate import (
+            load_old_model as load_keras_model)
+        model, state, _ = load_keras_model(from_keras, config=config,
+                                           with_optimizer=False, derived=True)
+        variables = {"params": jtu.tree_map(jnp.asarray, state.params)}
+    else:
+        model, variables = load_serving_model(config)
 
     if export_path:
         from fetal_mri_segmentation_tpu.utils.export import export_predictor
@@ -151,7 +168,17 @@ def main(config, output_dir: str = "prediction", overlap: int = None,
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--config", required=True)
+    ap.add_argument("--config", default=None,
+                    help="experiment JSON (required unless --from-keras "
+                         "supplies the model config)")
+    ap.add_argument("--from-keras", metavar="MODEL_H5", default=None,
+                    help="predict with a reference Keras model: the "
+                         "architecture is reconstructed from the .h5's "
+                         "model_config and the weights imported — no "
+                         "hand-written model config (reference: predict.py "
+                         "loads the model file directly). Combine with "
+                         "--input for HDF5-free ad-hoc cases, or with "
+                         "--config for validation-set prediction")
     ap.add_argument("--output-dir", default="prediction")
     ap.add_argument("--overlap", type=int, default=None,
                     help="sliding-window patch overlap (default: the "
@@ -214,7 +241,10 @@ if __name__ == "__main__":
     from fetal_mri_segmentation_tpu.config import Config
     from fetal_mri_segmentation_tpu.inference.predict import resolve_tta
 
-    main(Config.load(args.config), output_dir=args.output_dir,
+    if not args.config and not args.from_keras:
+        ap.error("one of --config / --from-keras is required")
+    main(Config.load(args.config) if args.config else Config(),
+         output_dir=args.output_dir,
          overlap=args.overlap, tta=resolve_tta(args.tta, args.tta_mode),
          patch_batch_size=args.patch_batch_size,
          num_devices=args.num_devices,
@@ -222,4 +252,4 @@ if __name__ == "__main__":
          export_path=args.export, inputs=args.input,
          device_preprocess=args.device_preprocess,
          prob_map=args.prob_map, threshold=args.threshold,
-         prob_dtype=args.prob_dtype)
+         prob_dtype=args.prob_dtype, from_keras=args.from_keras)

@@ -52,10 +52,19 @@ def fetch_training_data_files(data_dir: str, modalities, truth_name="truth"):
 
 
 def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
-         profile_dir: str = None, seed: int = 0):
+         profile_dir: str = None, seed: int = 0, from_keras: str = None):
     from fetal_mri_segmentation_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
+    if from_keras:
+        # derive the MODEL config from the .h5 BEFORE anything touches the
+        # config: the data build below globs the derived modalities and the
+        # generators use the derived patch geometry (reference: training.py
+        # ::load_old_model rebuilds the architecture from the file alone)
+        from fetal_mri_segmentation_tpu.utils.keras_migrate import (
+            derive_config_from_keras_h5)
+        config = derive_config_from_keras_h5(from_keras, base=config,
+                                             verbose=verbose)
     # reconcile the two overwrite surfaces (CLI arg and config key): the
     # abstract-state fast path below gates on `overwrite` while train_model
     # gates its restore on `config.overwrite` — if they disagreed, a fresh
@@ -99,15 +108,35 @@ def main(config, data_dir: str, overwrite: bool = False, verbose: bool = True,
         # core) whose every leaf the restore overwrites. Same lever the
         # serving cold-start path uses (training/state.py).
         from fetal_mri_segmentation_tpu.training.checkpoint import CheckpointIO
-        model = build_model(config)
         ckpt_io = CheckpointIO(config.model_file)
-        resuming = ckpt_io.exists() and not overwrite
-        if resuming:
-            from fetal_mri_segmentation_tpu.training.state import (
-                create_abstract_state)
-            state = create_abstract_state(model, config)
+        if from_keras:
+            # config-free reference migration (reference: training.py::
+            # load_old_model — arch + weights + optimizer from one .h5):
+            # the model config was already derived from the file in
+            # __main__; here the weights and Adam slots come in. Resume of
+            # OUR checkpoints and a Keras import are mutually exclusive
+            # starting points — refuse the ambiguity rather than pick one.
+            if ckpt_io.exists() and not overwrite:
+                sys.exit(
+                    f"--from-keras {from_keras}: a checkpoint already "
+                    f"exists at {config.model_file} — resuming it would "
+                    "ignore the Keras model. Pass --overwrite to start "
+                    "from the .h5, or a fresh --config model_file")
+            from fetal_mri_segmentation_tpu.utils.keras_migrate import (
+                load_old_model as load_keras_model)
+            model, state, _ = load_keras_model(from_keras, config=config,
+                                               verbose=verbose, derived=True)
+            resuming = False
         else:
-            state = create_train_state(model, config, jax.random.PRNGKey(seed))
+            model = build_model(config)
+            resuming = ckpt_io.exists() and not overwrite
+            if resuming:
+                from fetal_mri_segmentation_tpu.training.state import (
+                    create_abstract_state)
+                state = create_abstract_state(model, config)
+            else:
+                state = create_train_state(model, config,
+                                           jax.random.PRNGKey(seed))
         # data-order exact resume: fast-forward the generators by the
         # start_epoch*steps batches the interrupted run consumed, so a
         # resumed run trains on the exact batch sequence an uninterrupted
@@ -226,6 +255,15 @@ if __name__ == "__main__":
                     help="capture a jax.profiler trace of training")
     ap.add_argument("--seed", type=int, default=0,
                     help="seed for init, patch sampling and augmentation")
+    ap.add_argument("--from-keras", metavar="MODEL_H5", default=None,
+                    help="continue training a reference Keras model: the "
+                         "architecture (depth, filters, deconvolution, "
+                         "normalization, labels, patch shape) is "
+                         "reconstructed from the .h5's model_config, and "
+                         "weights + Adam optimizer state are imported — no "
+                         "hand-written model config (reference: training.py"
+                         "::load_old_model). --config still supplies data "
+                         "paths and schedule knobs")
     args = ap.parse_args()
 
     if args.smoke:
@@ -240,4 +278,5 @@ if __name__ == "__main__":
     if args.overwrite:
         cfg.overwrite = True
     main(cfg, args.data_dir or cfg.data_dir or "data",
-         overwrite=cfg.overwrite, profile_dir=args.profile, seed=args.seed)
+         overwrite=cfg.overwrite, profile_dir=args.profile, seed=args.seed,
+         from_keras=args.from_keras)
