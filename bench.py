@@ -629,6 +629,12 @@ print(json.dumps({"dp_step_sec_cpu8": round((time.perf_counter()-t0)/5, 5),
 def main():
     from fetal_mri_segmentation_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
+    # host-load annotation (VERDICT r4 weak #4): host-path rows (serving,
+    # prob-map batches, device-ingest) swing 2x with background load on this
+    # 1-core box; recording loadavg at capture time lets a BENCH_r0N.json
+    # reader tell a regression from a busy host without PERF.md's prose
+    # caveats. Captured before AND after since a bench run takes ~20 min.
+    load_before = os.getloadavg()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5],
                     help="measure a single BASELINE config")
@@ -692,6 +698,24 @@ def main():
 
     import jax
     detail["device"] = str(jax.devices()[0])
+    load_after = os.getloadavg()
+    detail["host_loadavg"] = {"before": [round(v, 2) for v in load_before],
+                              "after": [round(v, 2) for v in load_after]}
+    # explicit host-speed canary: the virtual-CPU-mesh DP step is a pure
+    # host-compute workload, so round-over-round drift here means the BOX
+    # was slower, not the framework (r3 15.7 s -> loaded 32.2 s -> quiet
+    # 19.9 s; PERF.md addendum 12)
+    canary = detail.get("config5_dp", {}).get("dp_step_sec_cpu8")
+    detail["host_canary_sec"] = canary
+    # 1-core box: a 1-min loadavg much above the bench's own ~1 means
+    # something else is competing for the core — flag at capture time
+    # (stderr; stdout stays the single JSON line the driver parses)
+    busy = max(load_before[0], load_after[0])
+    if busy > 1.5:
+        print(f"bench: WARNING host loadavg {busy:.2f} > 1.5 during the "
+              "run — host-path rows (serve_*, prob_batch_*, "
+              "host_canary_sec) are inflated; rerun on a quiet box before "
+              "comparing rounds", file=sys.stderr)
 
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
