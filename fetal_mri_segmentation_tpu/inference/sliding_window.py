@@ -140,13 +140,25 @@ class SlidingWindowPredictor(ResidentParamsMixin):
         self._jitted = jax.jit(self._predict_volume)
         self._jitted_labels = jax.jit(self._predict_labels_packed,
                                       static_argnames=("threshold",))
-        # fp16 probability transfer: probabilities live in [0,1], where
-        # float16 is exact to ~4.9e-4 — half the D2H bytes for probability
-        # surfaces (ensembling workflows move L x volume floats per case;
-        # labels ride the packed path instead). Cast INSIDE the program so
-        # only fp16 crosses the link.
-        self._jitted_prob16 = jax.jit(
-            lambda v, d: self._predict_volume(v, d).astype(jnp.float16))
+        # reduced-precision probability transfers: probabilities live in
+        # [0,1], where float16 is exact to ~4.9e-4 (half the D2H bytes) and
+        # fixed-point uint8/uint16 to 2.0e-3/7.6e-6 (quarter/half) — for
+        # probability surfaces (ensembling workflows move L x volume floats
+        # per case; labels ride the packed path instead). Cast/quantize
+        # INSIDE the program so only the small dtype crosses the link;
+        # jax.jit is lazy, so unused variants cost nothing.
+        from fetal_mri_segmentation_tpu.utils.residency import quantize_prob
+        self._jitted_prob_q = {
+            "float16": jax.jit(
+                lambda v, d: self._predict_volume(v, d).astype(jnp.float16)),
+            "uint8": jax.jit(
+                lambda v, d: quantize_prob(self._predict_volume(v, d),
+                                           "uint8")),
+            "uint16": jax.jit(
+                lambda v, d: quantize_prob(self._predict_volume(v, d),
+                                           "uint16")),
+        }
+        self._jitted_prob16 = self._jitted_prob_q["float16"]
         # params stay device-resident across volumes: device_variables()
         # from ResidentParamsMixin (utils/residency.py)
 
@@ -247,17 +259,20 @@ class SlidingWindowPredictor(ResidentParamsMixin):
                            transfer_dtype: str = "float32"):
         """Dispatch the probability program without blocking (async twin of
         `predict_labels_async` for `--prob-map` surfaces); finish with
-        ``unpack_prob``. ``transfer_dtype="float16"`` halves the D2H bytes
-        (max quantization error ~4.9e-4 on [0,1] — documented opt-in;
-        threshold/argmax label maps derived from the two are identical
-        except exactly at the decision boundary)."""
+        ``unpack_prob``. ``transfer_dtype``: "float16" halves the D2H bytes
+        (max quantization ~4.9e-4 on [0,1]), "uint8"/"uint16" fixed-point
+        quarters/halves them (2.0e-3 / 7.6e-6) — documented opt-ins;
+        threshold/argmax label maps derived from any of them are identical
+        except exactly at the decision boundary. ``unpack_prob``
+        dequantizes back to float32 host-side."""
         from fetal_mri_segmentation_tpu.utils.residency import (
-            is_fp16_transfer)
+            resolve_prob_transfer)
 
         variables = self.device_variables(variables)
         data = self._stage_volume(data_cdhw)
-        if is_fp16_transfer(transfer_dtype):
-            return self._jitted_prob16(variables, data)
+        kind = resolve_prob_transfer(transfer_dtype)
+        if kind != "float32":
+            return self._jitted_prob_q[kind](variables, data)
         return self._jitted(variables, data)
 
     def unpack_prob(self, out) -> np.ndarray:

@@ -148,7 +148,8 @@ class SpatialPredictor(ResidentParamsMixin):
     staging, and BIT-PACKED binary label D2H — so `run_validation_cases`
     pipelines it identically."""
 
-    def __init__(self, model, config, mesh: Mesh, tta=False):
+    def __init__(self, model, config, mesh: Mesh, tta=False,
+                 tta_chunk: Optional[int] = None):
         import jax.numpy as jnp
 
         self.model = model
@@ -166,6 +167,22 @@ class SpatialPredictor(ResidentParamsMixin):
             normalize_tta_mode)
 
         self.tta_mode = normalize_tta_mode(tta)
+        # TTA members are independent forwards — so the symmetry group runs
+        # in BATCHED chunks: the permutes/flips themselves are STATIC (free
+        # data-movement ops XLA fuses; a vmapped lax.switch would compute
+        # all 48 branches per member), only the forward is scanned over
+        # chunks of `tta_chunk` members. Measured at 128^3 on v5e
+        # (docs/PERF.md addendum 16): permute 2.73 -> 1.75 s/volume at
+        # chunk=8 (chunks >= 12 crash the server-side TPU compiler —
+        # recorded bound); flips 0.66 -> 0.44 s at chunk=2 (flips has only
+        # 8 members, so big chunks trade batch efficiency for HBM pressure
+        # with nothing to amortize: chunk=8 measured 0.65). Defaults follow
+        # those measurements per mode.
+        if tta_chunk is None:
+            tta_chunk = 8 if self.tta_mode == "permute" else 2
+        if tta_chunk < 1 or 48 % tta_chunk:
+            raise ValueError(f"tta_chunk={tta_chunk} must divide 48")
+        self.tta_chunk = tta_chunk
         repl = NamedSharding(mesh, P())
         spatial = ("spatial" if "spatial" in mesh.axis_names
                    else mesh.axis_names[0])
@@ -187,43 +204,52 @@ class SpatialPredictor(ResidentParamsMixin):
             if tta_mode is None:
                 y = _forward(variables, x)
             elif tta_mode == "flips":
-                # 8-way axis-flip average (flips are involutions); scanned
-                # over the 3-bit flip index — one compile, 8 passes. Valid
-                # for any volume shape. Same math as
+                # 8-way axis-flip average (flips are involutions), BATCHED:
+                # the 8 flipped copies are static `jnp.flip`s stacked into
+                # chunks of tta_chunk, the forward runs once per chunk.
+                # Valid for any volume shape. Same math as
                 # SlidingWindowPredictor._tta_flips_apply, volume-level.
-                def body(acc, idx):
+                def flipped(idx, arr):
                     bits = [(idx >> 2) & 1, (idx >> 1) & 1, idx & 1]
-                    xp = x
                     for ax, b in zip((1, 2, 3), bits):
-                        xp = jnp.where(b, jnp.flip(xp, axis=ax), xp)
-                    yp = _forward(variables, xp)
-                    for ax, b in zip((1, 2, 3), bits):
-                        yp = jnp.where(b, jnp.flip(yp, axis=ax), yp)
-                    return acc + yp.astype(jnp.float32), None
+                        if b:
+                            arr = jnp.flip(arr, axis=ax)
+                    return arr
 
-                acc, _ = jax.lax.scan(
-                    body,
-                    jnp.zeros(x.shape[:4] + (self.n_labels,), jnp.float32),
-                    jnp.arange(8))
-                y = acc / 8.0
+                fchunk = min(self.tta_chunk, 8)
+                if 8 % fchunk:
+                    fchunk = 4 if fchunk >= 4 else 2 if fchunk >= 2 else 1
+                xs = jnp.concatenate([flipped(i, x) for i in range(8)])
+                xs = xs.reshape((8 // fchunk, fchunk) + x.shape[1:])
+
+                def body(_, xc):
+                    return None, _forward(variables, xc).astype(jnp.float32)
+
+                _, ys = jax.lax.scan(body, None, xs)
+                ys = ys.reshape((8,) + ys.shape[2:])  # (8, D, H, W, L)
+                y = jnp.mean(jnp.stack(
+                    [flipped(i, ys[i][None])[0] for i in range(8)]),
+                    axis=0)[None]
             else:  # "permute": all 48 cube symmetries (cubic volumes only)
                 from fetal_mri_segmentation_tpu.ops.augment import (
-                    permute_data, reverse_permute_data)
+                    INVERSE_KEY_INDEX, PERMUTATION_KEYS, _permute_jnp)
 
-                def body(acc, idx):
-                    xp = permute_data(vol_cdhw, idx)         # (C, D, H, W)
-                    yp = _forward(
-                        variables, jnp.transpose(xp, (1, 2, 3, 0))[None])
-                    yp_cdhw = jnp.transpose(yp[0], (3, 0, 1, 2))
-                    return acc + reverse_permute_data(
-                        yp_cdhw, idx).astype(jnp.float32), None
+                chunk = self.tta_chunk
+                xs = jnp.stack([
+                    jnp.transpose(_permute_jnp(vol_cdhw, PERMUTATION_KEYS[i]),
+                                  (1, 2, 3, 0))
+                    for i in range(48)])                 # (48, D, H, W, C)
+                xs = xs.reshape((48 // chunk, chunk) + xs.shape[1:])
 
-                acc, _ = jax.lax.scan(
-                    body,
-                    jnp.zeros((self.n_labels,) + vol_cdhw.shape[1:],
-                              jnp.float32),
-                    jnp.arange(48))
-                return acc / 48.0
+                def body(_, xc):
+                    return None, _forward(variables, xc).astype(jnp.float32)
+
+                _, ys = jax.lax.scan(body, None, xs)
+                ys = ys.reshape((48,) + ys.shape[2:])    # (48, D, H, W, L)
+                inv = [_permute_jnp(jnp.transpose(ys[i], (3, 0, 1, 2)),
+                                    PERMUTATION_KEYS[INVERSE_KEY_INDEX[i]])
+                       for i in range(48)]
+                return jnp.mean(jnp.stack(inv), axis=0)
             return jnp.transpose(y[0], (3, 0, 1, 2)).astype(jnp.float32)
 
         def _labels(variables, vol_cdhw, threshold):
@@ -246,12 +272,23 @@ class SpatialPredictor(ResidentParamsMixin):
                                       in_shardings=(repl, self._vol_spec),
                                       out_shardings=repl,
                                       static_argnames=("threshold",))
-        # fp16 probability transfer twin (same rationale as
-        # SlidingWindowPredictor._jitted_prob16: probabilities live in
-        # [0,1], fp16 is exact to ~4.9e-4 there, half the D2H bytes)
-        self._jitted_prob16 = jax.jit(
-            lambda v, d: _probs(v, d).astype(jnp.float16),
-            in_shardings=(repl, self._vol_spec), out_shardings=repl)
+        # reduced-precision probability transfer twins (same rationale as
+        # SlidingWindowPredictor._jitted_prob_q: fp16 halves the D2H bytes
+        # at ~4.9e-4 on [0,1]; fixed-point uint8/uint16 quarter/halve them
+        # at 2.0e-3 / 7.6e-6; lazy jit — unused variants cost nothing)
+        from fetal_mri_segmentation_tpu.utils.residency import quantize_prob
+        self._jitted_prob_q = {
+            "float16": jax.jit(
+                lambda v, d: _probs(v, d).astype(jnp.float16),
+                in_shardings=(repl, self._vol_spec), out_shardings=repl),
+            "uint8": jax.jit(
+                lambda v, d: quantize_prob(_probs(v, d), "uint8"),
+                in_shardings=(repl, self._vol_spec), out_shardings=repl),
+            "uint16": jax.jit(
+                lambda v, d: quantize_prob(_probs(v, d), "uint16"),
+                in_shardings=(repl, self._vol_spec), out_shardings=repl),
+        }
+        self._jitted_prob16 = self._jitted_prob_q["float16"]
 
     def _check_volume(self, full_shape):
         """Curated error for a mis-shaped input: must be (C, D, H, W) with
@@ -355,15 +392,17 @@ class SpatialPredictor(ResidentParamsMixin):
         """Dispatch the probability program without blocking (async twin of
         `predict_labels_async`, duck-typing SlidingWindowPredictor's prob
         surface so `--direct --prob-map` batches ride the same two-stage
-        pipeline); finish with ``unpack_prob``. ``transfer_dtype="float16"``
-        halves the D2H bytes (max quantization ~4.9e-4 on [0,1])."""
+        pipeline); finish with ``unpack_prob``. ``transfer_dtype``:
+        "float16" halves the D2H bytes (~4.9e-4 on [0,1]), "uint8"/"uint16"
+        fixed-point quarters/halves them (2.0e-3 / 7.6e-6)."""
         from fetal_mri_segmentation_tpu.utils.residency import (
-            is_fp16_transfer)
+            resolve_prob_transfer)
 
         variables = self.device_variables(variables)
         staged = self._stage(data_cdhw)
-        if is_fp16_transfer(transfer_dtype):
-            return self._jitted_prob16(variables, staged)
+        kind = resolve_prob_transfer(transfer_dtype)
+        if kind != "float32":
+            return self._jitted_prob_q[kind](variables, staged)
         return self._jitted(variables, staged)
 
     def unpack_prob(self, out) -> np.ndarray:
@@ -373,7 +412,9 @@ class SpatialPredictor(ResidentParamsMixin):
         return unpack_prob_f32(out)
 
 
-def make_direct_predictor(model, config, tta=False) -> SpatialPredictor:
+def make_direct_predictor(model, config, tta=False,
+                          tta_chunk: Optional[int] = None
+                          ) -> SpatialPredictor:
     """Single-device DIRECT whole-volume predictor (beyond-parity serving
     mode): the fully-convolutional net runs once over the whole volume —
     no patch grid, no overlap recompute, no seams. ~2x less device time
@@ -388,10 +429,12 @@ def make_direct_predictor(model, config, tta=False) -> SpatialPredictor:
     """
     return SpatialPredictor(
         model, config, Mesh(np.asarray(jax.devices()[:1]), ("spatial",)),
-        tta=tta)
+        tta=tta, tta_chunk=tta_chunk)
 
 
-def make_spatial_predictor(model, config, mesh: Mesh,
-                           tta=False) -> SpatialPredictor:
+def make_spatial_predictor(model, config, mesh: Mesh, tta=False,
+                           tta_chunk: Optional[int] = None
+                           ) -> SpatialPredictor:
     """See `SpatialPredictor`."""
-    return SpatialPredictor(model, config, mesh, tta=tta)
+    return SpatialPredictor(model, config, mesh, tta=tta,
+                            tta_chunk=tta_chunk)

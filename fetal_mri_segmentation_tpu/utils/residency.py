@@ -37,13 +37,52 @@ def is_fp16_transfer(transfer_dtype) -> bool:
     return str(transfer_dtype) in ("float16", "fp16", "half")
 
 
+# probability-transfer quantization scales: probabilities live in [0,1], so
+# a fixed-point integer transfer is exact to 0.5/scale — uint8 cuts the D2H
+# bytes 4x vs fp32 (max err 2.0e-3), uint16 2x (7.6e-6). The written NIfTI
+# stays float32 (dequantized host-side); opt-in via --prob-dtype.
+_QUANT_SCALE = {"uint8": 255.0, "uint16": 65535.0}
+
+
+def resolve_prob_transfer(transfer_dtype) -> str:
+    """Canonicalize a probability ``transfer_dtype`` to one of
+    "float32" | "float16" | "uint8" | "uint16" (shared by both serving
+    predictors so spellings and the error text cannot drift)."""
+    s = str(transfer_dtype)
+    if s in ("float32", "fp32", "single", "None"):
+        return "float32"
+    if is_fp16_transfer(s):
+        return "float16"
+    if s in ("uint8", "u8"):
+        return "uint8"
+    if s in ("uint16", "u16"):
+        return "uint16"
+    raise ValueError(f"unknown probability transfer dtype {transfer_dtype!r}"
+                     " (expected float32, float16, uint8 or uint16)")
+
+
+def quantize_prob(prob, kind: str):
+    """In-program fixed-point quantization of a [0,1] probability map —
+    only the integer volume crosses the D2H link."""
+    import jax.numpy as jnp
+
+    scale = _QUANT_SCALE[kind]
+    return jnp.round(jnp.clip(prob, 0.0, 1.0) * scale).astype(
+        jnp.uint8 if kind == "uint8" else jnp.uint16)
+
+
 def unpack_prob_f32(out) -> np.ndarray:
-    """Materialize an async probability result as float32 (L, D, H, W).
+    """Materialize an async probability result as float32 (L, D, H, W),
+    dequantizing fixed-point transfers by their dtype's scale.
 
     ``copy=False``: on the default fp32 path the D2H array is already
     float32 — a second full-volume copy here would double host memory
-    traffic for nothing; fp16-packed results still convert."""
-    return np.asarray(out).astype(np.float32, copy=False)
+    traffic for nothing; fp16/integer results still convert."""
+    arr = np.asarray(out)
+    scale = _QUANT_SCALE.get(str(arr.dtype))
+    if scale is not None:
+        return arr.astype(np.float32) / np.float32(scale)
+    return arr.astype(np.float32, copy=False)
 
 
 def host_round_for_model(arr, model):

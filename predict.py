@@ -228,12 +228,15 @@ if __name__ == "__main__":
     ap.add_argument("--threshold", type=float, default=0.5,
                     help="binary label-map threshold (default 0.5; "
                          "reference: prediction_to_image)")
-    ap.add_argument("--prob-dtype", choices=["float32", "float16"],
+    ap.add_argument("--prob-dtype",
+                    choices=["float32", "float16", "uint8", "uint16"],
                     default="float32",
                     help="with --prob-map: device->host transfer dtype. "
                          "float16 halves the D2H bytes at <=4.9e-4 "
-                         "quantization on [0,1] (the written NIfTI stays "
-                         "float32-typed; threshold/argmax label maps are "
+                         "quantization on [0,1]; uint8/uint16 fixed-point "
+                         "transfers quarter/halve them at <=2.0e-3 / "
+                         "7.6e-6 (the written NIfTI is always dequantized "
+                         "float32; threshold/argmax label maps are "
                          "identical except exactly at the decision "
                          "boundary)")
     args = ap.parse_args()
