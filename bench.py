@@ -443,8 +443,8 @@ def _serve_backlog_sec_per_case(n_cases=8, raw_shape=(170, 170, 110)):
 
 def _prob_batch_rows(n_cases=8):
     """--prob-map batch throughput: the pipelined probability stream
-    (fp32 D2H and the opt-in fp16-packed transfer), sec/case — the
-    K-model-ensemble workflow's unit of work."""
+    (fp32 D2H, the opt-in fp16-packed and uint8 fixed-point transfers),
+    sec/case — the K-model-ensemble workflow's unit of work."""
     import tempfile
 
     import jax
@@ -477,7 +477,8 @@ def _prob_batch_rows(n_cases=8):
                        os.path.join(case, "volume.nii.gz"))
             cases.append(case)
         for dtype, key in (("float32", "prob_batch_sec_per_case_f32"),
-                           ("float16", "prob_batch_sec_per_case_f16")):
+                           ("float16", "prob_batch_sec_per_case_f16"),
+                           ("uint8", "prob_batch_sec_per_case_u8")):
             pairs = [(c, os.path.join(d, f"out_{dtype}", f"case_{i}"))
                      for i, c in enumerate(cases)]
             # compile warmup on the first case alone

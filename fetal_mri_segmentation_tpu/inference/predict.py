@@ -29,14 +29,20 @@ from fetal_mri_segmentation_tpu.inference.labelmaps import (  # noqa: F401
 
 
 def _write_probability(probability, config, out_dir: str, affine,
-                       submit) -> np.ndarray:
+                       submit, scl_slope: float = 1.0) -> np.ndarray:
     """ONE probability-write implementation for both serving surfaces
     (run_validation_case and predict_case) — same no-drift rule as
-    _write_prediction."""
+    _write_prediction.
+
+    ``scl_slope != 1``: the array is a fixed-point quantized map stored
+    as-is (uint8/uint16) with NIfTI value scaling — 4x/2x smaller files
+    AND gzip time than float32, while every scl-aware reader (our loader,
+    nibabel) still returns the same [0,1] floats the float32 write would
+    hold."""
     image = prediction_to_image(probability, affine, label_map=False,
                                 labels=config.labels)
     path = os.path.join(out_dir, "prediction.nii.gz")
-    submit(path, save_nifti, image, path)
+    submit(path, save_nifti, image, path, scl_slope=scl_slope)
     return probability
 
 
@@ -473,10 +479,28 @@ def _drive_prob_pipeline(case_stream, predictor, variables, config,
                          submit, transfer_dtype: str = "float32") -> int:
     """Probability pipeline: same overlap core for `--prob-map` surfaces
     (ensembling workflows move L x volume floats per case — the async
-    dispatch + IO-worker overlap the label path gets, plus an optional
-    fp16-packed D2H that halves the transfer at <=4.9e-4 quantization)."""
+    dispatch + IO-worker overlap the label path gets, plus reduced-
+    precision D2H: fp16-packed halves the transfer at <=4.9e-4, and the
+    fixed-point uint8/uint16 transfers stay integer ALL the way to disk
+    via NIfTI scl_slope scaling, so the gzip write shrinks 4x/2x too —
+    measured the write, not the D2H, as the quiet-host bottleneck
+    (docs/PERF.md addendum 17))."""
+    from fetal_mri_segmentation_tpu.utils.residency import (
+        _QUANT_SCALE, resolve_prob_transfer)
+
+    kind = resolve_prob_transfer(transfer_dtype)
+
     def finalize(p):
         out_dev, out_dir, affine, msg = p
+        if kind in _QUANT_SCALE:
+            # keep the integer volume: the NIfTI stores it with
+            # scl_slope=1/scale; every scl-aware reader dequantizes to the
+            # floats the f32 write would hold (within 1 ulp — the loader
+            # computes stored * float32(1/scale), unpack_prob divides)
+            _write_probability(np.asarray(out_dev), config, out_dir, affine,
+                               _msg_submit(submit, msg),
+                               scl_slope=1.0 / _QUANT_SCALE[kind])
+            return
         probability = predictor.unpack_prob(out_dev)
         _write_probability(probability, config, out_dir, affine,
                            _msg_submit(submit, msg))

@@ -220,9 +220,15 @@ def load_nifti(path: str) -> NiftiImage:
     return NiftiImage(np.ascontiguousarray(data), affine)
 
 
-def save_nifti(image_or_data, path: str, affine: Optional[np.ndarray] = None
-               ) -> None:
-    """Write a NIfTI-1 single file; gzip iff path ends with .gz."""
+def save_nifti(image_or_data, path: str, affine: Optional[np.ndarray] = None,
+               scl_slope: float = 1.0, scl_inter: float = 0.0) -> None:
+    """Write a NIfTI-1 single file; gzip iff path ends with .gz.
+
+    ``scl_slope``/``scl_inter``: standard NIfTI value scaling — readers
+    (this module's loader, nibabel get_fdata) return
+    ``stored * slope + inter``. Lets fixed-point probability maps be
+    stored as uint8/uint16 with slope 1/255 (4x smaller files and gzip
+    time) while every consumer still sees [0,1] floats."""
     if isinstance(image_or_data, NiftiImage):
         # an explicitly passed affine OVERRIDES the image's (a caller
         # re-stamping a resampled image must not silently get the stale one)
@@ -248,7 +254,7 @@ def save_nifti(image_or_data, path: str, affine: Optional[np.ndarray] = None
     struct.pack_into("<8f", hdr, 76, 1.0, float(zooms[0] or 1), float(zooms[1] or 1),
                      float(zooms[2] or 1), 1.0, 1.0, 1.0, 1.0)
     struct.pack_into("<f", hdr, 108, 352.0)   # vox_offset
-    struct.pack_into("<2f", hdr, 112, 1.0, 0.0)  # scl_slope/inter
+    struct.pack_into("<2f", hdr, 112, float(scl_slope), float(scl_inter))
     struct.pack_into("<2h", hdr, 252, 0, 1)   # qform_code=0, sform_code=1
     for i in range(3):
         struct.pack_into("<4f", hdr, 280 + 16 * i, *[float(v) for v in affine[i]])

@@ -233,12 +233,14 @@ if __name__ == "__main__":
                     default="float32",
                     help="with --prob-map: device->host transfer dtype. "
                          "float16 halves the D2H bytes at <=4.9e-4 "
-                         "quantization on [0,1]; uint8/uint16 fixed-point "
-                         "transfers quarter/halve them at <=2.0e-3 / "
-                         "7.6e-6 (the written NIfTI is always dequantized "
-                         "float32; threshold/argmax label maps are "
-                         "identical except exactly at the decision "
-                         "boundary)")
+                         "quantization on [0,1] (written as float32); "
+                         "uint8/uint16 fixed-point transfers quarter/halve "
+                         "them at <=2.0e-3 / 7.6e-6 and stay integer on "
+                         "disk via NIfTI scl_slope scaling (4x/2x smaller "
+                         "files; scl-aware readers incl. nibabel and "
+                         "tools/ensemble.py still see [0,1] floats; "
+                         "measured 2x faster per case than float32 — "
+                         "docs/PERF.md add. 17)")
     args = ap.parse_args()
 
     from fetal_mri_segmentation_tpu.config import Config

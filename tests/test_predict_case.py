@@ -511,6 +511,13 @@ def test_prob_pipeline_quantized_transfer(tmp_path, dtype, tol):
         assert np.abs(p32 - pq).max() <= tol, float(np.abs(p32 - pq).max())
         safe = np.abs(p32 - 0.5) > 2 * tol
         np.testing.assert_array_equal((p32 > 0.5)[safe], (pq > 0.5)[safe])
+        # the FILE stores the integer volume (scl_slope dequantization on
+        # read) — materially smaller than the float32 artifact
+        sz32 = os.path.getsize(str(tmp_path / "p32" / f"case_{i}" /
+                                   "prediction.nii.gz"))
+        szq = os.path.getsize(str(tmp_path / f"p_{dtype}" / f"case_{i}" /
+                                  "prediction.nii.gz"))
+        assert szq < 0.8 * sz32, (szq, sz32)
 
 
 def test_quantize_unpack_roundtrip_and_rejects():
