@@ -1,0 +1,117 @@
+"""Exactness of the space-to-depth conv algebra (ops/fold.py).
+
+Every folded formulation computes the SAME multiply-accumulates as the
+unfolded op, reassociated — so in fp32 on CPU the results must match to
+reassociation tolerance (~1e-5 relative), for every per-axis fold pattern
+and every formulation. These are the equivalence contracts the round-5
+perf probe (tools/probe_fold.py) and any model integration rest on.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fetal_mri_segmentation_tpu.ops.fold import (
+    conv3_folded, conv3_folded_stride2, fold, pool_folded, unfold,
+    up_conv3_folded)
+
+DN = ("NDHWC", "DHWIO", "NDHWC")
+
+FACTOR_SETS = [(2, 2, 2), (1, 2, 2), (2, 1, 1), (1, 1, 2)]
+
+
+def _conv_same(x, k, b=None, strides=(1, 1, 1)):
+    y = jax.lax.conv_general_dilated(x, k, strides, "SAME",
+                                     dimension_numbers=DN)
+    return y if b is None else y + b
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+def test_fold_unfold_roundtrip(rng):
+    x = _rand(rng, 2, 8, 6, 4, 3)
+    for f in FACTOR_SETS:
+        xf = fold(x, f)
+        F = f[0] * f[1] * f[2]
+        assert xf.shape == (2, 8 // f[0], 6 // f[1], 4 // f[2], 3 * F)
+        np.testing.assert_array_equal(np.asarray(unfold(xf, f)),
+                                      np.asarray(x))
+
+
+def test_fold_order_is_subvoxel_major(rng):
+    # channel layout must be ((b1*f2+b2)*f3+b3)*C + c
+    x = _rand(rng, 1, 4, 4, 4, 2)
+    xf = fold(x, (2, 2, 2))
+    for b1, b2, b3 in itertools.product(range(2), repeat=3):
+        s = (b1 * 2 + b2) * 2 + b3
+        np.testing.assert_array_equal(
+            np.asarray(xf[0, 1, 0, 1, s * 2:(s + 1) * 2]),
+            np.asarray(x[0, 2 + b1, 0 + b2, 2 + b3]))
+
+
+@pytest.mark.parametrize("factors", FACTOR_SETS)
+@pytest.mark.parametrize("formulation", ["parity", "parity_batched", "dense"])
+def test_conv3_folded_exact(rng, factors, formulation):
+    cin, cout = 3, 5
+    x = _rand(rng, 2, 8, 6, 4, cin)
+    k = _rand(rng, 3, 3, 3, cin, cout) * 0.2
+    b = _rand(rng, cout)
+    want = _conv_same(x, k, b)
+    got = unfold(conv3_folded(fold(x, factors), k, b, factors,
+                              formulation=formulation), factors)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv3_folded_no_fold_is_plain_conv(rng):
+    x = _rand(rng, 1, 4, 4, 4, 2)
+    k = _rand(rng, 3, 3, 3, 2, 3)
+    want = _conv_same(x, k)
+    got = conv3_folded(x, k, None, (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+@pytest.mark.parametrize("factors", FACTOR_SETS)
+def test_conv3_folded_stride2_exact(rng, factors):
+    cin, cout = 3, 4
+    x = _rand(rng, 2, 8, 8, 8, cin)
+    k = _rand(rng, 3, 3, 3, cin, cout) * 0.2
+    b = _rand(rng, cout)
+    want = _conv_same(x, k, b, strides=(2, 2, 2))
+    got = conv3_folded_stride2(fold(x, factors), k, b, factors)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("factors", FACTOR_SETS)
+def test_pool_folded_exact(rng, factors):
+    x = _rand(rng, 2, 8, 6, 4, 3)
+    want = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID")
+    got = pool_folded(fold(x, factors), factors)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("factors", FACTOR_SETS)
+def test_up_conv3_folded_exact(rng, factors):
+    """conv3(upsample_nearest2(x)) == unfold(up_conv3_folded(x)).
+
+    The output lives on the 2x grid; folded axes carry their parity in
+    channels, unfolded axes interleave spatially — unfolding with the
+    same factors must reproduce the plain upsample+conv (no bias here;
+    the decoder adds it after the skip half).
+    """
+    from fetal_mri_segmentation_tpu.models.layers import upsample_nearest
+    cin, cout = 3, 4
+    x = _rand(rng, 2, 4, 3, 5, cin)
+    k = _rand(rng, 3, 3, 3, cin, cout) * 0.2
+    want = _conv_same(upsample_nearest(x, (2, 2, 2)), k)
+    got = unfold(up_conv3_folded(x, k, factors), factors)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
