@@ -62,6 +62,25 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class HeadParams(nn.Module):
+    """nn.Conv(features, (1,1,1))-shaped params without the conv op.
+
+    Used by the folded head (models/unet3d.py): the 1^3 conv in folded
+    space is a per-sub-voxel matmul against the SAME (1,1,1,C,n) kernel,
+    so the op is custom but the checkpoint layout must stay nn.Conv's.
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 def _dilated_backend_ok() -> bool:
     """Gate for the input-dilated decoder dispatch: XLA:CPU lowers
     lhs-dilated convs poorly (measured 2.7× slower DP step on the virtual
@@ -125,9 +144,16 @@ class ConvBlock(nn.Module):
                                    # (ops/pallas_dec0.py)
     bn_axis_name: Optional[str] = None  # sync-BN: all-reduce the batch
                                         # moments over this mesh axis (DP)
+    fold_factors: Optional[Tuple[int, int, int]] = None  # space-to-depth:
+        # inputs/outputs live in folded layout (ops/fold.py); kernel 3x3x3
+        # stride 1 only; param tree unchanged (the UNFOLDED (3,3,3,Cin,
+        # Cout) kernel), so checkpoints/Keras import are unaffected.
+    fold_formulation: str = "parity"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> jnp.ndarray:
+        if self.fold_factors is not None:
+            return self._folded_path(x, train=train)
         if isinstance(x, (tuple, list)):
             # fused upsample(+concat)+conv input: (x_deep, skip-or-None).
             # Same param tree as the plain path (one (3,3,3, Cin, f) kernel
@@ -181,6 +207,46 @@ class ConvBlock(nn.Module):
                     padding="SAME", dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
         return self._epilogue(x, train=train)
+
+    def _folded_path(self, x, *, train) -> jnp.ndarray:
+        """Space-to-depth variants of the plain and fused-decoder convs.
+
+        Exact reformulations (ops/fold.py) on folded activations; the
+        parameters stay in the reference layout. Norm layers would need
+        their moments taken over (spatial x sub-voxel) to stay exact —
+        not implemented, so folding is gated to norm-free blocks (the
+        flagship BASELINE config #1 uses none at level 0).
+        """
+        if self.batch_normalization or self.instance_normalization:
+            raise ValueError("fold_factors requires norm-free conv blocks")
+        if self.kernel_size != (3, 3, 3) or self.strides != (1, 1, 1):
+            raise ValueError("fold_factors supports 3x3x3 stride-1 blocks")
+        from fetal_mri_segmentation_tpu.ops.fold import (
+            conv3_folded, up_conv3_folded)
+        ff = self.fold_factors
+        F = ff[0] * ff[1] * ff[2]
+        if isinstance(x, (tuple, list)):
+            # fused upsample(+concat)+conv: x_deep at cell resolution
+            # (unfolded channels), skip in folded layout
+            x_deep, skip = x
+            skip_c = 0 if skip is None else skip.shape[-1] // F
+            up_ch = x_deep.shape[-1]
+            kernel, bias = _ConvParams(self.features, name="conv")(
+                up_ch + skip_c)
+            y = up_conv3_folded(x_deep.astype(self.dtype),
+                                kernel[:, :, :, :up_ch, :].astype(self.dtype),
+                                ff)
+            if skip is not None:
+                y = y + conv3_folded(skip.astype(self.dtype),
+                                     kernel[:, :, :, up_ch:, :], None, ff,
+                                     formulation=self.fold_formulation)
+            y = y + jnp.tile(bias, F).astype(y.dtype)
+        else:
+            kernel, bias = _ConvParams(self.features, name="conv")(
+                x.shape[-1] // F)
+            y = conv3_folded(x.astype(self.dtype), kernel, bias, ff,
+                             formulation=self.fold_formulation)
+        return self._epilogue(y.astype(self.dtype), train=train)
 
     def _epilogue(self, x, *, train, skip_activation: bool = False):
         """Optional norm + activation after the conv (any conv path)."""

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fetal_mri_segmentation_tpu.models.layers import (
-    ConvBlock, UpConv, head_activation, max_pool_3d)
+    ConvBlock, HeadParams, UpConv, head_activation, max_pool_3d)
 
 
 class UNet3D(nn.Module):
@@ -41,46 +41,83 @@ class UNet3D(nn.Module):
     bn_axis_name: Any = None  # sync-BN mesh axis under data parallelism
     fuse_decoder: bool = True  # collapse upsample+concat+conv (exact math,
                                # 27->8 taps on the up half; docs/PERF.md)
+    fold_level0: Optional[Tuple[int, int, int]] = None  # space-to-depth at
+        # the full-resolution level: fold these per-axis factors into
+        # channels so the thin enc0/dec0 convs fill the MXU lanes
+        # (ops/fold.py; exact math, reference param tree). Requires
+        # norm-free blocks, fused decoder, pool (2,2,2).
+    fold_formulation: str = "parity"
 
-    def _conv_block(self, f, name):
+    def _conv_block(self, f, name, fold=False):
         return ConvBlock(f, batch_normalization=self.batch_normalization,
                          instance_normalization=self.instance_normalization,
                          dtype=self.dtype, use_pallas=self.use_pallas,
                          use_pallas_dec0=self.use_pallas_dec0,
-                         bn_axis_name=self.bn_axis_name, name=name)
+                         bn_axis_name=self.bn_axis_name,
+                         fold_factors=self.fold_level0 if fold else None,
+                         fold_formulation=self.fold_formulation, name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  logits: bool = False) -> jnp.ndarray:
         """x: (B, D, H, W, C) → (B, D, H, W, n_labels)."""
+        from fetal_mri_segmentation_tpu.ops.fold import (
+            fold, pool_folded, unfold)
+
+        ff = self.fold_level0
+        fuse = (self.fuse_decoder and not self.deconvolution
+                and self.pool_size == (2, 2, 2))
+        if ff is not None and (not fuse or self.depth < 2):
+            raise ValueError("fold_level0 requires the fused decoder path "
+                             "(no deconvolution, pool (2,2,2)) and depth>=2")
         x = x.astype(self.dtype)
+        if ff is not None:
+            x = fold(x, ff)  # level 0 runs in folded layout (ops/fold.py)
         skips = []
         for level in range(self.depth):
             f = self.n_base_filters * (2 ** level)
-            x = self._conv_block(f, f"enc{level}_conv1")(x, train=train)
-            x = self._conv_block(f * 2, f"enc{level}_conv2")(x, train=train)
+            folded = ff is not None and level == 0
+            x = self._conv_block(f, f"enc{level}_conv1", fold=folded)(
+                x, train=train)
+            x = self._conv_block(f * 2, f"enc{level}_conv2", fold=folded)(
+                x, train=train)
             if level < self.depth - 1:
-                skips.append(x)
-                x = max_pool_3d(x, self.pool_size)
+                skips.append(x)  # level 0's skip stays folded
+                x = (pool_folded(x, ff) if folded
+                     else max_pool_3d(x, self.pool_size))
 
-        fuse = (self.fuse_decoder and not self.deconvolution
-                and self.pool_size == (2, 2, 2))
         for level in range(self.depth - 2, -1, -1):
             skip = skips[level]
-            f = skip.shape[-1]
+            folded = ff is not None and level == 0
+            F = ff[0] * ff[1] * ff[2] if folded else 1
+            f = skip.shape[-1] // F
             if fuse:
                 # upsample_nearest + concat + conv collapsed into one op
                 # (identical math and param tree; see
-                # layers.up_concat_conv3x3)
-                x = self._conv_block(f, f"dec{level}_conv1")((x, skip),
-                                                             train=train)
+                # layers.up_concat_conv3x3 / ops.fold.up_conv3_folded)
+                x = self._conv_block(f, f"dec{level}_conv1", fold=folded)(
+                    (x, skip), train=train)
             else:
                 x = UpConv(x.shape[-1], deconvolution=self.deconvolution,
                            size=self.pool_size, dtype=self.dtype,
                            name=f"dec{level}_up")(x)
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = self._conv_block(f, f"dec{level}_conv1")(x, train=train)
-            x = self._conv_block(f, f"dec{level}_conv2")(x, train=train)
+            x = self._conv_block(f, f"dec{level}_conv2", fold=folded)(
+                x, train=train)
+
+        if ff is not None:
+            # folded 1^3 head: per-sub-voxel matmul against the SAME
+            # (1,1,1,C,n) kernel, activation per sub-voxel, then unfold
+            F = ff[0] * ff[1] * ff[2]
+            kernel, bias = HeadParams(self.n_labels, name="head")(
+                x.shape[-1] // F)
+            b, d, h, w, fc = x.shape
+            xs = x.reshape(b, d, h, w, F, fc // F).astype(jnp.float32)
+            y = jnp.einsum("bdhwsc,co->bdhwso", xs, kernel[0, 0, 0]) + bias
+            if not logits:
+                y = head_activation(y, self.activation_name)
+            return unfold(y.reshape(b, d, h, w, F * self.n_labels), ff)
 
         x = nn.Conv(self.n_labels, (1, 1, 1), dtype=jnp.float32,
                     param_dtype=jnp.float32, name="head")(x.astype(jnp.float32))

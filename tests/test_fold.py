@@ -115,3 +115,48 @@ def test_up_conv3_folded_exact(rng, factors):
     got = unfold(up_conv3_folded(x, k, factors), factors)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("formulation", ["parity", "parity_batched"])
+def test_unet_fold_level0_matches_plain(rng, formulation):
+    """UNet3D(fold_level0=(2,2,2)) == UNet3D() from the SAME params.
+
+    The folded model is a pure reformulation: identical param tree
+    (checkpoints interchange), identical function up to fp reassociation.
+    """
+    from fetal_mri_segmentation_tpu.models.unet3d import UNet3D
+
+    x = _rand(rng, 1, 16, 16, 16, 1)
+    plain = UNet3D(n_labels=2, depth=3, n_base_filters=4,
+                   activation_name="sigmoid", dtype=jnp.float32)
+    folded = UNet3D(n_labels=2, depth=3, n_base_filters=4,
+                    activation_name="sigmoid", dtype=jnp.float32,
+                    fold_level0=(2, 2, 2), fold_formulation=formulation)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    fparams = folded.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.structure(params) == jax.tree.structure(fparams)
+            ), "folded model must keep the reference param tree"
+    want = plain.apply(params, x)
+    got = folded.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    # logits path + partial fold too
+    part = UNet3D(n_labels=2, depth=3, n_base_filters=4,
+                  activation_name="sigmoid", dtype=jnp.float32,
+                  fold_level0=(1, 2, 2), fold_formulation=formulation)
+    np.testing.assert_allclose(
+        np.asarray(part.apply(params, x, logits=True)),
+        np.asarray(plain.apply(params, x, logits=True)),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_unet_fold_level0_gates():
+    from fetal_mri_segmentation_tpu.models.unet3d import UNet3D
+
+    x = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
+    with pytest.raises(ValueError, match="fused decoder"):
+        UNet3D(depth=2, deconvolution=True,
+               fold_level0=(2, 2, 2)).init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="norm-free"):
+        UNet3D(depth=2, batch_normalization=True,
+               fold_level0=(2, 2, 2)).init(jax.random.PRNGKey(0), x)

@@ -44,11 +44,13 @@ LABELS = (1, 2, 4)
 FOREGROUND = (1, 2, 4)
 
 
-def make_config(out_dir: str, epochs: int, softmax: bool = False):
+def make_config(out_dir: str, epochs: int, softmax: bool = False,
+                distort: float = None):
     from fetal_mri_segmentation_tpu.config import Config
 
     labels = (0,) + LABELS if softmax else LABELS
     return Config(model_name="unet", depth=3, n_base_filters=8,
+                  distort=distort,
                   image_shape=IMAGE, patch_shape=IMAGE,  # whole-volume
                   n_labels=len(labels), labels=labels,
                   activation_name="softmax" if softmax else "sigmoid",
@@ -64,17 +66,22 @@ def make_config(out_dir: str, epochs: int, softmax: bool = False):
                   training_log=os.path.join(out_dir, "training.log"))
 
 
-def main(out_dir: str, epochs: int, softmax: bool = False):
+def main(out_dir: str, epochs: int, softmax: bool = False,
+         distort: float = None):
     from synthetic import write_multiclass_dataset
 
     os.makedirs(out_dir, exist_ok=True)
     cases_dir = os.path.join(out_dir, "cases")
     write_multiclass_dataset(cases_dir, n_cases=N_CASES, shape=(40, 40, 40))
-    cfg = make_config(out_dir, epochs, softmax=softmax)
+    cfg = make_config(out_dir, epochs, softmax=softmax, distort=distort)
     cfg.save(os.path.join(out_dir, "config.json"))
 
+    import time as _time
+    t0 = _time.perf_counter()
     import train as train_cli
     train_cli.main(cfg, cases_dir, overwrite=False, verbose=True)
+    train_wall = _time.perf_counter() - t0
+    print(f"train wall: {train_wall:.1f} s (distort={distort})")
 
     import predict as predict_cli
     pred_dir = os.path.join(out_dir, "prediction")
@@ -112,7 +119,9 @@ def main(out_dir: str, epochs: int, softmax: bool = False):
         print(f"region {name}: mean dice {np.mean(vals):.4f} "
               f"min {np.min(vals):.4f}")
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
-        json.dump({str(k): v for k, v in summary.items()}, f, indent=1)
+        json.dump({**{str(k): v for k, v in summary.items()},
+                   "train_wall_s": round(train_wall, 1),
+                   "distort": distort}, f, indent=1)
     ok = all(m >= 0.95 for m, _ in summary.values())
     print("PASS: all labels >= 0.95 mean held-out dice" if ok
           else "BELOW TARGET")
@@ -126,5 +135,10 @@ if __name__ == "__main__":
     ap.add_argument("--softmax", action="store_true",
                     help="softmax + explicit background channel variant "
                          "(demonstrates the dead-channel failure mode)")
+    ap.add_argument("--distort", type=float, default=None,
+                    help="enable scale-distortion augmentation (the "
+                         "reference generator's default is 0.25; ours is "
+                         "off — docs/PARITY.md deviation row)")
     args = ap.parse_args()
-    main(args.out_dir, args.epochs, softmax=args.softmax)
+    main(args.out_dir, args.epochs, softmax=args.softmax,
+         distort=args.distort)
