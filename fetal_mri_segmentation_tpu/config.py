@@ -57,6 +57,12 @@ class Config:
     compute_dtype: str = "bfloat16"  # TPU-native: bf16 compute, fp32 params
     use_pallas_conv: bool = False  # fused implicit-GEMM conv kernels (TPU)
     use_pallas_dec0: bool = False  # one-Pallas-program decoder level (TPU)
+    fold_level0: Optional[Tuple[int, int, int]] = None  # space-to-depth at
+        # the full-resolution level (unet only): per-axis factors in {1,2}
+        # folded into channels so thin level-0 convs fill the MXU lanes —
+        # exact math, same checkpoint layout (ops/fold.py; docs/PERF.md
+        # round-5 addendum). Requires norm-free blocks + fused decoder.
+    fold_formulation: str = "parity"  # "parity" | "parity_batched" | "dense"
     remat: bool = False  # rematerialize the forward in the backward pass
                          # (trade FLOPs for HBM -- enables bigger patches)
 
@@ -150,6 +156,17 @@ class Config:
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"compute_dtype={self.compute_dtype!r} — must "
                              "be 'float32' or 'bfloat16'")
+        if self.fold_level0 is not None:
+            f = tuple(self.fold_level0)
+            if len(f) != 3 or any(v not in (1, 2) for v in f):
+                raise ValueError(f"fold_level0={self.fold_level0!r} — must "
+                                 "be three per-axis factors in {1, 2}")
+            self.fold_level0 = f
+        if self.fold_formulation not in ("parity", "parity_batched",
+                                         "dense"):
+            raise ValueError(
+                f"fold_formulation={self.fold_formulation!r} — must be "
+                "'parity', 'parity_batched' or 'dense'")
         if self.normalization not in ("per_volume", "global", "windowed",
                                       "none", None):
             raise ValueError(

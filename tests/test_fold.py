@@ -160,3 +160,20 @@ def test_unet_fold_level0_gates():
     with pytest.raises(ValueError, match="norm-free"):
         UNet3D(depth=2, batch_normalization=True,
                fold_level0=(2, 2, 2)).init(jax.random.PRNGKey(0), x)
+
+
+def test_config_fold_wiring(rng):
+    """Config.fold_level0 flows through build_model; validation rejects
+    malformed factors/formulations at construction."""
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.models import build_model
+
+    cfg = Config(model_name="unet", depth=3, n_base_filters=4,
+                 fold_level0=[2, 2, 2], fold_formulation="parity_batched")
+    m = build_model(cfg)
+    assert m.fold_level0 == (2, 2, 2)
+    assert m.fold_formulation == "parity_batched"
+    with pytest.raises(ValueError, match="fold_level0"):
+        Config(fold_level0=(2, 3, 2))
+    with pytest.raises(ValueError, match="fold_formulation"):
+        Config(fold_formulation="nope")
