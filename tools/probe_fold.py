@@ -216,10 +216,61 @@ def probe_sandwich(B: int, S: int, dt=jnp.bfloat16, form_sel=None):
                   flush=True)
 
 
+def probe_train(B: int, S: int):
+    """Whole-model forward and fwd+bwd: flagship depth-3/32 unet, plain
+    vs folded level 0 — the composite's 8 train steps are the dominant
+    term, so this is the integration decision's number."""
+    from fetal_mri_segmentation_tpu.models.unet3d import UNet3D
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(B, S, S, S, 1)), jnp.bfloat16)
+    tgt = jnp.asarray((rng.random(size=(B, S, S, S, 2)) > 0.7), jnp.float32)
+
+    plain = UNet3D(n_labels=2, depth=3, n_base_filters=32,
+                   activation_name="sigmoid", dtype=jnp.bfloat16)
+    params = plain.init(jax.random.PRNGKey(0), x[:1, :32, :32, :32])
+
+    def variants():
+        yield "plain", plain
+        for factors in FACTOR_SETS:
+            for form in ["parity", "dense"]:  # parity_batched: measured
+                # negative at the conv level (3-8x slower; vmap lowers to
+                # a grouped conv the emitter handles poorly) — excluded
+                yield (f"f={factors} {form}",
+                       UNet3D(n_labels=2, depth=3, n_base_filters=32,
+                              activation_name="sigmoid", dtype=jnp.bfloat16,
+                              fold_level0=factors, fold_formulation=form))
+
+    for name, model in variants():
+        def fwd(x, params):
+            return model.apply(params, x)
+
+        def step(x, params, tgt):
+            def loss(p):
+                y = model.apply(p, x).astype(jnp.float32)
+                num = jnp.sum(y * tgt)
+                den = jnp.sum(y) + jnp.sum(tgt) + 1.0
+                return 1.0 - 2.0 * num / den
+            l, g = jax.value_and_grad(loss)(params)
+            return l + sum(jnp.mean(v)
+                           for v in jax.tree.leaves(g)).astype(jnp.float32)
+
+        try:
+            tf = scan_time(fwd, (x, params), iters=20)
+            ts = scan_time(lambda x, p, t: step(x, p, t), (x, params, tgt),
+                           iters=20)
+        except Exception as e:
+            print(f"[model @{S}^3 B={B}] {name:<28} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:90]}", flush=True)
+            continue
+        print(f"[model @{S}^3 B={B}] {name:<28} fwd {tf*1e3:8.3f} ms   "
+              f"fwd+bwd {ts*1e3:8.3f} ms", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--section", default="convs",
-                    choices=["convs", "sandwich"])
+                    choices=["convs", "sandwich", "train"])
     ap.add_argument("--spatial", type=int, default=64)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--form", default=None, choices=FORMS,
@@ -229,6 +280,8 @@ def main():
           flush=True)
     if args.section == "convs":
         probe_convs(args.batch, args.spatial)
+    elif args.section == "train":
+        probe_train(args.batch, args.spatial)
     else:
         probe_sandwich(args.batch, args.spatial,
                        form_sel=[args.form] if args.form else None)
