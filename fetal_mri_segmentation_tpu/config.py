@@ -57,12 +57,13 @@ class Config:
     compute_dtype: str = "bfloat16"  # TPU-native: bf16 compute, fp32 params
     use_pallas_conv: bool = False  # fused implicit-GEMM conv kernels (TPU)
     use_pallas_dec0: bool = False  # one-Pallas-program decoder level (TPU)
-    fold_level0: Optional[Tuple[int, int, int]] = None  # space-to-depth at
-        # the full-resolution level (unet only): per-axis factors in {1,2}
-        # folded into channels so thin level-0 convs fill the MXU lanes —
-        # exact math, same checkpoint layout (ops/fold.py; docs/PERF.md
-        # round-5 addendum). Requires norm-free blocks + fused decoder.
-    fold_formulation: str = "parity"  # "parity" | "parity_batched" | "dense"
+    fold_level0: Any = "auto"  # space-to-depth at the full-resolution
+        # level (unet only): exact math, same checkpoint layout
+        # (ops/fold.py; docs/PERF.md round-5 addendum 18). "auto" (default)
+        # applies the measured-winner fold on TPU when the gates pass
+        # (norm-free level-0 blocks, fused decoder, even axes); "off"/None
+        # disables; an explicit [f1,f2,f3] (factors in {1,2}) forces it.
+    fold_formulation: str = "dense"  # "parity" | "parity_batched" | "dense"
     remat: bool = False  # rematerialize the forward in the backward pass
                          # (trade FLOPs for HBM -- enables bigger patches)
 
@@ -156,11 +157,15 @@ class Config:
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"compute_dtype={self.compute_dtype!r} — must "
                              "be 'float32' or 'bfloat16'")
-        if self.fold_level0 is not None:
-            f = tuple(self.fold_level0)
+        if self.fold_level0 not in (None, "auto", "off"):
+            try:
+                f = tuple(int(v) for v in self.fold_level0)
+            except (TypeError, ValueError):
+                f = ()
             if len(f) != 3 or any(v not in (1, 2) for v in f):
                 raise ValueError(f"fold_level0={self.fold_level0!r} — must "
-                                 "be three per-axis factors in {1, 2}")
+                                 "be 'auto', 'off' or three per-axis "
+                                 "factors in {1, 2}")
             self.fold_level0 = f
         if self.fold_formulation not in ("parity", "parity_batched",
                                          "dense"):

@@ -37,8 +37,8 @@ def build_model(config, bn_axis_name=None) -> Any:
             use_pallas=getattr(config, "use_pallas_conv", False),
             use_pallas_dec0=getattr(config, "use_pallas_dec0", False),
             bn_axis_name=bn_axis_name,
-            fold_level0=getattr(config, "fold_level0", None),
-            fold_formulation=getattr(config, "fold_formulation", "parity"),
+            fold_level0=getattr(config, "fold_level0", "auto"),
+            fold_formulation=getattr(config, "fold_formulation", "dense"),
         )
     if config.model_name == "isensee":
         return Isensee2017(

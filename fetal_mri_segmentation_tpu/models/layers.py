@@ -98,6 +98,52 @@ def _dilated_backend_ok() -> bool:
 _DECODER_FORM_OVERRIDE: Optional[str] = None
 
 
+# trace-time override of space-to-depth folding. "off" forces the plain
+# path even where a config requested folding — utils/export.py pins it for
+# portable artifacts the same way it pins the decoder form (the folded
+# dense conv is a TPU win but a mild CPU loss, and "auto" reads the
+# TRACING host's backend).
+_FOLD_OVERRIDE: Optional[str] = None
+
+# measured winner of the round-5 space-to-depth probe on v5e
+# (docs/PERF.md round-5 addendum 18): fold W into channels, dense-embedded
+# kernel — whole-model fwd -7%, fwd+bwd -24% on the flagship unet.
+FOLD_AUTO = ((1, 1, 2), "dense")
+
+
+def _fold_backend_ok() -> bool:
+    """Auto-folding applies on TPU only: the dense folded conv trades 2x
+    dense FLOPs for full MXU lanes — a measured win on v5e, a measured
+    loss on XLA:CPU (tools/probe_fold.py). Module-level so tests can
+    monkeypatch it and exercise the auto path off-TPU."""
+    return jax.default_backend() == "tpu"
+
+
+class fold_override:
+    """Context manager pinning space-to-depth folding during a trace.
+
+    with fold_override("off"):   # plain convs everywhere (portable export)
+        exported = jax.export(...)
+    """
+
+    def __init__(self, mode: Optional[str]):
+        if mode not in (None, "off"):
+            raise ValueError(f"unknown fold override {mode!r}")
+        self._mode = mode
+        self._prev: Optional[str] = None
+
+    def __enter__(self):
+        global _FOLD_OVERRIDE
+        self._prev = _FOLD_OVERRIDE
+        _FOLD_OVERRIDE = self._mode
+        return self
+
+    def __exit__(self, *exc):
+        global _FOLD_OVERRIDE
+        _FOLD_OVERRIDE = self._prev
+        return False
+
+
 class decoder_form_override:
     """Context manager pinning the fused-decoder formulation during a trace.
 

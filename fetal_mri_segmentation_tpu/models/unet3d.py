@@ -41,32 +41,52 @@ class UNet3D(nn.Module):
     bn_axis_name: Any = None  # sync-BN mesh axis under data parallelism
     fuse_decoder: bool = True  # collapse upsample+concat+conv (exact math,
                                # 27->8 taps on the up half; docs/PERF.md)
-    fold_level0: Optional[Tuple[int, int, int]] = None  # space-to-depth at
-        # the full-resolution level: fold these per-axis factors into
-        # channels so the thin enc0/dec0 convs fill the MXU lanes
-        # (ops/fold.py; exact math, reference param tree). Requires
-        # norm-free blocks, fused decoder, pool (2,2,2).
-    fold_formulation: str = "parity"
+    fold_level0: Any = "auto"  # space-to-depth at the full-resolution
+        # level: fold per-axis factors into channels so the thin enc0/dec0
+        # convs fill the MXU lanes (ops/fold.py; exact math, reference
+        # param tree). "auto" (default): the measured-winner fold
+        # (layers.FOLD_AUTO) on TPU when the gates pass (norm-free, fused
+        # decoder, depth>=2, even folded axes), plain otherwise. None/"off"
+        # disables; an explicit (f1,f2,f3) tuple forces it (raising when a
+        # gate fails).
+    fold_formulation: str = "dense"
 
-    def _conv_block(self, f, name, fold=False):
+    def _conv_block(self, f, name, fold=None, form="dense"):
+        """fold: RESOLVED fold factors (a tuple) or None — "auto" has
+        already been resolved by __call__."""
         return ConvBlock(f, batch_normalization=self.batch_normalization,
                          instance_normalization=self.instance_normalization,
                          dtype=self.dtype, use_pallas=self.use_pallas,
                          use_pallas_dec0=self.use_pallas_dec0,
                          bn_axis_name=self.bn_axis_name,
-                         fold_factors=self.fold_level0 if fold else None,
-                         fold_formulation=self.fold_formulation, name=name)
+                         fold_factors=fold, fold_formulation=form,
+                         name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  logits: bool = False) -> jnp.ndarray:
         """x: (B, D, H, W, C) → (B, D, H, W, n_labels)."""
+        from fetal_mri_segmentation_tpu.models import layers as _layers
         from fetal_mri_segmentation_tpu.ops.fold import (
             fold, pool_folded, unfold)
 
         ff = self.fold_level0
+        form = self.fold_formulation
         fuse = (self.fuse_decoder and not self.deconvolution
                 and self.pool_size == (2, 2, 2))
+        has_norm = self.batch_normalization or self.instance_normalization
+        if ff == "off":
+            ff = None
+        elif ff == "auto":
+            ff, form = _layers.FOLD_AUTO
+            gates = (fuse and self.depth >= 2 and not has_norm
+                     and _layers._fold_backend_ok()
+                     and all(s % f == 0
+                             for s, f in zip(x.shape[1:4], ff)))
+            if not gates:
+                ff = None
+        if _layers._FOLD_OVERRIDE == "off":
+            ff = None
         if ff is not None and (not fuse or self.depth < 2):
             raise ValueError("fold_level0 requires the fused decoder path "
                              "(no deconvolution, pool (2,2,2)) and depth>=2")
@@ -76,11 +96,11 @@ class UNet3D(nn.Module):
         skips = []
         for level in range(self.depth):
             f = self.n_base_filters * (2 ** level)
-            folded = ff is not None and level == 0
-            x = self._conv_block(f, f"enc{level}_conv1", fold=folded)(
-                x, train=train)
-            x = self._conv_block(f * 2, f"enc{level}_conv2", fold=folded)(
-                x, train=train)
+            folded = ff if level == 0 else None
+            x = self._conv_block(f, f"enc{level}_conv1", fold=folded,
+                                 form=form)(x, train=train)
+            x = self._conv_block(f * 2, f"enc{level}_conv2", fold=folded,
+                                 form=form)(x, train=train)
             if level < self.depth - 1:
                 skips.append(x)  # level 0's skip stays folded
                 x = (pool_folded(x, ff) if folded
@@ -88,23 +108,23 @@ class UNet3D(nn.Module):
 
         for level in range(self.depth - 2, -1, -1):
             skip = skips[level]
-            folded = ff is not None and level == 0
+            folded = ff if level == 0 else None
             F = ff[0] * ff[1] * ff[2] if folded else 1
             f = skip.shape[-1] // F
             if fuse:
                 # upsample_nearest + concat + conv collapsed into one op
                 # (identical math and param tree; see
                 # layers.up_concat_conv3x3 / ops.fold.up_conv3_folded)
-                x = self._conv_block(f, f"dec{level}_conv1", fold=folded)(
-                    (x, skip), train=train)
+                x = self._conv_block(f, f"dec{level}_conv1", fold=folded,
+                                     form=form)((x, skip), train=train)
             else:
                 x = UpConv(x.shape[-1], deconvolution=self.deconvolution,
                            size=self.pool_size, dtype=self.dtype,
                            name=f"dec{level}_up")(x)
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = self._conv_block(f, f"dec{level}_conv1")(x, train=train)
-            x = self._conv_block(f, f"dec{level}_conv2", fold=folded)(
-                x, train=train)
+            x = self._conv_block(f, f"dec{level}_conv2", fold=folded,
+                                 form=form)(x, train=train)
 
         if ff is not None:
             # folded 1^3 head: per-sub-voxel matmul against the SAME

@@ -12,3 +12,11 @@ from fetal_mri_segmentation_tpu.ops.patches import (  # noqa: F401
     reconstruct_from_patches,
     gaussian_importance_map,
 )
+from fetal_mri_segmentation_tpu.ops.fold import (  # noqa: F401
+    conv3_folded,
+    conv3_folded_stride2,
+    fold,
+    pool_folded,
+    unfold,
+    up_conv3_folded,
+)

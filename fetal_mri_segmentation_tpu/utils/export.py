@@ -90,9 +90,14 @@ def export_predictor(model, config, variables, image_shape: Sequence[int],
     # program the CPU consumer then runs 2.7x slower (the exact lowering
     # the runtime gate avoids). Pin the parity form — same math, portable
     # performance — whenever a non-TPU platform is targeted.
-    from fetal_mri_segmentation_tpu.models.layers import decoder_form_override
+    from fetal_mri_segmentation_tpu.models.layers import (
+        decoder_form_override, fold_override)
     form = None if plats == ["tpu"] else "parity"
-    with decoder_form_override(form):
+    # same portability reasoning for space-to-depth folding: "auto" reads
+    # the tracing host's backend, and the dense folded conv is a measured
+    # CPU loss — force the plain convs into any non-TPU-only artifact.
+    fold_mode = None if plats == ["tpu"] else "off"
+    with decoder_form_override(form), fold_override(fold_mode):
         exported = jexport.export(jax.jit(program), platforms=plats)(spec)
     meta = {
         "image_shape": list(int(s) for s in image_shape),

@@ -177,3 +177,50 @@ def test_config_fold_wiring(rng):
         Config(fold_level0=(2, 3, 2))
     with pytest.raises(ValueError, match="fold_formulation"):
         Config(fold_formulation="nope")
+
+
+def test_unet_fold_auto_resolution(rng, monkeypatch):
+    """"auto" folds on TPU-gated configs only, falls back silently on
+    gate failures, and fold_override("off") pins it off — all without
+    changing the function value."""
+    from fetal_mri_segmentation_tpu.models import layers as L
+    from fetal_mri_segmentation_tpu.models.unet3d import UNet3D
+    from fetal_mri_segmentation_tpu.ops import fold as fold_mod
+
+    calls = []
+    real = fold_mod.conv3_folded
+    monkeypatch.setattr(fold_mod, "conv3_folded",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    x = _rand(rng, 1, 8, 8, 8, 1)
+    auto = UNet3D(n_labels=1, depth=2, n_base_filters=4, dtype=jnp.float32)
+    assert auto.fold_level0 == "auto"
+    params = auto.init(jax.random.PRNGKey(0), x)
+
+    # off-TPU (this suite's CPU backend): auto resolves to plain
+    calls.clear()
+    y_plain = auto.apply(params, x)
+    assert not calls
+
+    # pretend-TPU: auto resolves to FOLD_AUTO; same value
+    monkeypatch.setattr(L, "_fold_backend_ok", lambda: True)
+    calls.clear()
+    y_fold = auto.apply(params, x)
+    assert calls, "auto should engage the folded path when the gate passes"
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_plain),
+                               rtol=1e-4, atol=1e-5)
+
+    # fold_override('off') pins it off even on pretend-TPU
+    calls.clear()
+    with L.fold_override("off"):
+        y_off = auto.apply(params, x)
+    assert not calls
+    np.testing.assert_array_equal(np.asarray(y_off), np.asarray(y_plain))
+
+    # norms on: auto falls back instead of raising
+    bn = UNet3D(n_labels=1, depth=2, n_base_filters=4,
+                batch_normalization=True, dtype=jnp.float32)
+    vs = bn.init(jax.random.PRNGKey(0), x)
+    calls.clear()
+    bn.apply(vs, x)
+    assert not calls

@@ -216,7 +216,7 @@ def probe_sandwich(B: int, S: int, dt=jnp.bfloat16, form_sel=None):
                   flush=True)
 
 
-def probe_train(B: int, S: int):
+def probe_train(B: int, S: int, only: str = None, fwd_only: bool = False):
     """Whole-model forward and fwd+bwd: flagship depth-3/32 unet, plain
     vs folded level 0 — the composite's 8 train steps are the dominant
     term, so this is the integration decision's number."""
@@ -242,6 +242,9 @@ def probe_train(B: int, S: int):
                               fold_level0=factors, fold_formulation=form))
 
     for name, model in variants():
+        if only and only not in name.replace(" ", "").replace(",", ""):
+            continue
+
         def fwd(x, params):
             return model.apply(params, x)
 
@@ -257,14 +260,16 @@ def probe_train(B: int, S: int):
 
         try:
             tf = scan_time(fwd, (x, params), iters=20)
-            ts = scan_time(lambda x, p, t: step(x, p, t), (x, params, tgt),
-                           iters=20)
+            ts = (None if fwd_only else
+                  scan_time(lambda x, p, t: step(x, p, t), (x, params, tgt),
+                            iters=20))
         except Exception as e:
             print(f"[model @{S}^3 B={B}] {name:<28} FAILED: "
                   f"{type(e).__name__}: {str(e)[:90]}", flush=True)
             continue
-        print(f"[model @{S}^3 B={B}] {name:<28} fwd {tf*1e3:8.3f} ms   "
-              f"fwd+bwd {ts*1e3:8.3f} ms", flush=True)
+        tail = "" if ts is None else f"   fwd+bwd {ts*1e3:8.3f} ms"
+        print(f"[model @{S}^3 B={B}] {name:<28} fwd {tf*1e3:8.3f} ms{tail}",
+              flush=True)
 
 
 def main():
@@ -275,13 +280,20 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--form", default=None, choices=FORMS,
                     help="restrict sandwich probes to one formulation")
+    ap.add_argument("--only", default=None,
+                    help="train section: substring filter on the variant "
+                         "name with spaces/commas stripped, e.g. 'plain' "
+                         "or '(112)dense'")
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="train section: skip the fwd+bwd program")
     args = ap.parse_args()
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
     if args.section == "convs":
         probe_convs(args.batch, args.spatial)
     elif args.section == "train":
-        probe_train(args.batch, args.spatial)
+        probe_train(args.batch, args.spatial, only=args.only,
+                    fwd_only=args.fwd_only)
     else:
         probe_sandwich(args.batch, args.spatial,
                        form_sel=[args.form] if args.form else None)
