@@ -224,3 +224,47 @@ def test_unet_fold_auto_resolution(rng, monkeypatch):
     calls.clear()
     bn.apply(vs, x)
     assert not calls
+
+
+def test_dp_step_matches_single_device_with_fold():
+    """Folding under shard_map data parallelism: the 8-shard DP step with
+    an EXPLICIT fold (the CPU auto-gate would turn it off) matches the
+    single-device folded step — the path a TPU pod runs when the auto
+    default engages inside DP training."""
+    import optax
+
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.parallel.data_parallel import (
+        make_dp_train_step, make_mesh, replicate_state, shard_batch)
+    from fetal_mri_segmentation_tpu.training.state import create_train_state
+    from fetal_mri_segmentation_tpu.training.train_step import make_train_step
+
+    cfg = Config(model_name="unet", depth=2, n_base_filters=4,
+                 patch_shape=(8, 8, 8), batch_size=8,
+                 compute_dtype="float32", augment=False,
+                 initial_learning_rate=1e-2,
+                 fold_level0=(1, 1, 2), fold_formulation="dense")
+    model = build_model(cfg)
+    rng0 = np.random.default_rng(0)
+    y = np.zeros((8, 1, 8, 8, 8), np.float32)
+    y[:, :, 2:6, 2:6, 2:6] = 1.0
+    x = (y * 2 + rng0.normal(0, 0.3, y.shape)).astype(np.float32)
+    rng = jax.random.PRNGKey(7)
+    tx = optax.sgd(1.0)
+
+    state1 = create_train_state(model, cfg, jax.random.PRNGKey(0), tx=tx)
+    new1, m1 = make_train_step(model, cfg)(
+        state1, jnp.asarray(x), jnp.asarray(y), rng, 8)
+
+    mesh = make_mesh(8)
+    state8 = replicate_state(mesh, create_train_state(
+        model, cfg, jax.random.PRNGKey(0), tx=tx))
+    xs, ys = shard_batch(mesh, x, y)
+    new8, m8 = make_dp_train_step(model, cfg, mesh)(
+        state8, xs, ys, rng, jnp.asarray(8))
+
+    assert np.allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                    jax.tree_util.tree_leaves(new8.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
