@@ -115,7 +115,14 @@ def _fold_backend_ok() -> bool:
     """Auto-folding applies on TPU only: the dense folded conv trades 2x
     dense FLOPs for full MXU lanes — a measured win on v5e, a measured
     loss on XLA:CPU (tools/probe_fold.py). Module-level so tests can
-    monkeypatch it and exercise the auto path off-TPU."""
+    monkeypatch it and exercise the auto path off-TPU.
+
+    ``FETAL_TPU_FOLD=off`` in the environment disables auto-folding
+    process-wide (A/B measurement + ops escape hatch; explicit config
+    tuples still fold)."""
+    import os
+    if os.environ.get("FETAL_TPU_FOLD", "").lower() == "off":
+        return False
     return jax.default_backend() == "tpu"
 
 

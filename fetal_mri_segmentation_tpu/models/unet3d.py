@@ -79,7 +79,13 @@ class UNet3D(nn.Module):
             ff = None
         elif ff == "auto":
             ff, form = _layers.FOLD_AUTO
+            # B == 1 only: the fold's win is the thin-channel B=1 economics
+            # (train step -17%, direct predict -7%); at B>=8 the bare
+            # forward is a wash and INSIDE the fused sliding-window
+            # programs it measured ~1.8x SLOWER (BENCH r5 A/B, PERF
+            # addendum 18) — so batched programs keep plain convs.
             gates = (fuse and self.depth >= 2 and not has_norm
+                     and x.shape[0] == 1
                      and _layers._fold_backend_ok()
                      and all(s % f == 0
                              for s, f in zip(x.shape[1:4], ff)))

@@ -12,11 +12,12 @@ from fetal_mri_segmentation_tpu.ops.patches import (  # noqa: F401
     reconstruct_from_patches,
     gaussian_importance_map,
 )
+# NOTE: fold()/unfold() are deliberately NOT re-exported here — the bare
+# name `fold` would shadow the `ops.fold` submodule attribute. Use
+# `from fetal_mri_segmentation_tpu.ops.fold import fold, unfold`.
 from fetal_mri_segmentation_tpu.ops.fold import (  # noqa: F401
     conv3_folded,
     conv3_folded_stride2,
-    fold,
     pool_folded,
-    unfold,
     up_conv3_folded,
 )

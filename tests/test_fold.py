@@ -185,7 +185,7 @@ def test_unet_fold_auto_resolution(rng, monkeypatch):
     changing the function value."""
     from fetal_mri_segmentation_tpu.models import layers as L
     from fetal_mri_segmentation_tpu.models.unet3d import UNet3D
-    from fetal_mri_segmentation_tpu.ops import fold as fold_mod
+    import fetal_mri_segmentation_tpu.ops.fold as fold_mod
 
     calls = []
     real = fold_mod.conv3_folded
