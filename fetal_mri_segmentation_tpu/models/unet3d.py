@@ -79,11 +79,11 @@ class UNet3D(nn.Module):
             ff = None
         elif ff == "auto":
             ff, form = _layers.FOLD_AUTO
-            # B == 1 only: the fold's win is the thin-channel B=1 economics
-            # (train step -17%, direct predict -7%); at B>=8 the bare
-            # forward is a wash and INSIDE the fused sliding-window
-            # programs it measured ~1.8x SLOWER (BENCH r5 A/B, PERF
-            # addendum 18) — so batched programs keep plain convs.
+            # B == 1 only: the fold's MEASURED wins are batch-1 economics
+            # (train step 30.6 -> 25.0 ms, direct predict -7%); at B>=8
+            # the bare forward is a wash (B=27: 123.8 vs 124.1 ms) and the
+            # B=8 train row moved within host-session noise — no measured
+            # win, so batched programs keep the plain convs (PERF add. 18).
             gates = (fuse and self.depth >= 2 and not has_norm
                      and x.shape[0] == 1
                      and _layers._fold_backend_ok()
