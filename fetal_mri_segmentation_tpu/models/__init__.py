@@ -51,6 +51,8 @@ def build_model(config, bn_axis_name=None) -> Any:
             dtype=dtype,
             use_pallas=getattr(config, "use_pallas_conv", False),
             use_pallas_dec0=getattr(config, "use_pallas_dec0", False),
+            fold_level0=getattr(config, "fold_level0", "auto"),
+            fold_formulation=getattr(config, "fold_formulation", "dense"),
         )
     raise ValueError(f"unknown model_name {config.model_name!r}")
 

@@ -49,6 +49,33 @@ class InstanceNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class FoldedInstanceNorm(nn.Module):
+    """InstanceNorm on a space-to-depth-folded tensor — exact.
+
+    Input (B, d, h, w, F*C) in sub-voxel-major folded layout: per-sample,
+    per-ORIGINAL-channel moments over (d, h, w, sub-voxel) are exactly the
+    unfolded (D, H, W) moments (the fold is a permutation of the same
+    voxels). Params identical to :class:`InstanceNorm` ((C,) scale/bias
+    under the same names), so checkpoints interchange with the plain path.
+    """
+    group: int  # F = prod(fold factors)
+    epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, d, h, w, fc = x.shape
+        c = fc // self.group
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32).reshape(b, d, h, w, self.group, c)
+        mean = jnp.mean(xf, axis=(1, 2, 3, 4), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2, 3, 4), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * gamma + beta
+        return y.reshape(b, d, h, w, fc).astype(self.dtype)
+
+
 class _ConvParams(nn.Module):
     """Parameter-only holder mirroring nn.Conv's {"kernel","bias"} layout."""
     features: int
@@ -262,25 +289,30 @@ class ConvBlock(nn.Module):
         return self._epilogue(x, train=train)
 
     def _folded_path(self, x, *, train) -> jnp.ndarray:
-        """Space-to-depth variants of the plain and fused-decoder convs.
+        """Space-to-depth variants of the conv-block ops (ops/fold.py).
 
-        Exact reformulations (ops/fold.py) on folded activations; the
-        parameters stay in the reference layout. Norm layers would need
-        their moments taken over (spatial x sub-voxel) to stay exact —
-        not implemented, so folding is gated to norm-free blocks (the
-        flagship BASELINE config #1 uses none at level 0).
+        Exact reformulations on folded activations; the parameters stay in
+        the reference layout. Covers: 3^3 stride-1 (enc/dec blocks), the
+        fused upsample(+concat)+conv decoder input, 1^3 stride-1
+        (Isensee localization tails — a per-sub-voxel matmul), 3^3
+        stride-2 (Isensee's down-sampling entry; output UNFOLDED at the
+        next level's natural resolution), and InstanceNorm with moments
+        over (spatial x sub-voxel) per original channel. BatchNorm's
+        running stats have no folded twin — still gated off.
         """
-        if self.batch_normalization or self.instance_normalization:
-            raise ValueError("fold_factors requires norm-free conv blocks")
-        if self.kernel_size != (3, 3, 3) or self.strides != (1, 1, 1):
-            raise ValueError("fold_factors supports 3x3x3 stride-1 blocks")
+        if self.batch_normalization:
+            raise ValueError("fold_factors requires norm-free conv blocks "
+                             "(InstanceNorm is supported; BatchNorm is not)")
         from fetal_mri_segmentation_tpu.ops.fold import (
-            conv3_folded, up_conv3_folded)
+            conv3_folded, conv3_folded_stride2, up_conv3_folded)
         ff = self.fold_factors
         F = ff[0] * ff[1] * ff[2]
         if isinstance(x, (tuple, list)):
             # fused upsample(+concat)+conv: x_deep at cell resolution
             # (unfolded channels), skip in folded layout
+            if self.kernel_size != (3, 3, 3) or self.strides != (1, 1, 1):
+                raise ValueError("folded fused-decoder input needs a 3x3x3 "
+                                 "stride-1 block")
             x_deep, skip = x
             skip_c = 0 if skip is None else skip.shape[-1] // F
             up_ch = x_deep.shape[-1]
@@ -294,12 +326,50 @@ class ConvBlock(nn.Module):
                                      kernel[:, :, :, up_ch:, :], None, ff,
                                      formulation=self.fold_formulation)
             y = y + jnp.tile(bias, F).astype(y.dtype)
-        else:
+        elif self.kernel_size == (1, 1, 1) and self.strides == (1, 1, 1):
+            # 1^3 conv in folded space: per-sub-voxel matmul against the
+            # same (1,1,1,Cin,Cout) kernel (nn.Conv param layout)
+            cin = x.shape[-1] // F
+            kernel = self.param_like_conv1(cin)
+            b_, d, h, w, _ = x.shape
+            xs = x.astype(self.dtype).reshape(b_, d, h, w, F, cin)
+            y = jnp.einsum("bdhwsc,co->bdhwso", xs,
+                           kernel[0][0, 0, 0].astype(self.dtype))
+            y = (y + kernel[1].astype(y.dtype)).reshape(b_, d, h, w, -1)
+        elif self.kernel_size == (3, 3, 3) and self.strides == (1, 1, 1):
             kernel, bias = _ConvParams(self.features, name="conv")(
                 x.shape[-1] // F)
             y = conv3_folded(x.astype(self.dtype), kernel, bias, ff,
                              formulation=self.fold_formulation)
-        return self._epilogue(y.astype(self.dtype), train=train)
+        elif self.kernel_size == (3, 3, 3) and self.strides == (2, 2, 2):
+            kernel, bias = _ConvParams(self.features, name="conv")(
+                x.shape[-1] // F)
+            # output is UNFOLDED (the stride lands on the cell grid) —
+            # norm/activation below see plain channels, which is exactly
+            # what the next (unfolded) level expects
+            y = conv3_folded_stride2(x.astype(self.dtype), kernel, bias, ff)
+            return self._epilogue(y.astype(self.dtype), train=train)
+        else:
+            raise ValueError(
+                f"fold_factors supports 3x3x3 stride-1/2 and 1x1x1 blocks, "
+                f"got kernel {self.kernel_size} strides {self.strides}")
+        y = y.astype(self.dtype)
+        if self.instance_normalization:
+            y = FoldedInstanceNorm(F, dtype=self.dtype, name="in")(y)
+            return self._apply_activation(y)
+        return self._epilogue(y, train=train)
+
+    def param_like_conv1(self, cin):
+        """(kernel, bias) with nn.Conv's 1^3 layout under the 'conv' scope."""
+        holder = HeadParams(self.features, name="conv")
+        return holder(cin)
+
+    def _apply_activation(self, x):
+        if self.activation == "relu":
+            return nn.relu(x)
+        if self.activation == "leaky_relu":
+            return nn.leaky_relu(x, negative_slope=self.negative_slope)
+        return x
 
     def _epilogue(self, x, *, train, skip_activation: bool = False):
         """Optional norm + activation after the conv (any conv path)."""
@@ -312,11 +382,7 @@ class ConvBlock(nn.Module):
             x = InstanceNorm(dtype=self.dtype, name="in")(x)
         if skip_activation:
             return x
-        if self.activation == "relu":
-            x = nn.relu(x)
-        elif self.activation == "leaky_relu":
-            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
-        return x
+        return self._apply_activation(x)
 
     def _pallas_eligible(self, x) -> bool:
         return self._pallas_op(x) is not None
@@ -495,16 +561,23 @@ def max_pool_3d(x: jnp.ndarray, window: Tuple[int, int, int] = (2, 2, 2)
     return nn.max_pool(x, window_shape=window, strides=window)
 
 
-def spatial_dropout_3d(rng: jax.Array, x: jnp.ndarray, rate: float
-                       ) -> jnp.ndarray:
+def spatial_dropout_3d(rng: jax.Array, x: jnp.ndarray, rate: float,
+                       group: int = 1) -> jnp.ndarray:
     """SpatialDropout3D: drops whole channels (broadcast over D,H,W).
 
     Reference: isensee2017.py::create_context_module (SpatialDropout3D(0.3),
     channels_first there; channel axis is -1 here).
+
+    ``group > 1``: x is space-to-depth folded (sub-voxel-major, F = group);
+    the mask is drawn per ORIGINAL channel and tiled across the sub-voxel
+    blocks, so a dropped channel is dropped at every sub-voxel — the same
+    semantics (and the same rng consumption) as the unfolded op.
     """
     keep = 1.0 - rate
-    mask_shape = (x.shape[0], 1, 1, 1, x.shape[-1])
-    mask = jax.random.bernoulli(rng, keep, mask_shape)
+    c = x.shape[-1] // group
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1, c))
+    if group > 1:
+        mask = jnp.tile(mask, (1, 1, 1, 1, group))
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 

@@ -357,3 +357,45 @@ def up_conv3_folded(x_deep: jnp.ndarray, kernel_up: jnp.ndarray,
     F = f1 * f2 * f3
     shape.append(F * co)
     return jnp.transpose(y, perm).reshape(shape)
+
+
+def concat_folded(a: jnp.ndarray, b: jnp.ndarray,
+                  factors: Sequence[int]) -> jnp.ndarray:
+    """Channel-concat of two folded tensors, preserving the folded layout.
+
+    Folded channels are sub-voxel-major ((b1,b2,b3), c) — a plain
+    jnp.concatenate would interleave whole tensors instead of per-cell
+    channels, so split the sub axis out, concat on c, and re-merge.
+    (Reference: isensee2017.py decoder `concatenate([up, skip])`.)
+    """
+    factors = _check_factors(factors)
+    F = factors[0] * factors[1] * factors[2]
+    sa, sb = a.shape, b.shape
+    ar = a.reshape(sa[:4] + (F, sa[4] // F))
+    br = b.reshape(sb[:4] + (F, sb[4] // F))
+    out = jnp.concatenate([ar, br], axis=-1)
+    return out.reshape(sa[:4] + (F * (sa[4] // F + sb[4] // F),))
+
+
+def upsample_nearest_folded(src: jnp.ndarray,
+                            factors: Sequence[int]) -> jnp.ndarray:
+    """UpSampling3D(2) emitted directly in folded layout.
+
+    src is at cell resolution, unfolded channels (B, d, h, w, C). For a
+    folded axis the x2 upsample maps output cell i sub b to source index
+    (2i+b)//2 == i — both sub-voxels copy the SAME source, so the sub
+    axis is a broadcast (channel tile); unfolded axes jnp.repeat as
+    usual. Output: folded (B, d1*, d2*, d3*, F*C) with dj* = dj on folded
+    axes, 2*dj on unfolded ones. Exact: unfold(result) ==
+    upsample_nearest(src).
+    """
+    factors = _check_factors(factors)
+    x = src
+    for ax, f in zip((1, 2, 3), factors):
+        if f == 1:
+            x = jnp.repeat(x, 2, axis=ax)
+    F = factors[0] * factors[1] * factors[2]
+    if F > 1:
+        x = jnp.tile(x[..., None, :],
+                     (1,) * 4 + (F, 1)).reshape(x.shape[:4] + (F * x.shape[4],))
+    return x

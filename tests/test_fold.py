@@ -268,3 +268,45 @@ def test_dp_step_matches_single_device_with_fold():
     for a, b in zip(jax.tree_util.tree_leaves(new1.params),
                     jax.tree_util.tree_leaves(new8.params)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_isensee_fold_level0_matches_plain(rng, train):
+    """Isensee2017(fold_level0) == plain from the SAME params — including
+    InstanceNorm (folded moments over spatial x sub-voxel), the stride-2
+    entry consuming folded input, folded concat/upsample, per-sub-voxel
+    1^3 localization and seg heads, and (train=True) identical
+    SpatialDropout rng consumption."""
+    from fetal_mri_segmentation_tpu.models.isensee2017 import Isensee2017
+
+    x = _rand(rng, 1, 16, 16, 16, 1)
+    kw = dict(n_labels=2, depth=3, n_base_filters=4,
+              n_segmentation_levels=2, dtype=jnp.float32)
+    plain = Isensee2017(fold_level0="off", **kw)
+    folded = Isensee2017(fold_level0=(1, 1, 2), fold_formulation="dense",
+                         **kw)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    fparams = folded.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(params) == jax.tree.structure(fparams)
+    rngs = {"dropout": jax.random.PRNGKey(3)} if train else {}
+    want = plain.apply(params, x, train=train, rngs=rngs)
+    got = folded.apply(params, x, train=train, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_isensee_fold_full_factors(rng):
+    # full 2^3 fold exercises every folded axis in concat/upsample/seg
+    from fetal_mri_segmentation_tpu.models.isensee2017 import Isensee2017
+
+    x = _rand(rng, 1, 8, 8, 8, 1)
+    kw = dict(n_labels=1, depth=2, n_base_filters=4,
+              n_segmentation_levels=1, dtype=jnp.float32)
+    plain = Isensee2017(fold_level0="off", **kw)
+    folded = Isensee2017(fold_level0=(2, 2, 2), fold_formulation="parity",
+                         **kw)
+    params = plain.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(folded.apply(params, x, logits=True)),
+        np.asarray(plain.apply(params, x, logits=True)),
+        rtol=2e-4, atol=2e-5)
