@@ -58,11 +58,13 @@ class Config:
     use_pallas_conv: bool = False  # fused implicit-GEMM conv kernels (TPU)
     use_pallas_dec0: bool = False  # one-Pallas-program decoder level (TPU)
     fold_level0: Any = "auto"  # space-to-depth at the full-resolution
-        # level (unet only): exact math, same checkpoint layout
+        # level (both model families): exact math, same checkpoint layout
         # (ops/fold.py; docs/PERF.md round-5 addendum 18). "auto" (default)
-        # applies the measured-winner fold on TPU when the gates pass
-        # (norm-free level-0 blocks, fused decoder, even axes); "off"/None
+        # applies the measured-winner fold on TPU for BATCH-1 programs
+        # when the gates pass (unet: norm-free level-0 + fused decoder;
+        # isensee: folded InstanceNorm twin; even folded axes); "off"/None
         # disables; an explicit [f1,f2,f3] (factors in {1,2}) forces it.
+        # Env FETAL_TPU_FOLD=off disables auto process-wide.
     fold_formulation: str = "dense"  # "parity" | "parity_batched" | "dense"
     remat: bool = False  # rematerialize the forward in the backward pass
                          # (trade FLOPs for HBM -- enables bigger patches)
