@@ -226,8 +226,11 @@ def probe_train(B: int, S: int, only: str = None, fwd_only: bool = False):
     x = jnp.asarray(rng.normal(size=(B, S, S, S, 1)), jnp.bfloat16)
     tgt = jnp.asarray((rng.random(size=(B, S, S, S, 2)) > 0.7), jnp.float32)
 
+    # "off" explicitly: the model's DEFAULT is fold_level0="auto", which
+    # would silently fold the baseline on TPU and void the comparison
     plain = UNet3D(n_labels=2, depth=3, n_base_filters=32,
-                   activation_name="sigmoid", dtype=jnp.bfloat16)
+                   activation_name="sigmoid", dtype=jnp.bfloat16,
+                   fold_level0="off")
     params = plain.init(jax.random.PRNGKey(0), x[:1, :32, :32, :32])
 
     def variants():
