@@ -310,3 +310,39 @@ def test_isensee_fold_full_factors(rng):
         np.asarray(folded.apply(params, x, logits=True)),
         np.asarray(plain.apply(params, x, logits=True)),
         rtol=2e-4, atol=2e-5)
+
+
+def test_spatial_predictor_matches_single_device_with_fold():
+    """Folding composes with GSPMD depth-axis sharding: the spatially
+    sharded whole-volume predictor with an EXPLICIT fold (the CPU auto
+    gate would turn it off) equals the unsharded folded forward — the
+    combination a TPU pod runs when auto-fold engages inside
+    parallel/spatial.py's halo-exchange predictor. Fold (1,1,2) folds W
+    while the mesh shards D, so the halo exchange and the fold touch
+    different axes."""
+    from fetal_mri_segmentation_tpu.config import Config
+    from fetal_mri_segmentation_tpu.models import build_model
+    from fetal_mri_segmentation_tpu.parallel import (
+        make_hybrid_mesh, make_spatial_predictor)
+    from fetal_mri_segmentation_tpu.training import create_train_state
+
+    cfg = Config(model_name="unet", depth=2, n_base_filters=2,
+                 patch_shape=(16, 16, 16), batch_size=2,
+                 compute_dtype="float32", augment=False,
+                 fold_level0=(1, 1, 2), fold_formulation="dense")
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    variables = {"params": state.params}
+    vol = np.random.default_rng(7).normal(
+        0, 1, (1, 32, 16, 16)).astype(np.float32)
+
+    x = jnp.transpose(jnp.asarray(vol), (1, 2, 3, 0))[None]
+    want = np.transpose(np.asarray(model.apply(variables, x))[0],
+                        (3, 0, 1, 2))
+
+    mesh = make_hybrid_mesh(1, 8)
+    predict = make_spatial_predictor(model, cfg, mesh)
+    got = predict(variables, vol)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-5), \
+        float(np.abs(got - want).max())
