@@ -20,6 +20,9 @@ level-0 blocks need:
   down-sampling context path), which folds with no parity split at all.
 - ``pool_folded``: MaxPool(2) along folded axes is a free per-cell
   reduction (the pool windows ARE the fold cells).
+- ``up_conv3_folded`` / ``upsample_nearest_folded`` / ``concat_folded``:
+  the decoder ops emitted directly in folded layout (the parity
+  sub-grids ARE the channel blocks, so the interleave transposes vanish).
 
 Formulations of the stride-1 folded conv (all exact; FLOP multipliers for
 a fully-folded axis set F = prod(factors)):
