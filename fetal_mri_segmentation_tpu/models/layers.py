@@ -330,12 +330,12 @@ class ConvBlock(nn.Module):
             # 1^3 conv in folded space: per-sub-voxel matmul against the
             # same (1,1,1,Cin,Cout) kernel (nn.Conv param layout)
             cin = x.shape[-1] // F
-            kernel = self.param_like_conv1(cin)
+            kernel, bias = HeadParams(self.features, name="conv")(cin)
             b_, d, h, w, _ = x.shape
             xs = x.astype(self.dtype).reshape(b_, d, h, w, F, cin)
             y = jnp.einsum("bdhwsc,co->bdhwso", xs,
-                           kernel[0][0, 0, 0].astype(self.dtype))
-            y = (y + kernel[1].astype(y.dtype)).reshape(b_, d, h, w, -1)
+                           kernel[0, 0, 0].astype(self.dtype))
+            y = (y + bias.astype(y.dtype)).reshape(b_, d, h, w, -1)
         elif self.kernel_size == (3, 3, 3) and self.strides == (1, 1, 1):
             kernel, bias = _ConvParams(self.features, name="conv")(
                 x.shape[-1] // F)
@@ -358,11 +358,6 @@ class ConvBlock(nn.Module):
             y = FoldedInstanceNorm(F, dtype=self.dtype, name="in")(y)
             return self._apply_activation(y)
         return self._epilogue(y, train=train)
-
-    def param_like_conv1(self, cin):
-        """(kernel, bias) with nn.Conv's 1^3 layout under the 'conv' scope."""
-        holder = HeadParams(self.features, name="conv")
-        return holder(cin)
 
     def _apply_activation(self, x):
         if self.activation == "relu":

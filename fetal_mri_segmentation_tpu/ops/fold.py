@@ -166,7 +166,7 @@ def _parity_window(xpad: jnp.ndarray, factors: Factors,
 
 def conv3_folded(xf: jnp.ndarray, kernel: jnp.ndarray,
                  bias: Optional[jnp.ndarray], factors: Sequence[int],
-                 formulation: str = "parity_batched") -> jnp.ndarray:
+                 formulation: str = "parity") -> jnp.ndarray:
     """SAME 3^3 stride-1 conv, computed in folded space. Exact.
 
     xf: folded input (B, d, h, w, F*Cin); kernel: the UNFOLDED (3,3,3,
