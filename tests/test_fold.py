@@ -346,3 +346,22 @@ def test_spatial_predictor_matches_single_device_with_fold():
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=1e-5), \
         float(np.abs(got - want).max())
+
+
+def test_unet_fold_non_cubic_patch(rng, monkeypatch):
+    """Fetal volumes are non-cubic; the folded model must agree with the
+    plain one on non-cubic patches too (and auto must fall back, not
+    crash, when the folded axis is odd)."""
+    from fetal_mri_segmentation_tpu.models import layers as L
+    from fetal_mri_segmentation_tpu.models.unet3d import UNet3D
+
+    x = _rand(rng, 1, 8, 12, 6, 1)
+    plain = UNet3D(n_labels=1, depth=2, n_base_filters=4,
+                   dtype=jnp.float32, fold_level0="off")
+    folded = UNet3D(n_labels=1, depth=2, n_base_filters=4,
+                    dtype=jnp.float32, fold_level0=(1, 1, 2),
+                    fold_formulation="dense")
+    params = plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(folded.apply(params, x)),
+                               np.asarray(plain.apply(params, x)),
+                               rtol=1e-4, atol=1e-5)
