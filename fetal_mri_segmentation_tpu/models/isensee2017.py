@@ -70,22 +70,11 @@ class Isensee2017(nn.Module):
         from fetal_mri_segmentation_tpu.ops.fold import (
             concat_folded, fold, unfold, upsample_nearest_folded)
 
-        ff = self.fold_level0
-        form = self.fold_formulation
-        if ff in (None, "off"):
-            ff = None
-        elif ff == "auto":
-            ff, form = _layers.FOLD_AUTO
-            # same measured gates as UNet3D: batch-1 programs on TPU,
-            # even folded axes (depth>=2 always true for isensee defaults)
-            gates = (self.depth >= 2 and x.shape[0] == 1
-                     and _layers._fold_backend_ok()
-                     and all(s % f == 0
-                             for s, f in zip(x.shape[1:4], ff)))
-            if not gates:
-                ff = None
-        if _layers._FOLD_OVERRIDE == "off":
-            ff = None
+        # shared gate logic (batch-1 / backend / divisibility) lives in
+        # layers.resolve_fold; depth>=2 is the only isensee-specific gate
+        ff, form = _layers.resolve_fold(
+            self.fold_level0, self.fold_formulation, x,
+            extra_gates=self.depth >= 2)
         F = ff[0] * ff[1] * ff[2] if ff else 1
 
         x = x.astype(self.dtype)
@@ -147,18 +136,17 @@ class Isensee2017(nn.Module):
                             fold=fold_here, form=form)(x)
             if level < self.n_segmentation_levels:
                 if folded:
-                    # per-sub-voxel 1^3 seg head (same nn.Conv param tree)
+                    # per-sub-voxel 1^3 seg head (same nn.Conv param tree;
+                    # ops/fold.py::conv1_folded)
                     from fetal_mri_segmentation_tpu.models.layers import (
                         HeadParams)
+                    from fetal_mri_segmentation_tpu.ops.fold import (
+                        conv1_folded)
                     kernel, bias = HeadParams(self.n_labels,
                                               name=f"seg{level}")(
                         x.shape[-1] // F)
-                    b_, d, h_, w_, fc = x.shape
-                    xs = x.reshape(b_, d, h_, w_, F, fc // F).astype(
-                        jnp.float32)
-                    seg = (jnp.einsum("bdhwsc,co->bdhwso", xs,
-                                      kernel[0, 0, 0]) + bias).reshape(
-                        b_, d, h_, w_, -1)
+                    seg = conv1_folded(x.astype(jnp.float32), kernel,
+                                       bias, ff)
                 else:
                     seg = nn.Conv(self.n_labels, (1, 1, 1),
                                   dtype=jnp.float32,

@@ -153,6 +153,32 @@ def _fold_backend_ok() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def resolve_fold(fold_level0, formulation: str, x,
+                 extra_gates: bool = True):
+    """Resolve a model's ``fold_level0`` setting at trace time.
+
+    Single source for the auto gates shared by UNet3D and Isensee2017
+    (models pass their family-specific conditions via ``extra_gates``):
+    "auto" folds only for batch-1 programs on a TPU backend with evenly
+    divisible folded axes (the measured win bracket — docs/PERF.md
+    addenda 18–18d); None/"off" disable; an explicit tuple passes
+    through. ``fold_override("off")`` pins everything off.
+
+    Returns ``(factors_or_None, formulation)``.
+    """
+    ff, form = fold_level0, formulation
+    if ff in (None, "off"):
+        ff = None
+    elif ff == "auto":
+        ff, form = FOLD_AUTO
+        if not (extra_gates and x.shape[0] == 1 and _fold_backend_ok()
+                and all(s % f == 0 for s, f in zip(x.shape[1:4], ff))):
+            ff = None
+    if _FOLD_OVERRIDE == "off":
+        ff = None
+    return ff, form
+
+
 class fold_override:
     """Context manager pinning space-to-depth folding during a trace.
 
@@ -304,7 +330,8 @@ class ConvBlock(nn.Module):
             raise ValueError("fold_factors requires norm-free conv blocks "
                              "(InstanceNorm is supported; BatchNorm is not)")
         from fetal_mri_segmentation_tpu.ops.fold import (
-            conv3_folded, conv3_folded_stride2, up_conv3_folded)
+            conv1_folded, conv3_folded, conv3_folded_stride2,
+            up_conv3_folded)
         ff = self.fold_factors
         F = ff[0] * ff[1] * ff[2]
         if isinstance(x, (tuple, list)):
@@ -327,15 +354,9 @@ class ConvBlock(nn.Module):
                                      formulation=self.fold_formulation)
             y = y + jnp.tile(bias, F).astype(y.dtype)
         elif self.kernel_size == (1, 1, 1) and self.strides == (1, 1, 1):
-            # 1^3 conv in folded space: per-sub-voxel matmul against the
-            # same (1,1,1,Cin,Cout) kernel (nn.Conv param layout)
-            cin = x.shape[-1] // F
-            kernel, bias = HeadParams(self.features, name="conv")(cin)
-            b_, d, h, w, _ = x.shape
-            xs = x.astype(self.dtype).reshape(b_, d, h, w, F, cin)
-            y = jnp.einsum("bdhwsc,co->bdhwso", xs,
-                           kernel[0, 0, 0].astype(self.dtype))
-            y = (y + bias.astype(y.dtype)).reshape(b_, d, h, w, -1)
+            kernel, bias = HeadParams(self.features, name="conv")(
+                x.shape[-1] // F)
+            y = conv1_folded(x.astype(self.dtype), kernel, bias, ff)
         elif self.kernel_size == (3, 3, 3) and self.strides == (1, 1, 1):
             kernel, bias = _ConvParams(self.features, name="conv")(
                 x.shape[-1] // F)

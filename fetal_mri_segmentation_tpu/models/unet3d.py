@@ -70,29 +70,14 @@ class UNet3D(nn.Module):
         from fetal_mri_segmentation_tpu.ops.fold import (
             fold, pool_folded, unfold)
 
-        ff = self.fold_level0
-        form = self.fold_formulation
         fuse = (self.fuse_decoder and not self.deconvolution
                 and self.pool_size == (2, 2, 2))
         has_norm = self.batch_normalization or self.instance_normalization
-        if ff == "off":
-            ff = None
-        elif ff == "auto":
-            ff, form = _layers.FOLD_AUTO
-            # B == 1 only: the fold's MEASURED wins are batch-1 economics
-            # (train step 30.6 -> 25.0 ms, direct predict -7%); at B>=8
-            # the bare forward is a wash (B=27: 123.8 vs 124.1 ms) and the
-            # B=8 train row moved within host-session noise — no measured
-            # win, so batched programs keep the plain convs (PERF add. 18).
-            gates = (fuse and self.depth >= 2 and not has_norm
-                     and x.shape[0] == 1
-                     and _layers._fold_backend_ok()
-                     and all(s % f == 0
-                             for s, f in zip(x.shape[1:4], ff)))
-            if not gates:
-                ff = None
-        if _layers._FOLD_OVERRIDE == "off":
-            ff = None
+        # shared gate logic (batch-1 / backend / divisibility) lives in
+        # layers.resolve_fold; only the unet-specific conditions are here
+        ff, form = _layers.resolve_fold(
+            self.fold_level0, self.fold_formulation, x,
+            extra_gates=fuse and self.depth >= 2 and not has_norm)
         if ff is not None and (not fuse or self.depth < 2):
             raise ValueError("fold_level0 requires the fused decoder path "
                              "(no deconvolution, pool (2,2,2)) and depth>=2")
@@ -134,16 +119,19 @@ class UNet3D(nn.Module):
 
         if ff is not None:
             # folded 1^3 head: per-sub-voxel matmul against the SAME
-            # (1,1,1,C,n) kernel, activation per sub-voxel, then unfold
+            # (1,1,1,C,n) kernel (ops/fold.py::conv1_folded), activation
+            # per sub-voxel, then unfold
+            from fetal_mri_segmentation_tpu.ops.fold import conv1_folded
             F = ff[0] * ff[1] * ff[2]
             kernel, bias = HeadParams(self.n_labels, name="head")(
                 x.shape[-1] // F)
-            b, d, h, w, fc = x.shape
-            xs = x.reshape(b, d, h, w, F, fc // F).astype(jnp.float32)
-            y = jnp.einsum("bdhwsc,co->bdhwso", xs, kernel[0, 0, 0]) + bias
+            y = conv1_folded(x.astype(jnp.float32), kernel, bias, ff)
             if not logits:
-                y = head_activation(y, self.activation_name)
-            return unfold(y.reshape(b, d, h, w, F * self.n_labels), ff)
+                b, d, h, w, _ = y.shape
+                y = head_activation(
+                    y.reshape(b, d, h, w, F, self.n_labels),
+                    self.activation_name).reshape(b, d, h, w, -1)
+            return unfold(y, ff)
 
         x = nn.Conv(self.n_labels, (1, 1, 1), dtype=jnp.float32,
                     param_dtype=jnp.float32, name="head")(x.astype(jnp.float32))

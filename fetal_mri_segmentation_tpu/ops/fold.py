@@ -258,6 +258,16 @@ def conv3_folded_stride2(xf: jnp.ndarray, kernel: jnp.ndarray,
     create_convolution_block, Keras SAME semantics).
     """
     factors = _check_factors(factors)
+    # the (0, 1) SAME padding below is the EVEN-axis rule; on an odd axis
+    # XLA/Keras SAME pads (1, 1) and this routing would silently compute a
+    # different (and shorter) output — refuse instead. Folded axes are
+    # even by construction (original dim = 2 x cells); unfolded axes carry
+    # the original dim and must be checked.
+    for ax, (f, d) in enumerate(zip(factors, xf.shape[1:4])):
+        if f == 1 and d % 2:
+            raise ValueError(
+                f"conv3_folded_stride2 requires even spatial dims (SAME "
+                f"stride-2 pads odd axes differently); axis {ax} has {d}")
     cin, cout = kernel.shape[3], kernel.shape[4]
     t = [(_T_STRIDE2 if f == 2 else _T_UNFOLDED) for f in factors]
     wf = jnp.einsum("auk,bvl,cwm,klmio->abcuvwio",
@@ -402,3 +412,25 @@ def upsample_nearest_folded(src: jnp.ndarray,
         x = jnp.tile(x[..., None, :],
                      (1,) * 4 + (F, 1)).reshape(x.shape[:4] + (F * x.shape[4],))
     return x
+
+
+def conv1_folded(xf: jnp.ndarray, kernel: jnp.ndarray,
+                 bias: Optional[jnp.ndarray],
+                 factors: Sequence[int]) -> jnp.ndarray:
+    """1^3 conv in folded space: a per-sub-voxel matmul. Exact.
+
+    kernel: the UNFOLDED (1,1,1,Cin,Cout) nn.Conv parameter. Computation
+    dtype follows xf (cast the kernel before calling for bf16 paths);
+    returns the folded (B, d, h, w, F*Cout) output. Shared by the folded
+    model heads (unet head, Isensee localization tails and seg heads).
+    """
+    factors = _check_factors(factors)
+    F = factors[0] * factors[1] * factors[2]
+    b, d, h, w, fc = xf.shape
+    cin = fc // F
+    xs = xf.reshape(b, d, h, w, F, cin)
+    y = jnp.einsum("bdhwsc,co->bdhwso", xs,
+                   kernel[0, 0, 0].astype(xf.dtype))
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.reshape(b, d, h, w, F * kernel.shape[-1])

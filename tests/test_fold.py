@@ -350,10 +350,11 @@ def test_spatial_predictor_matches_single_device_with_fold():
 
 def test_unet_fold_non_cubic_patch(rng, monkeypatch):
     """Fetal volumes are non-cubic; the folded model must agree with the
-    plain one on non-cubic patches too (and auto must fall back, not
-    crash, when the folded axis is odd)."""
+    plain one on non-cubic patches, and "auto" must fall back (not fold)
+    for batched programs — the reachable fallback gate."""
     from fetal_mri_segmentation_tpu.models import layers as L
     from fetal_mri_segmentation_tpu.models.unet3d import UNet3D
+    from fetal_mri_segmentation_tpu.ops import fold as fold_mod
 
     x = _rand(rng, 1, 8, 12, 6, 1)
     plain = UNet3D(n_labels=1, depth=2, n_base_filters=4,
@@ -365,3 +366,30 @@ def test_unet_fold_non_cubic_patch(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(folded.apply(params, x)),
                                np.asarray(plain.apply(params, x)),
                                rtol=1e-4, atol=1e-5)
+
+    # auto fallback at batch > 1 (the measured-loss regime, PERF add.
+    # 18c): even on pretend-TPU the auto model must take the plain path
+    monkeypatch.setattr(L, "_fold_backend_ok", lambda: True)
+    calls = []
+    real = fold_mod.conv3_folded
+    monkeypatch.setattr(fold_mod, "conv3_folded",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    auto = UNet3D(n_labels=1, depth=2, n_base_filters=4, dtype=jnp.float32)
+    xb = _rand(rng, 2, 8, 12, 6, 1)
+    pb = auto.init(jax.random.PRNGKey(0), xb)
+    calls.clear()
+    auto.apply(pb, xb)
+    assert not calls, "auto must not fold batched programs"
+    # ...and at batch 1 with the same config it folds
+    calls.clear()
+    auto.apply(pb, xb[:1])
+    assert calls
+
+
+def test_conv3_folded_stride2_rejects_odd_unfolded_axis(rng):
+    """SAME stride-2 pads odd axes (1,1), not the (0,1) this routing
+    encodes — the op must refuse rather than silently diverge."""
+    x = _rand(rng, 1, 7, 8, 8, 2)  # D=7 odd, unfolded under (1,1,2)
+    k = _rand(rng, 3, 3, 3, 2, 3)
+    with pytest.raises(ValueError, match="even spatial"):
+        conv3_folded_stride2(fold(x, (1, 1, 2)), k, None, (1, 1, 2))
