@@ -393,3 +393,20 @@ def test_conv3_folded_stride2_rejects_odd_unfolded_axis(rng):
     k = _rand(rng, 3, 3, 3, 2, 3)
     with pytest.raises(ValueError, match="even spatial"):
         conv3_folded_stride2(fold(x, (1, 1, 2)), k, None, (1, 1, 2))
+
+
+def test_unet_fold_depth4(rng):
+    """The serve config's depth-4 geometry: fold only ever touches level
+    0, but pin the deeper-skip channel bookkeeping too."""
+    from fetal_mri_segmentation_tpu.models.unet3d import UNet3D
+
+    x = _rand(rng, 1, 16, 16, 16, 1)
+    plain = UNet3D(n_labels=1, depth=4, n_base_filters=2,
+                   dtype=jnp.float32, fold_level0="off")
+    folded = UNet3D(n_labels=1, depth=4, n_base_filters=2,
+                    dtype=jnp.float32, fold_level0=(1, 1, 2),
+                    fold_formulation="dense")
+    params = plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(folded.apply(params, x)),
+                               np.asarray(plain.apply(params, x)),
+                               rtol=1e-4, atol=1e-5)
